@@ -1,0 +1,215 @@
+"""Transformer building blocks (flax.linen), TPU-first.
+
+Re-designs the reference's vendored DINOv2 layer zoo
+(`mst/models/extern/dinov2/layers/`: attention.py, block.py, mlp.py,
+swiglu_ffn.py, layer_scale.py, drop_path.py, patch_embed.py) as functional
+flax modules:
+
+- `Attention` uses the Pallas flash kernel on the no-aux path (replacing
+  xFormers `memory_efficient_attention`, reference `layers/attention.py:72-89`)
+  and an explicit XLA softmax path when attention probabilities are
+  requested — probs are exported through flax's `intermediates` collection
+  (`sow`), the functional replacement for the reference's forward-patching
+  hooks (`mst/models/dino.py:224-254`).
+- `DropPath` is rng-keyed stochastic depth (reference `layers/drop_path.py`).
+- `LayerScale` (reference `layers/layer_scale.py`), `Mlp` (`layers/mlp.py`),
+  `SwiGLU` (`layers/swiglu_ffn.py` — hidden rounded to a multiple of 8,
+  fused by XLA on TPU), `PatchEmbed` (`layers/patch_embed.py` — conv
+  patchify, lowered to an MXU matmul by XLA).
+
+All blocks take `dtype` (compute dtype, bf16 in production) with fp32
+parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mst_tpu.ops.attention import (
+    attention_reference,
+    flash_attention,
+    make_key_padding_bias,
+)
+
+Dtype = jnp.dtype
+
+
+class Mlp(nn.Module):
+    """2-layer MLP, GELU default (reference `layers/mlp.py`)."""
+
+    hidden_features: int
+    out_features: int
+    act: Callable = nn.gelu
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        return x
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU FFN with hidden rounded to a multiple of 8
+    (reference `layers/swiglu_ffn.py:66`)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        hidden = (int(self.hidden_features * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, dtype=self.dtype, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="w3")(
+            nn.silu(x1) * x2
+        )
+
+
+class LayerScale(nn.Module):
+    """Learned per-channel residual scaling (reference `layers/layer_scale.py`)."""
+
+    dim: int
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+def drop_path(
+    x: jax.Array, rate: float, rng: Optional[jax.Array], deterministic: bool
+) -> jax.Array:
+    """Per-sample stochastic depth (reference `layers/drop_path.py:10-24`)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused qkv.
+
+    `return_weights=False`: Pallas flash attention (the ViT hot path).
+    `return_weights=True`: explicit softmax; probabilities `[B,H,S,S]` are
+    sowed into the `intermediates` collection under "attn_probs".
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: Dtype = jnp.float32
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, bias: Optional[jax.Array] = None,
+                 return_weights: bool = False):
+        B, S, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(
+            3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
+        qkv = qkv.reshape(B, S, 3, self.num_heads, head_dim)
+        q, k, v = (
+            jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
+        )  # each [B, H, S, hd]
+        if return_weights or bias is not None or not self.use_flash:
+            out, probs = attention_reference(q, k, v, bias=bias, return_weights=True)
+            if return_weights:
+                self.sow("intermediates", "attn_probs", probs)
+        else:
+            out = flash_attention(q, k, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, S, self.dim)
+        return nn.Dense(
+            self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj"
+        )(out)
+
+
+class Block(nn.Module):
+    """Pre-norm ViT block with LayerScale + DropPath
+    (reference `layers/block.py:43-114`)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layerscale_init: Optional[float] = 1e-5
+    drop_path_rate: float = 0.0
+    ffn_layer: str = "mlp"  # "mlp" | "swiglu"
+    dtype: Dtype = jnp.float32
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True,
+                 return_weights: bool = False):
+        def ls(name):
+            if self.layerscale_init is None:
+                return lambda y: y
+            return LayerScale(self.dim, self.layerscale_init, name=name)
+
+        dp_rng = None
+        if not deterministic and self.drop_path_rate > 0.0:
+            dp_rng = self.make_rng("drop_path")
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(
+            self.dim, self.num_heads, qkv_bias=self.qkv_bias,
+            dtype=self.dtype, use_flash=self.use_flash, name="attn",
+        )(h, return_weights=return_weights)
+        h = ls("ls1")(h)
+        x = x + drop_path(h, self.drop_path_rate, dp_rng, deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.ffn_layer == "swiglu":
+            h = SwiGLU(hidden, self.dim, dtype=self.dtype, name="mlp")(
+                h, deterministic=deterministic
+            )
+        else:
+            h = Mlp(hidden, self.dim, dtype=self.dtype, name="mlp")(
+                h, deterministic=deterministic
+            )
+        h = ls("ls2")(h)
+        x = x + drop_path(h, self.drop_path_rate, dp_rng, deterministic)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchify NHWC -> [B, N, dim] (reference `layers/patch_embed.py`).
+
+    H and W must be divisible by `patch_size` (asserted like the reference
+    `layers/patch_embed.py:68-81`); XLA lowers the stride-p conv to a single
+    MXU matmul over the unfolded patches.
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        p = self.patch_size
+        assert H % p == 0 and W % p == 0, (
+            f"input size {(H, W)} not divisible by patch size {p}"
+        )
+        x = nn.Conv(
+            self.embed_dim, kernel_size=(p, p), strides=(p, p),
+            padding="VALID", dtype=self.dtype, name="proj",
+        )(x)
+        return x.reshape(B, (H // p) * (W // p), self.embed_dim)

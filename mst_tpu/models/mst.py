@@ -1,0 +1,177 @@
+"""MST slice classifiers: per-slice 2D encoder + slice fusion + head.
+
+Capability twin of the reference's `DinoV2ClassifierSlice` /
+`DinoV3ClassifierSlice` (`mst/models/dino.py:32-276,279-795`): a 3D volume
+`[B, C, D, H, W]` is flattened over the slice axis, every slice runs through
+a 2D ViT encoder, per-slice CLS embeddings are fused by a 1-layer slice
+transformer (learnable volume-CLS readout) and classified by a linear head.
+
+TPU-first design:
+- One jit-compiled program encodes the whole volume: the `(B*D)` slice batch
+  feeds the Pallas-flash ViT in a single MXU-saturating call (the
+  reference's `(b d) c h w` rearrange, `dino.py:125`, is the same trick —
+  here it additionally defines the data-parallel sharding axis).
+- The DINOv3 variant is a *configuration* of the same module (patch size,
+  register tokens, weights), not a second 500-line class (reference
+  `dino.py:279-795`).
+- `freeze` applies `stop_gradient` to the encoder output: backward never
+  traverses the 12-block ViT, which XLA then dead-code-eliminates from the
+  gradient program (the reference only sets `requires_grad=False`,
+  `dino.py:69-71`; optimizer masking is handled by the trainer).
+- Explainability flows through returned intermediates; see
+  `mst_tpu/ops/saliency.py`.
+
+Known reference bug fixed, not replicated: `slice_fusion='linear'`
+hard-codes 32 slices (`dino.py:99`); here the flatten uses the actual
+static slice count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mst_tpu.models.slice_fusion import TransformerEncoderLayer
+from mst_tpu.models.vit import build_vit
+
+MAX_SLICES = 256  # slice-position vocabulary (reference `dino.py:81-82`)
+
+
+class DinoSliceClassifier(nn.Module):
+    """MST-DINO classifier (v2 and v3 are configs of this one module)."""
+
+    out_ch: int = 2
+    model_size: str = "small"  # small | base | large | giant2
+    patch_size: int = 14  # 14 (DINOv2) | 16 (DINOv3-giant, `dino.py:551-556`)
+    num_register_tokens: int = 0  # 4 for *_reg variants
+    slice_fusion: str = "transformer"  # transformer | linear | average | none
+    fusion_layers: int = 1
+    fusion_heads: int = 12
+    rotary: Optional[str] = None  # None | RoPE | LiRE
+    use_bottleneck: bool = False  # Linear(e -> e/4), `dino.py:75-77`
+    use_slice_pos_emb: bool = False  # Embedding(256, e), `dino.py:81-82`
+    freeze: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True
+
+    def setup(self):
+        self.encoder = build_vit(
+            self.model_size,
+            patch_size=self.patch_size,
+            num_register_tokens=self.num_register_tokens,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            name="encoder",
+        )
+        emb = self.encoder.embed_dim
+        if self.use_bottleneck:
+            self.bottleneck = nn.Dense(emb // 4, dtype=self.dtype, name="bottleneck")
+            emb = emb // 4
+        self.emb_ch = emb
+        if self.use_slice_pos_emb:
+            self.slice_pos_emb = nn.Embed(
+                MAX_SLICES, emb, name="slice_pos_emb",
+                embedding_init=nn.initializers.normal(0.02),
+            )
+        if self.slice_fusion == "transformer":
+            self.cls_token = self.param(
+                "cls_token", nn.initializers.normal(0.02), (1, 1, emb)
+            )
+            self.fusion = [
+                TransformerEncoderLayer(
+                    d_model=emb, nhead=self.fusion_heads, dim_feedforward=emb,
+                    norm_first=True, rotary=self.rotary, dtype=self.dtype,
+                    name=f"fusion_{i}",
+                )
+                for i in range(self.fusion_layers)
+            ]
+        elif self.slice_fusion == "linear":
+            self.fusion_linear = nn.Dense(emb, dtype=self.dtype, name="fusion_linear")
+        elif self.slice_fusion not in ("average", "none"):
+            raise ValueError(f"unknown slice_fusion {self.slice_fusion!r}")
+        self.head = nn.Dense(self.out_ch, name="head")
+
+    def encode_slices(self, source: jax.Array, *, deterministic: bool = True,
+                      return_weights: str = "none"):
+        """[B, C, D, H, W] -> per-slice embeddings [B, D, emb] (+ViT out)."""
+        B, C, D, H, W = source.shape
+        x = jnp.transpose(source, (0, 2, 3, 4, 1)).reshape(B * D, H, W, C)
+        if C == 1:  # gray -> RGB (reference `dino.py:125-127`)
+            x = jnp.repeat(x, 3, axis=-1)
+        x = x.astype(self.dtype)
+        enc = self.encoder(
+            x, deterministic=deterministic, return_weights=return_weights
+        )
+        feats = enc["cls_token"]  # [B*D, e]
+        if self.freeze:
+            feats = jax.lax.stop_gradient(feats)
+        if self.use_bottleneck:
+            feats = self.bottleneck(feats)
+        return feats.reshape(B, D, self.emb_ch), enc
+
+    def __call__(
+        self,
+        source: jax.Array,  # [B, C, D, H, W]
+        src_key_padding_mask: Optional[jax.Array] = None,  # [B, D] True = PAD
+        *,
+        deterministic: bool = True,
+        return_weights: str = "none",  # "none" | "last" | "all" (ViT layers)
+    ) -> jax.Array:
+        B, _, D, _, _ = source.shape
+        feats, _ = self.encode_slices(
+            source, deterministic=deterministic, return_weights=return_weights
+        )
+        if self.use_slice_pos_emb:
+            feats = feats + self.slice_pos_emb(jnp.arange(D))[None].astype(self.dtype)
+
+        if self.slice_fusion == "transformer":
+            cls = jnp.broadcast_to(
+                self.cls_token.astype(self.dtype), (B, 1, self.emb_ch)
+            )
+            h = jnp.concatenate([cls, feats], axis=1)  # [B, 1+D, emb]
+            mask = None
+            if src_key_padding_mask is not None:
+                # CLS column is never padded (reference `dino.py:147-150`).
+                mask = jnp.concatenate(
+                    [jnp.zeros((B, 1), bool), src_key_padding_mask], axis=1
+                )
+            want_w = return_weights != "none"
+            for layer in self.fusion:
+                h = layer(
+                    h, key_padding_mask=mask, return_weights=want_w,
+                    deterministic=deterministic,
+                )
+            pooled = h[:, 0]
+        elif self.slice_fusion == "linear":
+            pooled = self.fusion_linear(feats.reshape(B, D * self.emb_ch))
+        elif self.slice_fusion == "average":
+            if src_key_padding_mask is not None:
+                valid = (~src_key_padding_mask)[..., None].astype(feats.dtype)
+                pooled = jnp.sum(feats * valid, axis=1) / jnp.clip(
+                    jnp.sum(valid, axis=1), 1.0
+                )
+            else:
+                pooled = jnp.mean(feats, axis=1)
+        else:  # none
+            pooled = feats.reshape(B, D * self.emb_ch)
+        return self.head(pooled.astype(jnp.float32))
+
+
+def dino_v2_classifier_slice(**kw) -> DinoSliceClassifier:
+    """Reference `DinoV2ClassifierSlice` defaults (`dino.py:33-51`)."""
+    kw.setdefault("model_size", "small")
+    kw.setdefault("patch_size", 14)
+    kw.setdefault("slice_fusion", "transformer")
+    return DinoSliceClassifier(**kw)
+
+
+def dino_v3_classifier_slice(**kw) -> DinoSliceClassifier:
+    """Reference `DinoV3ClassifierSlice` (`dino.py:279-795`): ViT-giant uses
+    patch 16, otherwise 14 (`dino.py:551-556`)."""
+    size = kw.setdefault("model_size", "small")
+    kw.setdefault("patch_size", 16 if size == "giant2" else 14)
+    kw.setdefault("slice_fusion", "transformer")
+    return DinoSliceClassifier(**kw)

@@ -1,0 +1,92 @@
+"""Attention-based 3D saliency maps as pure functions.
+
+Functional port of the reference's explainability extraction
+(`mst/models/dino.py:169-212` + `scripts/main_predict.py:55-106`): the
+model forward returns attention probabilities as auxiliary outputs (flax
+intermediates), and these functions turn them into slice / in-plane /
+combined 3D saliency volumes. No hooks, no fastpath toggling — everything
+is jittable and TTA-batchable.
+
+Map semantics replicated exactly:
+- slice attention: CLS->slice row of the fusion attention, mean over heads,
+  renormalised to sum 1 (`dino.py:173-187`);
+- plane attention: CLS->patch row of the LAST ViT block, register tokens
+  skipped via the token offset (`dino.py:189-195`), patch 0 zeroed
+  (`dino.py:193`), renormalised;
+- combined map = outer product of the two (`dino.py:197-202`);
+- attention rollout over all layers (`dino.py:204-212`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def slice_attention(fusion_probs: jax.Array) -> jax.Array:
+    """[B, heads, S, S] fusion attention (S = 1 + D, CLS first) ->
+    normalised per-slice weights [B, D]."""
+    cls_row = fusion_probs[:, :, 0, 1:]  # [B, heads, D]
+    w = jnp.mean(cls_row, axis=1)
+    return w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+
+
+def plane_attention(
+    vit_probs: jax.Array,  # [BD, heads, T, T] last-block ViT attention
+    num_prefix_tokens: int,  # 1 (CLS) or 1 + registers
+    grid_hw: tuple[int, int],
+) -> jax.Array:
+    """CLS->patch attention of the last ViT block -> [BD, gh, gw].
+
+    Skips register tokens (reference offset `slice(5, None)` for 4-register
+    models, `dino.py:191`) and zeroes the first patch (`dino.py:193`) — the
+    first patch often collects global signal and would dominate the map.
+    """
+    cls_row = vit_probs[:, :, 0, num_prefix_tokens:]  # [BD, heads, N]
+    w = jnp.mean(cls_row, axis=1)
+    w = w.at[:, 0].set(0.0)
+    w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    gh, gw = grid_hw
+    return w.reshape(-1, gh, gw)
+
+
+def combined_saliency(
+    slice_w: jax.Array,  # [B, D]
+    plane_w: jax.Array,  # [B*D, gh, gw]
+) -> jax.Array:
+    """Outer product slice x plane -> [B, D, gh, gw] (`dino.py:197-202`)."""
+    B, D = slice_w.shape
+    plane = plane_w.reshape(B, D, *plane_w.shape[1:])
+    return slice_w[:, :, None, None] * plane
+
+
+def attention_rollout(
+    probs_per_layer: Sequence[jax.Array],  # each [B, heads, T, T]
+    num_prefix_tokens: int,
+) -> jax.Array:
+    """Rollout (Abnar & Zuidema) over all layers -> CLS->patch map [B, N].
+
+    Mirrors `dino.py:204-212`: per layer, head-mean + 0.5 * identity
+    (residual), row-normalise, multiply down the stack, read the CLS row.
+    """
+    result = None
+    for probs in probs_per_layer:
+        a = jnp.mean(probs, axis=1)  # [B, T, T]
+        a = a + jnp.eye(a.shape[-1], dtype=a.dtype)[None]
+        a = a / jnp.sum(a, axis=-1, keepdims=True)
+        result = a if result is None else jnp.einsum("bij,bjk->bik", a, result)
+    cls_row = result[:, 0, num_prefix_tokens:]
+    return cls_row / jnp.clip(jnp.sum(cls_row, axis=-1, keepdims=True), 1e-12)
+
+
+def upsample_saliency(
+    saliency: jax.Array,  # [B, D, gh, gw]
+    out_shape: tuple[int, int, int],  # (D, H, W)
+) -> jax.Array:
+    """Trilinear upsample to the volume grid (`main_predict.py:161-162`)."""
+    B = saliency.shape[0]
+    return jax.image.resize(
+        saliency.astype(jnp.float32), (B, *out_shape), method="trilinear"
+    )

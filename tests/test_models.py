@@ -1,0 +1,137 @@
+"""Model-level shape/mask/explainability semantics tests (SURVEY §4 c,f)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mst_tpu.models.mst import DinoSliceClassifier
+from mst_tpu.models.vit import build_vit, interpolate_pos_embed
+from mst_tpu.ops.saliency import (
+    attention_rollout,
+    combined_saliency,
+    plane_attention,
+    slice_attention,
+    upsample_saliency,
+)
+
+TINY = dict(model_size="tiny", patch_size=14, use_flash=False, fusion_heads=4)
+
+
+def _volume(b=2, c=1, d=4, h=28, w=28, key=0):
+    return jax.random.normal(jax.random.PRNGKey(key), (b, c, d, h, w))
+
+
+def test_vit_shapes_and_registers():
+    vit = build_vit("tiny", patch_size=14, num_register_tokens=4, use_flash=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 28, 28, 3))
+    params = vit.init(jax.random.PRNGKey(1), x)
+    out = vit.apply(params, x)
+    assert out["cls_token"].shape == (2, 32)
+    assert out["register_tokens"].shape == (2, 4, 32)
+    assert out["patch_tokens"].shape == (2, 4, 32)
+    assert out["num_prefix_tokens"] == 5
+
+
+def test_pos_embed_interpolation_identity_and_resize():
+    pe = jax.random.normal(jax.random.PRNGKey(0), (1, 1 + 9, 8))
+    same = interpolate_pos_embed(pe, (3, 3), (3, 3))
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(pe))
+    up = interpolate_pos_embed(pe, (6, 6), (3, 3))
+    assert up.shape == (1, 37, 8)
+    np.testing.assert_allclose(np.asarray(up[:, :1]), np.asarray(pe[:, :1]))
+
+
+@pytest.mark.parametrize("fusion", ["transformer", "linear", "average"])
+def test_mst_forward_shapes(fusion):
+    model = DinoSliceClassifier(out_ch=2, slice_fusion=fusion, **TINY)
+    x = _volume()
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (2, 2)
+    assert jnp.isfinite(logits).all()
+
+
+def test_mst_padding_mask_invariance():
+    """Padded slices must not change the prediction (transformer fusion)."""
+    model = DinoSliceClassifier(
+        out_ch=2, slice_fusion="transformer", use_slice_pos_emb=True, **TINY
+    )
+    x = _volume(b=1, d=4)
+    mask = jnp.array([[False, False, True, True]])
+    params = model.init(jax.random.PRNGKey(0), x, mask)
+    base = model.apply(params, x, mask)
+    # Perturb the padded slices wildly; logits must be identical.
+    x2 = x.at[:, :, 2:].set(100.0 * jax.random.normal(jax.random.PRNGKey(9), x[:, :, 2:].shape))
+    pert = model.apply(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(pert), atol=1e-4)
+
+
+def test_mst_rotary_variants_run():
+    for rot in [None, "RoPE", "LiRE"]:
+        model = DinoSliceClassifier(out_ch=2, rotary=rot, **TINY)
+        x = _volume(b=1, d=3)
+        params = model.init(jax.random.PRNGKey(0), x)
+        logits = model.apply(params, x)
+        assert jnp.isfinite(logits).all()
+
+
+def test_attention_intermediates_and_saliency_pipeline():
+    model = DinoSliceClassifier(
+        out_ch=2, num_register_tokens=2, **TINY
+    )
+    b, d = 2, 4
+    x = _volume(b=b, d=d)
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits, aux = model.apply(
+        params, x, return_weights="last", mutable=["intermediates"]
+    )
+    inter = aux["intermediates"]
+    # Last ViT block probs: [B*D, heads, T, T]; fusion probs: [B, heads, 1+D, 1+D]
+    vit_probs = inter["encoder"]["blocks_1"]["attn"]["attn_probs"][0]
+    fusion_probs = inter["fusion_0"]["self_attn"]["attn_probs"][0]
+    assert vit_probs.shape[0] == b * d
+    assert fusion_probs.shape == (b, 4, 1 + d, 1 + d)
+
+    sw = slice_attention(fusion_probs)
+    assert sw.shape == (b, d)
+    np.testing.assert_allclose(np.asarray(sw.sum(-1)), 1.0, atol=1e-5)
+
+    pw = plane_attention(vit_probs, num_prefix_tokens=3, grid_hw=(2, 2))
+    assert pw.shape == (b * d, 2, 2)
+    assert np.asarray(pw.reshape(b * d, -1))[:, 0].max() == 0.0  # patch 0 zeroed
+    np.testing.assert_allclose(np.asarray(pw.sum((-1, -2))), 1.0, atol=1e-5)
+
+    sal = combined_saliency(sw, pw)
+    assert sal.shape == (b, d, 2, 2)
+    vol = upsample_saliency(sal, (8, 28, 28))
+    assert vol.shape == (b, 8, 28, 28)
+
+
+def test_attention_rollout_normalised():
+    probs = [
+        jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(i), (2, 3, 6, 6)), -1)
+        for i in range(3)
+    ]
+    r = attention_rollout(probs, num_prefix_tokens=1)
+    assert r.shape == (2, 5)
+    np.testing.assert_allclose(np.asarray(r.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_freeze_blocks_encoder_gradients():
+    model = DinoSliceClassifier(out_ch=2, freeze=True, **TINY)
+    x = _volume(b=1, d=2)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    enc_norm = sum(
+        float(jnp.abs(v).sum()) for v in jax.tree.leaves(g["params"]["encoder"])
+    )
+    head_norm = sum(
+        float(jnp.abs(v).sum()) for v in jax.tree.leaves(g["params"]["head"])
+    )
+    assert enc_norm == 0.0
+    assert head_norm > 0.0
