@@ -1,0 +1,161 @@
+"""DataModule: weighted sampling + batched on-device augmentation + prefetch.
+
+Capability twin of the reference Lightning DataModule
+(`mst/data/datamodules/datamodule.py`): the train loader uses weighted
+sampling with replacement when class weights are given (seeded generator,
+`drop_last=True`, reference :45-57), val/test iterate sequentially
+(:61-78).
+
+TPU-first differences:
+- the torchio CPU transform chain running in 24 worker processes
+  (reference `main_train.py:77`) becomes ONE jitted, vmapped device
+  program applied to the whole batch (`DeviceAugment`);
+- a background prefetch thread overlaps host decode of batch N+1 with
+  device compute of batch N (double buffering into HBM);
+- per-host sharding hooks (`shard_id`/`num_shards`) split the sample
+  stream for multi-host data parallelism, replacing DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from mst_tpu.data.transforms import DeviceAugment
+
+
+def _collate(samples):
+    batch = {
+        "uid": [s["uid"] for s in samples],
+        "source": np.stack([s["source"] for s in samples]),
+        "target": np.asarray([s["target"] for s in samples], np.int32),
+    }
+    if "mask" in samples[0]:
+        batch["mask"] = np.stack([s["mask"] for s in samples])
+    if "rater_masks" in samples[0]:
+        batch["rater_masks"] = [s.get("rater_masks") for s in samples]
+    if "affine" in samples[0]:
+        batch["affine"] = np.stack([s["affine"] for s in samples])
+    if "path" in samples[0]:
+        batch["path"] = [s.get("path") for s in samples]
+    batch["needs_padding_mask"] = bool(samples[0].get("needs_padding_mask", False))
+    return batch
+
+
+class DataModule:
+    def __init__(
+        self,
+        ds_train=None,
+        ds_val=None,
+        ds_test=None,
+        batch_size: int = 1,
+        weights: Optional[np.ndarray] = None,
+        num_train_samples: Optional[int] = None,
+        seed: int = 0,
+        prefetch: int = 2,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        augment_on_device: bool = True,
+    ):
+        self.ds_train, self.ds_val, self.ds_test = ds_train, ds_val, ds_test
+        self.batch_size = batch_size
+        self.weights = None if weights is None else np.asarray(weights, np.float64)
+        self.num_train_samples = num_train_samples
+        self.seed = seed
+        self.prefetch = prefetch
+        self.shard_id, self.num_shards = shard_id, num_shards
+        self.augment_on_device = augment_on_device
+        self._epoch = 0
+        self._augment_cache = {}
+
+    # -- index sampling ----------------------------------------------------
+
+    def _train_indices(self) -> np.ndarray:
+        n = len(self.ds_train)
+        num = self.num_train_samples or n
+        rng = np.random.default_rng((self.seed, self._epoch))
+        if self.weights is not None:
+            p = self.weights / self.weights.sum()
+            idx = rng.choice(n, size=num, replace=True, p=p)
+        else:
+            idx = rng.permutation(n)[:num]
+        return idx[self.shard_id :: self.num_shards]
+
+    # -- augmentation ------------------------------------------------------
+
+    def _augment(self, ds, batch, train: bool):
+        if not self.augment_on_device:
+            return batch
+        cfg = ds.augment_config(train)
+        key = (id(ds), train)
+        if key not in self._augment_cache:
+            self._augment_cache[key] = DeviceAugment(cfg, train)
+        aug = self._augment_cache[key]
+        b = batch["source"].shape[0]
+        seeds = np.asarray(
+            [abs(hash((self.seed, self._epoch, u))) % (2**31) for u in batch["uid"]],
+            np.uint32,
+        )
+        keys = jax.vmap(jax.random.PRNGKey)(seeds)
+        masks = batch.get("mask")
+        if masks is None:
+            masks = np.zeros((b, 1, *batch["source"].shape[2:]), np.uint8)
+        vol, mask = aug(batch["source"], masks, keys)
+        batch["source"] = vol
+        if "mask" in batch or batch["needs_padding_mask"]:
+            batch["mask"] = mask
+        if batch["needs_padding_mask"]:
+            m = np.asarray(mask)
+            batch["src_key_padding_mask"] = ~(
+                m[:, 0].sum(axis=(-1, -2)) > 0
+            )  # [B, D] True = PAD (reference `dataset_3d_mrnet.py:82-88`)
+        return batch
+
+    # -- loaders -----------------------------------------------------------
+
+    def _iter_batches(self, ds, indices, train: bool) -> Iterator[dict]:
+        bs = self.batch_size
+        n_full = len(indices) // bs if train else -(-len(indices) // bs)
+        work_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            for bi in range(n_full):
+                chunk = indices[bi * bs : (bi + 1) * bs]
+                if len(chunk) == 0:
+                    break
+                samples = [ds[int(i)] for i in chunk]
+                work_q.put(_collate(samples))
+            work_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = work_q.get()
+            if batch is None:
+                break
+            yield self._augment(ds, batch, train)
+
+    def train_dataloader(self) -> Iterator[dict]:
+        idx = self._train_indices()
+        self._epoch += 1
+        return self._iter_batches(self.ds_train, idx, train=True)
+
+    def val_dataloader(self) -> Iterator[dict]:
+        idx = np.arange(len(self.ds_val))[self.shard_id :: self.num_shards]
+        return self._iter_batches(self.ds_val, idx, train=False)
+
+    def test_dataloader(self) -> Iterator[dict]:
+        idx = np.arange(len(self.ds_test))[self.shard_id :: self.num_shards]
+        return self._iter_batches(self.ds_test, idx, train=False)
+
+
+def balanced_weights(labels: np.ndarray) -> np.ndarray:
+    """Per-sample weights 0.5 / class_count (reference `main_train.py:62-68`)."""
+    labels = np.asarray(labels).astype(int)
+    counts = np.bincount(labels)
+    w = 0.5 / np.maximum(counts, 1)
+    return w[labels]

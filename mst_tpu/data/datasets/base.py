@@ -1,0 +1,55 @@
+"""Dataset base: split.csv filtering + the MST sample dict contract.
+
+Every dataset yields dicts with (a superset of):
+  uid, source [C, D, H, W] float32, target int, and optionally
+  mask [1, D, H, W], rater_masks [R, 1, D, H, W], affine [4, 4], path,
+  needs_padding_mask (bool: derive src_key_padding_mask from `mask`).
+
+`load_split` mirrors the reference classmethod exactly
+(`dataset_3d_lidc.py:104-112`): filter Fold == fold, optional Split
+filter, optional seeded fractional subsample (`random_state=0`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from mst_tpu.data.transforms import AugmentConfig
+
+
+class Dataset3D:
+    LABEL: str = "target"
+
+    def __init__(self, path_root, split: Optional[str] = None):
+        self.path_root = Path(path_root)
+        self.split = split
+
+    def __len__(self):
+        return len(self.item_pointers)
+
+    @classmethod
+    def load_split(cls, filepath_or_buffer, fold: int = 0,
+                   split: Optional[str] = None, fraction: Optional[float] = None):
+        df = pd.read_csv(filepath_or_buffer)
+        df = df[df["Fold"] == fold]
+        if split is not None:
+            df = df[df["Split"] == split]
+        if fraction is not None:
+            df = df.sample(frac=fraction, random_state=0).reset_index()
+        return df
+
+    def augment_config(self, train: bool) -> AugmentConfig:
+        raise NotImplementedError
+
+    def class_counts(self) -> np.ndarray:
+        """Label value counts, for the balanced sampler weights
+        (reference `main_train.py:62-68`)."""
+        labels = self.df[self.LABEL].astype(int).to_numpy()
+        return np.bincount(labels, minlength=2)
+
+    def labels(self) -> np.ndarray:
+        return self.df[self.LABEL].astype(int).to_numpy()

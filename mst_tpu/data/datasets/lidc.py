@@ -1,0 +1,127 @@
+"""LIDC-IDRI CT lung-nodule dataset (capability twin of
+`mst/data/datasets/dataset_3d_lidc.py`).
+
+Reads the same on-disk artifacts produced by the preprocessing pipeline
+(`preprocessed/splits/split.csv`, per-nodule `img_{n}.nii.gz`, consensus
+`seg_{n}.nii.gz`, per-rater `seg_{n}_{r}.nii.gz` on the test split,
+reference :72-101) and replicates the transform chain semantics:
+mask-centred CropOrPad(224,224,32) with minimum padding + random centre
+(host), then on-device Clamp(-1000,1000) -> RescaleIntensity((-1,1)) ->
+RandomAffine z-rot(0..90 deg) -> RandomFlip(0,1,2) -> random inversion ->
+RandomNoise(sigma<=0.1) (reference :34-51).
+
+The reference's axis quirk `moveaxis(1, 2)` ("just for viewing", :38) swaps
+W/H in torchio space; replicated here as a transpose of the H/W axes so
+saliency overlays match the reference orientation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mst_tpu.data.datasets.base import Dataset3D
+from mst_tpu.data.transforms import AugmentConfig, crop_or_pad
+from mst_tpu.utils.nifti import read_nifti
+
+
+def _to_cdhw(data: np.ndarray) -> np.ndarray:
+    """NIfTI [X, Y, Z] -> [1, D=Z, H=Y, W=X] (the reference's torchio
+    [C, W, H, D] -> torch [C, D, H, W] swap, `augmentations_3d.py:19-21`)."""
+    if data.ndim == 3:
+        data = data[None]
+    return np.swapaxes(data, 1, 3)
+
+
+class LIDC_Dataset3D(Dataset3D):
+    LABEL = "Malignant"
+
+    def __init__(
+        self,
+        path_root,
+        fold: int = 0,
+        split: Optional[str] = None,
+        fraction: Optional[float] = None,
+        flip: bool = False,
+        random_rotate: bool = False,
+        image_crop: Optional[Tuple[int, int, int]] = (224, 224, 32),  # (W,H,D) as reference
+        random_center: bool = False,
+        noise: bool = False,
+        seed: int = 0,
+    ):
+        super().__init__(path_root, split)
+        self.path_root_data = self.path_root / "preprocessed_crop" / "data"
+        self.df = self.load_split(
+            self.path_root / "preprocessed" / "splits" / "split.csv",
+            fold=fold, split=split, fraction=fraction,
+        )
+        self.item_pointers = self.df.index.tolist()
+        # reference gives crop as (W, H, D); we store (D, H, W)
+        self.crop_dhw = None if image_crop is None else (
+            image_crop[2], image_crop[1], image_crop[0]
+        )
+        self.random_center = random_center
+        self.flip, self.random_rotate, self.noise = flip, random_rotate, noise
+        self.rng = np.random.default_rng(seed)
+
+    def augment_config(self, train: bool) -> AugmentConfig:
+        return AugmentConfig(
+            clamp_range=(-1000.0, 1000.0),
+            rescale=((-1.0, 1.0), (-1000.0, 1000.0)),
+            random_rotate=self.random_rotate,
+            flip=self.flip,
+            invert=self.noise,
+            noise_std=0.1 if self.noise else 0.0,
+            has_mask=True,
+        )
+
+    def __getitem__(self, index):
+        uid = self.item_pointers[index]
+        item = self.df.loc[uid]
+        target = int(item[self.LABEL])
+        nodule_idx = item["nodule_idx"]
+        rel_path = (
+            Path(str(item["patient_id"]))
+            / str(item["study_instance_uid"])
+            / str(item["series_instance_uid"])
+        )
+        path_dir = self.path_root_data / rel_path
+
+        img, affine = read_nifti(path_dir / f"img_{nodule_idx}.nii.gz")
+        seg, _ = read_nifti(path_dir / f"seg_{nodule_idx}.nii.gz")
+        vol = _to_cdhw(np.asarray(img, np.float32))
+        mask = _to_cdhw(np.asarray(seg) > 0)
+
+        rater_masks = []
+        if self.split == "test":
+            for r in range(int(item["annotation_num"])):
+                m, _ = read_nifti(path_dir / f"seg_{nodule_idx}_{r}.nii.gz")
+                rater_masks.append(_to_cdhw(np.asarray(m) > 0))
+
+        # reference `moveaxis(1, 2)` view fix == H/W transpose in our layout
+        vol = np.swapaxes(vol, 2, 3)
+        mask = np.swapaxes(mask, 2, 3)
+        rater_masks = [np.swapaxes(m, 2, 3) for m in rater_masks]
+
+        if self.crop_dhw is not None:
+            out = crop_or_pad(
+                vol, self.crop_dhw, mask=mask.astype(np.uint8),
+                random_center=self.random_center, rng=self.rng,
+                extra=rater_masks,
+            )
+            vol, mask, rater_masks = out[0], out[1] > 0, [m > 0 for m in out[2:]]
+
+        sample = {
+            "uid": str(uid),
+            "source": vol.astype(np.float32),
+            "mask": mask.astype(np.uint8),
+            "target": target,
+            "affine": affine,
+            "path": str(rel_path),
+            "filename": f"img_{nodule_idx}.nii.gz",
+        }
+        if rater_masks:
+            sample["rater_masks"] = np.stack(rater_masks).astype(np.uint8)
+        return sample

@@ -1,0 +1,162 @@
+"""Torch -> JAX weight converters (DINOv2 ViT, torchvision-style ResNet).
+
+The reference pulls pretrained DINOv2 weights from torch.hub at model
+construction (`mst/models/dino.py:59-63`); AUC parity depends on loading
+the same weights. These converters map a torch `state_dict` (loaded from a
+local file — this environment has no network egress) onto our flax param
+pytrees. Layout conventions:
+
+- torch Linear weight [out, in]       -> flax Dense kernel [in, out]
+- torch Conv weight [out, in, *k]     -> flax Conv kernel [*k, in, out]
+- torch LayerNorm weight/bias         -> flax scale/bias
+- torch BatchNorm running stats       -> flax `batch_stats` collection
+- DINOv2 qkv packing ([q; k; v] rows) matches our fused qkv Dense with the
+  (3, heads, head_dim) reshape, so no permutation is needed beyond the
+  transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def pos_embed_grid_from_sd(sd) -> int:
+    """Infer the canonical pos-embed grid side from a DINOv2 state_dict
+    (257 tokens -> 16, 1370 -> 37)."""
+    n = np.asarray(sd["pos_embed"]).shape[1] - 1
+    side = int(round(n ** 0.5))
+    assert side * side == n, f"non-square pos embed ({n} patch tokens)"
+    return side
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w).T
+
+
+def _conv(w) -> np.ndarray:
+    w = np.asarray(w)  # [out, in, *k]
+    k = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + k)) + (1, 0))
+
+
+def _ln(sd, prefix) -> Dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_dinov2_vit(sd: Dict, depth: int, ffn_layer: str = "mlp") -> Dict:
+    """DINOv2 DinoVisionTransformer state_dict -> our VisionTransformer
+    params (reference param names from
+    `mst/models/extern/dinov2/vision_transformer.py`)."""
+    sd = {k: v for k, v in sd.items()}
+    params: Dict = {
+        "cls_token": np.asarray(sd["cls_token"]),
+        "pos_embed": np.asarray(sd["pos_embed"]),
+        "patch_embed": {"proj": {
+            "kernel": _conv(sd["patch_embed.proj.weight"]),
+            "bias": np.asarray(sd["patch_embed.proj.bias"]),
+        }},
+        "norm": _ln(sd, "norm"),
+    }
+    if "register_tokens" in sd:
+        params["register_tokens"] = np.asarray(sd["register_tokens"])
+    for i in range(depth):
+        p = f"blocks.{i}"
+        if f"{p}.norm1.weight" not in sd:  # chunked layout blocks.0.{i}
+            p = f"blocks.0.{i}"
+        blk = {
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "attn": {
+                "qkv": {"kernel": _t(sd[f"{p}.attn.qkv.weight"]),
+                        "bias": np.asarray(sd[f"{p}.attn.qkv.bias"])},
+                "proj": {"kernel": _t(sd[f"{p}.attn.proj.weight"]),
+                         "bias": np.asarray(sd[f"{p}.attn.proj.bias"])},
+            },
+        }
+        if f"{p}.ls1.gamma" in sd:
+            blk["ls1"] = {"gamma": np.asarray(sd[f"{p}.ls1.gamma"])}
+            blk["ls2"] = {"gamma": np.asarray(sd[f"{p}.ls2.gamma"])}
+        if ffn_layer == "swiglu":
+            blk["mlp"] = {
+                "w12": {"kernel": _t(sd[f"{p}.mlp.w12.weight"]),
+                        "bias": np.asarray(sd[f"{p}.mlp.w12.bias"])},
+                "w3": {"kernel": _t(sd[f"{p}.mlp.w3.weight"]),
+                       "bias": np.asarray(sd[f"{p}.mlp.w3.bias"])},
+            }
+        else:
+            blk["mlp"] = {
+                "fc1": {"kernel": _t(sd[f"{p}.mlp.fc1.weight"]),
+                        "bias": np.asarray(sd[f"{p}.mlp.fc1.bias"])},
+                "fc2": {"kernel": _t(sd[f"{p}.mlp.fc2.weight"]),
+                        "bias": np.asarray(sd[f"{p}.mlp.fc2.bias"])},
+            }
+        params[f"blocks_{i}"] = blk
+    return params
+
+
+def _bn(sd, prefix) -> Tuple[Dict, Dict]:
+    params = {"scale": np.asarray(sd[f"{prefix}.weight"]),
+              "bias": np.asarray(sd[f"{prefix}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+             "var": np.asarray(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def convert_torch_resnet(sd: Dict, variant: int) -> Tuple[Dict, Dict]:
+    """torchvision resnet{18,34,50,...} state_dict -> (params, batch_stats)
+    for our ResNetBackbone."""
+    from mst_tpu.models.resnet import _RESNET_LAYERS
+
+    block_cls, counts = _RESNET_LAYERS[variant]
+    bottleneck = block_cls.__name__ == "Bottleneck"
+
+    params: Dict = {"conv1": {"kernel": _conv(sd["conv1.weight"])}}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+
+    for stage, n in enumerate(counts):
+        for i in range(n):
+            tp = f"layer{stage + 1}.{i}"
+            op = f"layer{stage + 1}_{i}"
+            blk_p: Dict = {}
+            blk_s: Dict = {}
+            convs = ("conv1", "conv2", "conv3") if bottleneck else ("conv1", "conv2")
+            bns = ("bn1", "bn2", "bn3") if bottleneck else ("bn1", "bn2")
+            for c, b in zip(convs, bns):
+                blk_p[c] = {"kernel": _conv(sd[f"{tp}.{c}.weight"])}
+                blk_p[b], blk_s[b] = _bn(sd, f"{tp}.{b}")
+            if f"{tp}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{tp}.downsample.0.weight"])}
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = _bn(
+                    sd, f"{tp}.downsample.1")
+            params[op] = blk_p
+            stats[op] = blk_s
+    return params, stats
+
+
+def load_torch_state_dict(path) -> Dict:
+    """Load a .pth/.pt checkpoint into a numpy state_dict (CPU, no grad)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def load_pretrained_encoder(params: Dict, state_dict: Dict, depth: int,
+                            ffn_layer: str = "mlp") -> Dict:
+    """Replace the `encoder` subtree of an MST classifier param tree with
+    converted DINOv2 weights (the `load_pretrained` analogue,
+    reference `base_model.py:67-75`)."""
+    converted = convert_dinov2_vit(state_dict, depth, ffn_layer)
+    out = dict(params)
+    out["encoder"] = converted
+    return out

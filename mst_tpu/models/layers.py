@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -39,11 +41,12 @@ Dtype = jnp.dtype
 
 
 class Mlp(nn.Module):
-    """2-layer MLP, GELU default (reference `layers/mlp.py`)."""
+    """2-layer MLP, exact-GELU default (torch `nn.GELU` parity,
+    reference `layers/mlp.py`)."""
 
     hidden_features: int
     out_features: int
-    act: Callable = nn.gelu
+    act: Callable = functools.partial(nn.gelu, approximate=False)
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
 

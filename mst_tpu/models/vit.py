@@ -30,23 +30,67 @@ from flax import linen as nn
 from mst_tpu.models.layers import Block, PatchEmbed
 
 
+def _cubic_weights(out_size: int, in_size: int, scale: float) -> "np.ndarray":
+    """Dense [out, in] interpolation matrix replicating torch's bicubic
+    (`F.interpolate(mode='bicubic', align_corners=False, antialias=False)`,
+    cubic convolution with a = -0.75, edge-clamped)."""
+    import numpy as np
+
+    a = -0.75
+
+    def k(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1,
+            (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+        )
+
+    w = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) / scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        offs = np.array([-1, 0, 1, 2])
+        weights = k(t - offs)
+        for o, wt in zip(offs, weights):
+            w[i, int(np.clip(i0 + o, 0, in_size - 1))] += wt
+    return w.astype(np.float32)
+
+
 def interpolate_pos_embed(
-    pos_embed: jax.Array, grid_hw: tuple[int, int], src_grid: tuple[int, int]
+    pos_embed: jax.Array,
+    grid_hw: tuple[int, int],
+    src_grid: tuple[int, int],
+    interpolate_offset: float = 0.1,
 ) -> jax.Array:
     """Bicubic-resample patch position embeddings to a new grid.
 
-    pos_embed: [1, 1 + src_h*src_w, dim] (CLS first, reference
-    `vision_transformer.py:179-211`). Returns [1, 1 + h*w, dim].
+    pos_embed: [1, 1 + src_h*src_w, dim] (CLS first). Replicates the
+    reference's `interpolate_pos_encoding` exactly
+    (`vision_transformer.py:179-211`), including the historical
+    `interpolate_offset=0.1` scale-factor kludge, so converted torch
+    weights produce bit-comparable features at any input size.
     """
     cls_pe, patch_pe = pos_embed[:, :1], pos_embed[:, 1:]
     sh, sw = src_grid
     h, w = grid_hw
     if (h, w) == (sh, sw):
         return pos_embed
+    import numpy as np  # trace-time constants
+
+    if interpolate_offset:
+        sy = float(h + interpolate_offset) / sh
+        sx = float(w + interpolate_offset) / sw
+    else:
+        sy, sx = h / sh, w / sw
+    wy = jnp.asarray(_cubic_weights(h, sh, sy))
+    wx = jnp.asarray(_cubic_weights(w, sw, sx))
     dim = patch_pe.shape[-1]
-    grid = patch_pe.reshape(1, sh, sw, dim).astype(jnp.float32)
-    grid = jax.image.resize(grid, (1, h, w, dim), method="bicubic")
+    grid = patch_pe.reshape(sh, sw, dim).astype(jnp.float32)
+    grid = jnp.einsum("hH,HWd,wW->hwd", wy, grid, wx)
     grid = grid.reshape(1, h * w, dim).astype(pos_embed.dtype)
+    del np
     return jnp.concatenate([cls_pe, grid], axis=1)
 
 

@@ -1,0 +1,11 @@
+"""Train loop, optimizer construction, state."""
+
+from mst_tpu.train.trainer import (  # noqa: F401
+    FitResult,
+    Trainer,
+    TrainState,
+    cross_entropy_loss,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)

@@ -1,0 +1,177 @@
+"""Inference: probabilities + 3D saliency, with batched flip-TTA.
+
+Capability twin of `scripts/main_predict.py:55-164` (`_pred_trans`,
+`run_pred`, the `--use_tta` 8-way flip ensemble):
+
+- the model forward runs with `return_weights="last"`; fusion and ViT
+  attention probabilities come back as flax intermediates (no hooks);
+- saliency = slice-attention x plane-attention outer product, trilinear-
+  upsampled to the volume grid (`main_predict.py:103-106,161-162`);
+- TTA enumerates all subsets of the three spatial axes (`itertools` over
+  {2,3,4}, reference `main_predict.py:147-158`), but batches ALL 2^3
+  variants into ONE device program: the flip stack becomes a leading
+  batch axis, predictions average after softmax, saliency maps are
+  flipped back before averaging.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.ops.gradcam import argmax_logit_gradcam, grad_cam_map
+from mst_tpu.ops.saliency import (
+    combined_saliency,
+    plane_attention,
+    slice_attention,
+    upsample_saliency,
+)
+
+FLIP_SUBSETS = [
+    s for n in range(4) for s in itertools.combinations((1, 2, 3), n)
+]  # spatial axes of [C, D, H, W] per-sample layout; 8 subsets incl. ()
+
+
+def _find_sowed(tree, name):
+    """Collect all sowed `name` entries (tuples) in module order."""
+    found = []
+
+    def rec(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == name:
+                    found.extend(v)
+                else:
+                    rec(v)
+
+    rec(tree)
+    return found
+
+
+def _forward_with_saliency(model, variables, source, mask):
+    """Dino path: source [B,C,D,H,W] -> (probs, saliency [B,D,H,W])."""
+    B, C, D, H, W = source.shape
+    logits, aux = model.apply(
+        variables, source, mask,
+        deterministic=True, return_weights="last",
+        mutable=["intermediates"],
+    )
+    inter = aux["intermediates"]
+    vit_probs = _find_sowed(inter["encoder"], "attn_probs")[-1]
+    fusion_all = _find_sowed(
+        {k: v for k, v in inter.items() if k.startswith("fusion")}, "attn_probs"
+    )
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if not fusion_all:  # linear/average fusion: uniform slice weights
+        sw = jnp.full((B, D), 1.0 / D, jnp.float32)
+    else:
+        sw = slice_attention(fusion_all[-1])
+    n_prefix = 1 + model.num_register_tokens
+    patch = model.patch_size
+    pw = plane_attention(vit_probs, n_prefix, (H // patch, W // patch))
+    sal = combined_saliency(sw, pw)
+    sal = upsample_saliency(sal, (D, H, W))
+    return probs, sal
+
+
+def _resnet3d_saliency(model, variables, source, mask):
+    """Grad-CAM++ on the 3D ResNet baseline (reference `resnet.py:56-122`,
+    `main_predict.py:_pred_resnet`)."""
+    del mask
+    B, C, D, H, W = source.shape
+
+    def feats_fn(x):
+        return model.apply(variables, x, method="features")
+
+    def classify_fn(a):
+        return model.apply(variables, a, method="classify")
+
+    logits, cam = argmax_logit_gradcam(feats_fn, classify_fn, source)
+    sal = upsample_saliency(cam[:, 0], (D, H, W))
+    return jax.nn.softmax(logits.astype(jnp.float32), -1), sal
+
+
+def _resnet_slice_saliency(model, variables, source, mask):
+    """MST-ResNet: slice attention x per-slice Grad-CAM++
+    (reference `resnet.py:200-216`)."""
+    B, C, D, H, W = source.shape
+    feats = model.apply(variables, source, method="slice_features")
+
+    def scalar_from_feats(a):
+        emb = model.apply(variables, a, method="slice_embed")
+        emb = emb.reshape(B, D, -1)
+        (logits, aux) = model.apply(
+            variables, emb, mask, method="fuse",
+            return_weights=True, mutable=["intermediates"],
+        )
+        idx = jnp.argmax(jax.lax.stop_gradient(logits), axis=1)
+        score = jnp.sum(jnp.take_along_axis(logits, idx[:, None], axis=1))
+        return score, (logits, aux)
+
+    grads, (logits, aux) = jax.grad(scalar_from_feats, has_aux=True)(feats)
+    cam = grad_cam_map(feats, grads)  # [B*D, 1, H', W']
+    fusion_probs = _find_sowed(aux["intermediates"], "attn_probs")[-1]
+    sw = slice_attention(fusion_probs)  # [B, D]
+    cam = cam[:, 0].reshape(B, D, *cam.shape[2:])
+    sal = upsample_saliency(sw[:, :, None, None] * cam, (D, H, W))
+    return jax.nn.softmax(logits.astype(jnp.float32), -1), sal
+
+
+def _saliency_fn_for(model):
+    name = type(model).__name__
+    if name == "ResNet3DClassifier":
+        return _resnet3d_saliency
+    if name == "ResNetSliceTrans":
+        return _resnet_slice_saliency
+    return _forward_with_saliency
+
+
+def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
+                    batch_stats=None):
+    """Returns jitted fn(params, source [B,C,D,H,W], mask) ->
+    (probs [B,n], saliency [B,D,H,W] | None)."""
+    saliency_fn = _saliency_fn_for(model)
+
+    def variables_of(params):
+        v = {"params": params}
+        if batch_stats is not None:
+            v["batch_stats"] = batch_stats
+        return v
+
+    def fn(params, source, mask):
+        variables = variables_of(params)
+        if not tta:
+            if with_saliency:
+                return saliency_fn(model, variables, source, mask)
+            logits = model.apply(variables, source, mask,
+                                 deterministic=True)
+            return jax.nn.softmax(logits.astype(jnp.float32), -1), None
+
+        # Batched TTA: stack the 8 flip variants along the batch axis.
+        B = source.shape[0]
+        variants = [
+            jnp.flip(source, axis=[a + 1 for a in s]) if s else source
+            for s in FLIP_SUBSETS
+        ]
+        stacked = jnp.concatenate(variants, axis=0)  # [8B, C, D, H, W]
+        m = None if mask is None else jnp.concatenate([mask] * len(FLIP_SUBSETS), 0)
+        if with_saliency:
+            probs, sal = saliency_fn(model, variables, stacked, m)
+        else:
+            logits = model.apply(variables, stacked, m,
+                                 deterministic=True)
+            probs, sal = jax.nn.softmax(logits.astype(jnp.float32), -1), None
+        probs = probs.reshape(len(FLIP_SUBSETS), B, -1).mean(0)
+        if sal is not None:
+            sal = sal.reshape(len(FLIP_SUBSETS), B, *sal.shape[1:])
+            unflipped = [
+                jnp.flip(sal[i], axis=[a for a in s]) if s else sal[i]
+                for i, s in enumerate(FLIP_SUBSETS)
+            ]
+            sal = jnp.stack(unflipped).mean(0)
+        return probs, sal
+
+    return jax.jit(fn)

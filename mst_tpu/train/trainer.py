@@ -1,0 +1,239 @@
+"""Training loop: jitted sharded steps, early stopping, checkpoint policy.
+
+Capability twin of the reference's Lightning plumbing
+(`mst/models/base_model.py` + `scripts/main_train.py:90-129`):
+- CE loss + streaming ACC / AUC_ROC per split (`base_model.py:141-178`)
+- AdamW (constant LR by default, per-model lr defaults — 1e-6 for the DINO
+  classifiers, `mst/models/dino.py:41`)
+- monitor `val/AUC_ROC` (max): top-1 checkpoint + `last`, early stopping
+  with patience 10 (`main_train.py:97-109`)
+- `best_checkpoint.json` pointer (`base_model.py:51-54`)
+
+TPU-first: the train step is ONE donated, jit-compiled program — forward
+(Pallas flash attention inside), CE loss, backward, AdamW update — sharded
+over the mesh's `data` axis; gradients reduce over ICI via the psum XLA
+inserts. Frozen-encoder runs mask the optimizer so weight decay cannot
+touch frozen params (torch parity: `requires_grad=False` keeps params out
+of the optimizer entirely).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from mst_tpu.parallel.mesh import make_mesh, shard_batch
+from mst_tpu.utils.checkpoint import (
+    save_best_checkpoint,
+    save_checkpoint,
+)
+from mst_tpu.utils.metrics import ClassificationMetrics
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(train_state.TrainState):
+    dropout_rng: jax.Array = None
+    batch_stats: Any = None
+
+
+def make_optimizer(
+    learning_rate: float = 1e-6,
+    weight_decay: float = 1e-2,
+    freeze_encoder: bool = False,
+    grad_clip: Optional[float] = None,
+):
+    """AdamW with optional encoder freezing via multi_transform."""
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if not freeze_encoder:
+        return tx
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen"
+            if any(getattr(p, "key", None) == "encoder" for p in path)
+            else "train",
+            params,
+        )
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
+def cross_entropy_loss(logits, targets):
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), targets
+    ).mean()
+
+
+def make_train_step(model, has_batch_stats: bool = False):
+    def step(state: TrainState, source, target, mask):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        rngs = {"dropout": rng, "drop_path": jax.random.fold_in(rng, 1)}
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, updates = model.apply(
+                    variables, source, mask, deterministic=False,
+                    rngs=rngs, mutable=["batch_stats"],
+                )
+                return cross_entropy_loss(logits, target), (logits, updates)
+            logits = model.apply(variables, source, mask,
+                                 deterministic=False, rngs=rngs)
+            return cross_entropy_loss(logits, target), (logits, None)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        if has_batch_stats:
+            state = state.replace(batch_stats=updates["batch_stats"])
+        return state, loss, logits
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model):
+    def step(params, batch_stats, source, mask):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, source, mask, deterministic=True)
+
+    return jax.jit(step)
+
+
+@dataclass
+class FitResult:
+    best_metric: float
+    best_epoch: int
+    epochs_run: int
+    history: list
+
+
+class Trainer:
+    """Fit loop with val-AUC early stopping and checkpoint policy."""
+
+    def __init__(
+        self,
+        run_dir,
+        max_epochs: int = 1000,
+        min_epochs: int = 1,
+        patience: int = 10,
+        monitor: str = "AUC_ROC",
+        limit_val_batches: Optional[int] = None,
+        mesh=None,
+        log_every: int = 50,
+        keep_last: bool = True,
+    ):
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.max_epochs = max_epochs
+        self.min_epochs = min_epochs
+        self.patience = patience
+        self.monitor = monitor
+        self.limit_val_batches = limit_val_batches
+        self.mesh = mesh or make_mesh()
+        self.log_every = log_every
+        self.keep_last = keep_last
+
+    def init_state(self, model, example_batch, tx, seed: int = 0) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        src = jnp.asarray(example_batch["source"])
+        mask = example_batch.get("src_key_padding_mask")
+        mask = None if mask is None else jnp.asarray(mask)
+        variables = model.init(rng, src, mask)
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx,
+            dropout_rng=jax.random.fold_in(rng, 7),
+            batch_stats=variables.get("batch_stats"),
+        )
+
+    def fit(self, model, state: TrainState, dm,
+            hparams: Optional[Dict] = None) -> tuple:
+        has_bs = state.batch_stats is not None
+        train_step = make_train_step(model, has_batch_stats=has_bs)
+        eval_step = make_eval_step(model)
+        best, best_epoch, stale = -np.inf, -1, 0
+        history = []
+
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            train_metrics = ClassificationMetrics()
+            n_steps, loss_sum = 0, 0.0
+            for batch in dm.train_dataloader():
+                batch = shard_batch(batch, self.mesh)
+                mask = batch.get("src_key_padding_mask")
+                state, loss, logits = train_step(
+                    state, batch["source"], jnp.asarray(batch["target"]), mask
+                )
+                loss_sum += float(loss)
+                n_steps += 1
+                train_metrics.update(np.asarray(logits), np.asarray(batch["target"]))
+
+            val_metrics = ClassificationMetrics()
+            for bi, batch in enumerate(dm.val_dataloader()):
+                if self.limit_val_batches and bi >= self.limit_val_batches:
+                    break
+                batch = shard_batch(batch, self.mesh)
+                logits = eval_step(
+                    state.params, state.batch_stats,
+                    batch["source"], batch.get("src_key_padding_mask")
+                )
+                val_metrics.update(np.asarray(logits), np.asarray(batch["target"]))
+
+            tm, vm = train_metrics.compute(), val_metrics.compute()
+            metric = vm[self.monitor]
+            dt = time.time() - t0
+            row = {
+                "epoch": epoch,
+                "train_loss": loss_sum / max(n_steps, 1),
+                **{f"train/{k}": v for k, v in tm.items()},
+                **{f"val/{k}": v for k, v in vm.items()},
+                "seconds": dt,
+            }
+            history.append(row)
+            log.info(
+                "epoch %d loss %.4f train/AUC %.3f val/AUC %.3f (%.1fs)",
+                epoch, row["train_loss"], tm["AUC_ROC"], vm["AUC_ROC"], dt,
+            )
+            (self.run_dir / "history.jsonl").open("a").write(json.dumps(row) + "\n")
+
+            if np.isnan(metric):
+                metric = -np.inf
+            if metric > best:
+                best, best_epoch, stale = metric, epoch, 0
+                name = f"epoch={epoch}"
+                ck = {"params": state.params, "step": int(state.step)}
+                if state.batch_stats is not None:
+                    ck["batch_stats"] = state.batch_stats
+                save_checkpoint(self.run_dir, name, ck, hparams=hparams)
+                save_best_checkpoint(self.run_dir, name)
+            else:
+                stale += 1
+            if self.keep_last:
+                ck = {"params": state.params, "step": int(state.step)}
+                if state.batch_stats is not None:
+                    ck["batch_stats"] = state.batch_stats
+                save_checkpoint(self.run_dir, "last", ck, hparams=hparams)
+            if epoch + 1 >= self.min_epochs and stale >= self.patience:
+                log.info("early stopping at epoch %d (best %.4f @ %d)",
+                         epoch, best, best_epoch)
+                break
+
+        return state, FitResult(best, best_epoch, len(history), history)

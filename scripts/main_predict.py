@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Predict/eval CLI — mirrors the reference `scripts/main_predict.py`.
+
+    python scripts/main_predict.py --run_folder runs/LIDC/DinoV2ClassifierSlice_... \
+        [--path_root /data/LIDC] [--get_attention] [--get_segmentation] [--use_tta]
+
+Modes replicated (reference :169-381):
+- plain eval   -> results.csv + roc.png + confusion_matrix.png + acc/sens/spec log
+- --get_attention    -> saliency PNG overlays for positive cases (:273-306)
+- --get_segmentation -> threshold saliency at the 99.9th percentile ->
+  Dice/IoU/ASSD vs the >=2-rater ground truth with voxel spacing from the
+  affine diagonal (:229-269) -> results_seg.csv + mean±std log (:326-337)
+- --use_tta    -> 8-way flip ensemble (batched on device, :147-158)
+
+Run-folder name encodes dataset/model exactly like the reference
+(`{dataset}/{Model}_{timestamp}`, :184-186).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+import logging
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from mst_tpu.registry import get_dataset, get_model
+from mst_tpu.train.predictor import make_predict_fn
+from mst_tpu.utils.checkpoint import load_best_checkpoint, load_hparams
+from mst_tpu.utils.functions import overlay_cam, overlay_mask, tensor2image
+from mst_tpu.utils.metrics import cm2acc, cm2x, confusion_matrix
+from mst_tpu.utils.seg_metrics import (
+    average_surface_distance,
+    dice_score,
+    iou_score,
+    saliency_to_mask,
+)
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+log = logging.getLogger("main_predict")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run_folder", required=True)
+    ap.add_argument("--path_root", default=None)
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--get_attention", action="store_true")
+    ap.add_argument("--get_segmentation", action="store_true")
+    ap.add_argument("--use_tta", action="store_true")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args(argv)
+
+    path_run = Path(args.run_folder)
+    if not (path_run / "best_checkpoint.json").exists():
+        raise SystemExit(
+            f"error: {path_run} is not a run folder (no best_checkpoint.json); "
+            "point --run_folder at a directory produced by main_train.py"
+        )
+    dataset_name = path_run.parent.name
+    model_name = path_run.name.split("_")[0]
+    out_dir = Path(args.output_dir) if args.output_dir else path_run / "results"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fh = logging.FileHandler(out_dir / "predict.log")
+    log.addHandler(fh)
+
+    hparams = load_hparams(path_run) or {}
+    model_kw = {
+        k: v for k, v in hparams.items()
+        if k in ("model_size", "slice_fusion", "rotary", "use_bottleneck",
+                 "use_slice_pos_emb", "freeze", "fusion_heads",
+                 "num_register_tokens") and v is not None
+    }
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, _ = get_model(model_name, dtype=dtype, **model_kw)
+    ckpt = load_best_checkpoint(path_run)
+    params = ckpt["params"]
+    batch_stats = ckpt.get("batch_stats")
+
+    ds_kw = {} if dataset_name == "Synthetic" else {"path_root": args.path_root}
+    ds_test = get_dataset(dataset_name, split="test", **ds_kw)
+
+    want_sal = args.get_attention or args.get_segmentation
+    predict = make_predict_fn(model, tta=args.use_tta, with_saliency=want_sal,
+                              batch_stats=batch_stats)
+
+    from mst_tpu.data.datamodule import DataModule
+
+    dm = DataModule(ds_test=ds_test, batch_size=1)
+    results, results_seg = [], []
+    for batch in dm.test_dataloader():
+        uid = batch["uid"][0]
+        target = int(batch["target"][0])
+        rater_masks = batch.get("rater_masks", [None])[0]
+        if args.get_segmentation and rater_masks is None:
+            continue  # reference skips cases without multi-rater GT (:235-237)
+        source = jnp.asarray(batch["source"])
+        mask_kp = batch.get("src_key_padding_mask")
+        mask_kp = None if mask_kp is None else jnp.asarray(mask_kp)
+        probs, sal = predict(params, source, mask_kp)
+        probs = np.asarray(probs)[0]
+        pred_cls = int(probs.argmax())
+        results.append({"uid": uid, "GT": target, "NN": pred_cls,
+                        "NN_pred": float(probs[1])})
+
+        if sal is not None:
+            sal_np = np.asarray(sal)[0]  # [D, H, W]
+
+        if args.get_segmentation and rater_masks is not None:
+            # >=2 raters agree -> GT mask (reference :243-250)
+            gt = (np.asarray(rater_masks)[:, 0].sum(0) >= 2)
+            seg = saliency_to_mask(sal_np, 0.999)
+            affine = np.asarray(batch["affine"][0])
+            spacing = np.abs(np.diag(affine)[:3])[::-1]  # (D,H,W) order
+            results_seg.append({
+                "uid": uid, "GT": target, "NN": pred_cls,
+                "Dice": dice_score(seg, gt),
+                "IoU": iou_score(seg, gt),
+                "ASSD": average_surface_distance(seg, gt, spacing=spacing),
+            })
+
+        if args.get_attention and target == 1:
+            case_dir = out_dir / f"case_{uid}"
+            src_np = np.asarray(batch["source"])
+            tensor2image(src_np, case_dir / "input.png")
+            overlay_cam(src_np, sal_np, case_dir / "attention.png")
+            if "mask" in batch:
+                overlay_mask(src_np, np.asarray(batch["mask"]),
+                             case_dir / "ground_truth.png")
+
+    df = pd.DataFrame(results)
+    df.to_csv(out_dir / "results.csv", index=False)
+
+    if results_seg:
+        df_seg = pd.DataFrame(results_seg)
+        df_seg.to_csv(out_dir / "results_seg.csv", index=False)
+        for m in ("Dice", "IoU", "ASSD"):
+            vals = df_seg[m].to_numpy(dtype=float)
+            log.info("%s: %.4f ± %.4f", m, np.nanmean(vals), np.nanstd(vals))
+
+    if len(df) and df["GT"].nunique() > 1:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+
+        from mst_tpu.utils.roc_curve import plot_roc_curve
+
+        fig, ax = plt.subplots(figsize=(5, 5))
+        *_, cm = plot_roc_curve(df["GT"].to_numpy(), df["NN_pred"].to_numpy(), ax)
+        fig.savefig(out_dir / "roc.png", dpi=150, bbox_inches="tight")
+        plt.close(fig)
+
+        cm_arg = confusion_matrix(df["NN"].to_numpy(), df["GT"].to_numpy())
+        acc = cm2acc(cm_arg)
+        ppv, npv, sens, spec = cm2x(cm)
+        fig, ax = plt.subplots(figsize=(4, 4))
+        sns.heatmap(cm_arg, annot=True, fmt="d", cmap="Blues", ax=ax)
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("Ground truth")
+        fig.savefig(out_dir / "confusion_matrix.png", dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        log.info("ACC=%.4f  Sens=%.4f Spec=%.4f PPV=%.4f NPV=%.4f",
+                 acc, sens, spec, ppv, npv)
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

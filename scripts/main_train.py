@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Train CLI — mirrors the reference `scripts/main_train.py` surface.
+
+    python scripts/main_train.py --dataset LIDC --model DinoV2ClassifierSlice \
+        --path_root /data/LIDC --run_dir runs/
+
+Reference hyperparameters replicated (`main_train.py:43-129`): batch_size 2,
+class-balanced weighted sampling (0.5/count, :62-68), num_train_samples
+<= 2000 (:78), monitor val/AUC_ROC max with EarlyStopping(patience=10)
+(:97-102), top-1 + last checkpointing (:103-109), max_epochs 1000,
+limit_val_batches <= 200, mixed precision (bf16 on TPU instead of fp16 AMP,
+:113), run dir `{output}/{dataset}/{model}_{timestamp}`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+import logging
+from datetime import datetime
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from mst_tpu.data.datamodule import DataModule, balanced_weights
+from mst_tpu.registry import get_dataset, get_model
+from mst_tpu.train.trainer import Trainer, make_optimizer
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="LIDC",
+                    choices=["LIDC", "DUKE", "MRNet", "Synthetic"])
+    ap.add_argument("--model", default="DinoV2ClassifierSlice")
+    ap.add_argument("--path_root", default=None,
+                    help="dataset root (reference hard-codes per-class paths)")
+    ap.add_argument("--run_dir", default="runs")
+    ap.add_argument("--model_size", default="small")
+    ap.add_argument("--slice_fusion", default="transformer")
+    ap.add_argument("--rotary", default=None, choices=[None, "RoPE", "LiRE"])
+    ap.add_argument("--use_registers", action="store_true")
+    ap.add_argument("--use_bottleneck", action="store_true")
+    ap.add_argument("--use_slice_pos_emb", action="store_true")
+    ap.add_argument("--freeze", action="store_true")
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--max_epochs", type=int, default=1000)
+    ap.add_argument("--num_train_samples", type=int, default=2000)
+    ap.add_argument("--patience", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fusion_heads", type=int, default=12)
+    args = ap.parse_args(argv)
+
+    ds_kw = dict(path_root=args.path_root)
+    if args.dataset == "Synthetic":
+        ds_kw = {}
+    ds_train = get_dataset(args.dataset, split="train", flip=True, noise=True,
+                           random_center=True, random_rotate=True, **ds_kw)
+    ds_val = get_dataset(args.dataset, split="val", **ds_kw)
+
+    weights = balanced_weights(ds_train.labels())
+    dm = DataModule(
+        ds_train=ds_train, ds_val=ds_val, batch_size=args.batch_size,
+        weights=weights,
+        num_train_samples=min(len(ds_train), args.num_train_samples),
+        seed=args.seed,
+    )
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model_kw = dict(
+        model_size=args.model_size, slice_fusion=args.slice_fusion,
+        rotary=args.rotary, use_bottleneck=args.use_bottleneck,
+        use_slice_pos_emb=args.use_slice_pos_emb, freeze=args.freeze,
+        fusion_heads=args.fusion_heads,
+    )
+    if args.use_registers:
+        model_kw["num_register_tokens"] = 4
+    if args.model.startswith("ResNet"):
+        model_kw = {"freeze": args.freeze}
+    model, entry = get_model(args.model, dtype=dtype, **model_kw)
+
+    stamp = datetime.now().strftime("%Y_%m_%d_%H%M%S")
+    run_dir = Path(args.run_dir) / args.dataset / f"{args.model}_{stamp}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    tx = make_optimizer(entry.learning_rate, entry.weight_decay,
+                        freeze_encoder=args.freeze)
+    trainer = Trainer(
+        run_dir, max_epochs=args.max_epochs, patience=args.patience,
+        limit_val_batches=min(len(ds_val), 200),
+    )
+    example = next(iter(dm.val_dataloader()))
+    state = trainer.init_state(model, example, tx, seed=args.seed)
+    hparams = {"model": args.model, "dataset": args.dataset, **{
+        k: (v if isinstance(v, (int, float, str, bool, type(None))) else str(v))
+        for k, v in model_kw.items()}}
+    state, result = trainer.fit(model, state, dm, hparams=hparams)
+    print(f"best val/AUC_ROC={result.best_metric:.4f} @ epoch {result.best_epoch} "
+          f"({result.epochs_run} epochs) -> {run_dir}")
+    return run_dir, result
+
+
+if __name__ == "__main__":
+    main()

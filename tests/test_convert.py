@@ -1,0 +1,171 @@
+"""Weight-converter parity: torch reference ViT vs our flax ViT.
+
+The gold parity check of SURVEY §7.3: random-init the REFERENCE's vendored
+DinoVisionTransformer (torch), convert its state_dict with
+`convert_dinov2_vit`, and require CLS features to match within fp32
+tolerance. Also covers the torchvision-style ResNet converter via torch
+golden outputs.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = Path("/root/reference")
+
+
+def _load_reference_vit():
+    # The reference package __init__ pulls in MONAI/Lightning/torchvision,
+    # which this image lacks; install the minimal import shims first.
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from reference_baseline import _install_stubs
+
+    _install_stubs()
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    mod = importlib.import_module("mst.models.extern.dinov2.vision_transformer")
+    return mod
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+def test_dinov2_converter_cls_parity():
+    vt = _load_reference_vit()
+    torch.manual_seed(0)
+    tmodel = vt.vit_small(patch_size=14)
+    # xformers-free path: NestedTensorBlock falls back to plain forward on
+    # tensor inputs when xformers is absent.
+    tmodel.eval()
+
+    x = torch.randn(2, 3, 56, 56)
+    with torch.no_grad():
+        ref_cls = tmodel(x).numpy()
+
+    from mst_tpu.models.convert import convert_dinov2_vit, pos_embed_grid_from_sd
+    from mst_tpu.models.vit import vit_small
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_dinov2_vit(sd, depth=12)
+
+    import jax.numpy as jnp
+
+    jmodel = vit_small(patch_size=14, use_flash=False, layerscale_init=None,
+                       pos_embed_grid=pos_embed_grid_from_sd(sd))
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    out = jmodel.apply({"params": params}, xj)
+    np.testing.assert_allclose(
+        np.asarray(out["cls_token"]), ref_cls, atol=2e-3, rtol=2e-3
+    )
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+def test_dinov2_converter_patch_tokens_parity():
+    vt = _load_reference_vit()
+    torch.manual_seed(1)
+    tmodel = vt.vit_small(patch_size=14).eval()
+    x = torch.randn(1, 3, 28, 28)
+    with torch.no_grad():
+        ref = tmodel.forward_features(x)["x_norm_patchtokens"].numpy()
+
+    from mst_tpu.models.convert import convert_dinov2_vit
+    from mst_tpu.models.vit import vit_small
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_dinov2_vit(sd, depth=12)
+    import jax.numpy as jnp
+
+    from mst_tpu.models.convert import pos_embed_grid_from_sd
+
+    jmodel = vit_small(patch_size=14, use_flash=False, layerscale_init=None,
+                       pos_embed_grid=pos_embed_grid_from_sd(sd))
+    out = jmodel.apply({"params": params},
+                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out["patch_tokens"]), ref, atol=2e-3, rtol=2e-3
+    )
+
+
+def test_resnet_converter_structure_roundtrip():
+    """Converted torch-layout state_dict must drop into our backbone's
+    param/batch_stats structure (verified by tree-structure equality and a
+    successful apply)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.models.convert import convert_torch_resnet
+    from mst_tpu.models.resnet import ResNetBackbone
+
+    m = ResNetBackbone(variant=18)
+    x = jnp.ones((1, 32, 32, 3))
+    ref_vars = m.init(jax.random.PRNGKey(0), x)
+
+    # Build a torch-layout state_dict with shapes derived from our params.
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def emit_conv(torch_key, kernel):
+        k = np.transpose(np.asarray(kernel), (3, 2, 0, 1))  # flax -> torch
+        sd[f"{torch_key}.weight"] = rng.normal(0, 0.05, k.shape).astype(np.float32)
+
+    def emit_bn(torch_key, p):
+        n = p["scale"].shape[0]
+        sd[f"{torch_key}.weight"] = np.ones(n, np.float32)
+        sd[f"{torch_key}.bias"] = np.zeros(n, np.float32)
+        sd[f"{torch_key}.running_mean"] = np.zeros(n, np.float32)
+        sd[f"{torch_key}.running_var"] = np.ones(n, np.float32)
+
+    p = ref_vars["params"]
+    emit_conv("conv1", p["conv1"]["kernel"])
+    emit_bn("bn1", p["bn1"])
+    for name, blk in p.items():
+        if not name.startswith("layer"):
+            continue
+        stage_i = name[len("layer"):]
+        stage, i = stage_i.split("_")
+        tp = f"layer{stage}.{i}"
+        emit_conv(f"{tp}.conv1", blk["conv1"]["kernel"])
+        emit_bn(f"{tp}.bn1", blk["bn1"])
+        emit_conv(f"{tp}.conv2", blk["conv2"]["kernel"])
+        emit_bn(f"{tp}.bn2", blk["bn2"])
+        if "downsample_conv" in blk:
+            emit_conv(f"{tp}.downsample.0", blk["downsample_conv"]["kernel"])
+            emit_bn(f"{tp}.downsample.1", blk["downsample_bn"])
+
+    params, stats = convert_torch_resnet(sd, 18)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        dict(ref_vars["params"])
+    )
+    y = m.apply({"params": params, "batch_stats": stats}, x)
+    assert y.shape == (1, 1, 1, 512)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+def test_mha_rotary_free_parity_with_torch():
+    """Our slice-fusion MHA (no rotary) vs torch nn.MultiheadAttention."""
+    import torch.nn as tnn
+
+    torch.manual_seed(2)
+    e, h, L, B = 32, 4, 9, 2
+    tm = tnn.MultiheadAttention(e, h, batch_first=True).eval()
+    x = torch.randn(B, L, e)
+    with torch.no_grad():
+        ref, _ = tm(x, x, x, need_weights=False)
+
+    import jax.numpy as jnp
+
+    from mst_tpu.models.slice_fusion import MultiheadAttention
+
+    params = {
+        "in_proj": {"kernel": tm.in_proj_weight.detach().numpy().T,
+                    "bias": tm.in_proj_bias.detach().numpy()},
+        "out_proj": {"kernel": tm.out_proj.weight.detach().numpy().T,
+                     "bias": tm.out_proj.bias.detach().numpy()},
+    }
+    jm = MultiheadAttention(dim=e, num_heads=h)
+    out = jm.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)

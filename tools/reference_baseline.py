@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Measure the PyTorch reference's hot path on this host (baseline anchor).
+
+The reference repo publishes no benchmark numbers (BASELINE.md), so the
+anchor is measured: the actual reference model code
+(`/root/reference/mst/models/dino.py` `DinoV2ClassifierSlice`, built with
+`pretrained=False` so no network access is needed) running a full
+[1, 1, 32, 224, 224] LIDC-shaped volume forward on CPU torch.
+
+Missing heavy deps of the reference environment (pytorch-lightning, MONAI,
+torchvision, torchmetrics, xformers) are stubbed with minimal shims — only
+what the import chain and the DINOv2-slice forward actually touch.
+
+Writes BASELINE_measured.json at the repo root; bench.py reads it for its
+`vs_baseline` field.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import types
+from pathlib import Path
+
+import torch
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _install_stubs():
+    class _Anything:
+        def __getattr__(self, k):
+            return _Anything()
+
+        def __call__(self, *a, **k):
+            return _Anything()
+
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        m.__dict__.update(attrs)
+        sys.modules[name] = m
+        return m
+
+    # pytorch_lightning: LightningModule just needs to be an nn.Module.
+    class LightningModule(torch.nn.Module):
+        def __init__(self, *a, **kw):
+            super().__init__()
+
+        @property
+        def device(self):
+            return torch.device("cpu")
+
+        def save_hyperparameters(self, *a, **kw):
+            pass
+
+        def log(self, *a, **kw):
+            pass
+
+    mod("pytorch_lightning", LightningModule=LightningModule)
+
+    class _Metric(torch.nn.Module):
+        def __init__(self, *a, **kw):
+            super().__init__()
+
+        def update(self, *a, **kw):
+            pass
+
+        def compute(self):
+            return torch.tensor(0.0)
+
+        def reset(self):
+            pass
+
+    mod("torchmetrics", MeanSquaredError=_Metric, Accuracy=_Metric, AUROC=_Metric)
+    mod("monai")
+    mod("monai.networks")
+    nets = mod("monai.networks.nets")
+    nets.ResNetFeatures = _Anything()
+    nets.resnet50 = _Anything()
+    mod("torchvision")
+    tvm = mod("torchvision.models")
+    tvm.resnet34 = _Anything()
+    tvu = mod("torchvision.utils")
+    tvu.draw_segmentation_masks = _Anything()
+    tf = mod("transformers")
+    tf.AutoImageProcessor = _Anything()
+    tf.AutoModel = _Anything()
+
+
+def measure(batch: int = 1, depth: int = 32, hw: int = 224, iters: int = 3,
+            threads: int = 0):
+    _install_stubs()
+    sys.path.insert(0, "/root/reference")
+    from mst.models.dino import DinoV2ClassifierSlice
+
+    if threads:
+        torch.set_num_threads(threads)
+    model = DinoV2ClassifierSlice(
+        in_ch=1, out_ch=2, model_size="s", pretrained=False,
+        slice_fusion="transformer",
+    ).eval()
+
+    vol = torch.randn(batch, 1, depth, hw, hw)
+    with torch.no_grad():
+        t0 = time.time()
+        model(vol)
+        warm = time.time() - t0
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            model(vol)
+            times.append(time.time() - t0)
+    lat = sorted(times)[len(times) // 2]
+    result = {
+        "config": "DinoV2ClassifierSlice ViT-S/14, LIDC shape "
+                  f"[{batch},1,{depth},{hw},{hw}], pretrained=False",
+        "hardware": f"host CPU, torch {torch.__version__}, "
+                    f"{torch.get_num_threads()} threads",
+        "volume_latency_s": lat,
+        "volumes_per_sec": batch / lat,
+        "warmup_s": warm,
+        "note": "reference implementation measured in-situ (no GPU in this "
+                "environment; Lightning/MONAI stubbed at import only — the "
+                "measured forward is the reference's own dino.py code path)",
+    }
+    (REPO / "BASELINE_measured.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    measure()
