@@ -1,0 +1,199 @@
+"""ETL integration: preprocessing script ports produce artifacts the
+datasets consume (hermetic, synthetic raw data)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_mrnet_pipeline_to_dataset(tmp_path):
+    from scripts.preprocessing.mrnet.step1_npy2nifti import main as step1
+    from scripts.preprocessing.mrnet.step2_export_labels import main as step2
+    from scripts.preprocessing.mrnet.step3_create_split import main as step3
+
+    root = tmp_path / "MRNet"
+    raw = root / "download" / "MRNet-v1.0"
+    rng = np.random.default_rng(0)
+    ids_train = list(range(12))
+    ids_valid = list(range(1130, 1134))
+    for sub, ids in (("train", ids_train), ("valid", ids_valid)):
+        for plane in ["sagittal"]:
+            d = raw / sub / plane
+            d.mkdir(parents=True)
+            for uid in ids:
+                np.save(d / f"{uid:04d}.npy",
+                        rng.normal(size=(6, 20, 20)).astype(np.float32))
+        for pathology in ["abnormal", "acl", "meniscus"]:
+            labels = [(uid, int(rng.integers(0, 2))) for uid in ids]
+            # at least one of each class for stratification
+            labels[0] = (labels[0][0], 0)
+            labels[1] = (labels[1][0], 1)
+            pd.DataFrame(labels).to_csv(raw / f"{sub}-{pathology}.csv",
+                                        header=False, index=False)
+
+    step1(["--path_root", str(root)])
+    step2(["--path_root", str(root)])
+    step3(["--path_root", str(root)])
+
+    assert (root / "preprocessed" / "splits" / "split.csv").exists()
+
+    from mst_tpu.data.datasets.mrnet import MRNet_Dataset3D
+
+    ds = MRNet_Dataset3D(root, split="train", fold=0)
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["source"].shape == (1, 32, 150, 150)
+    assert s["needs_padding_mask"]
+    # padded slices marked by the zero background mask
+    assert s["mask"].shape == (1, 32, 150, 150)
+    assert s["mask"].sum() > 0
+    test_ds = MRNet_Dataset3D(root, split="test", fold=0)
+    assert len(test_ds) == 4
+
+
+def test_lidc_split_and_crop_to_dataset(tmp_path):
+    from mst_tpu.utils.nifti import write_nifti
+    from scripts.preprocessing.lidc.step3_create_split import main as step3
+    from scripts.preprocessing.lidc.step4_crop_or_pad import main as step4
+
+    root = tmp_path / "LIDC"
+    rng = np.random.default_rng(1)
+
+    # Synthetic annotation.csv: 20 patients x 1 nodule x 2 raters
+    # (enough groups per class for the nested 5-fold split).
+    rows = []
+    for p in range(20):
+        for r in range(2):
+            rows.append({
+                "patient_id": f"LIDC-IDRI-{p:04d}",
+                "study_instance_uid": f"study{p}",
+                "series_instance_uid": f"series{p}",
+                "scan_id": p, "nodule_idx": 0,
+                "annotation_idx": r, "annotation_num": 2,
+                "annotation_id": p * 10 + r,
+                "malignancy": [1, 5][p % 2] + (0 if r == 0 else 0),
+            })
+    (root / "preprocessed").mkdir(parents=True)
+    pd.DataFrame(rows).to_csv(root / "preprocessed" / "annotation.csv",
+                              index=False)
+    step3(["--path_root", str(root)])
+    split = pd.read_csv(root / "preprocessed" / "splits" / "split.csv")
+    assert set(split["Split"]) == {"train", "val", "test"}
+    assert set(split["Malignant"]) == {0, 1}
+    # groups respected: each patient in exactly one split per fold
+    f0 = split[split["Fold"] == 0]
+    assert f0.groupby("patient_id")["Split"].nunique().max() == 1
+
+    # Synthetic volumes + seg masks -> step4 crops.
+    for p in range(20):
+        d = (root / "preprocessed" / "data" / f"LIDC-IDRI-{p:04d}"
+             / f"study{p}" / f"series{p}")
+        d.mkdir(parents=True)
+        vol = rng.normal(-500, 200, (40, 40, 12)).astype(np.float32)
+        seg = np.zeros((40, 40, 12), np.uint8)
+        seg[18:24, 18:24, 5:8] = 1
+        aff = np.diag([0.8, 0.8, 2.5, 1.0])
+        write_nifti(d / "img.nii.gz", vol.astype(np.int16), aff)
+        write_nifti(d / "seg_0.nii.gz", seg, aff)
+        write_nifti(d / "seg_0_0.nii.gz", seg, aff)
+        write_nifti(d / "seg_0_1.nii.gz", seg, aff)
+    step4(["--path_root", str(root)])
+
+    from mst_tpu.data.datasets.lidc import LIDC_Dataset3D
+
+    # point the dataset at the crop output; split.csv lives under preprocessed/
+    ds = LIDC_Dataset3D(root, split="test", fold=0, image_crop=(224, 224, 32))
+    s = ds[0]
+    assert s["source"].shape == (1, 32, 224, 224)
+    assert s["mask"].sum() > 0  # nodule mask survived mask-centred crops
+    assert s["rater_masks"].shape[0] == 2
+
+
+def test_duke_split_pack_to_dataset(tmp_path):
+    from mst_tpu.utils.nifti import write_nifti
+    from scripts.preprocessing.duke.h5_pack import main as h5_main
+    from scripts.preprocessing.duke.step3_create_split import main as step3
+
+    root = tmp_path / "DUKE"
+    rng = np.random.default_rng(2)
+
+    clinical = pd.DataFrame({
+        "PatientID": [f"Breast_MRI_{i:03d}" for i in range(1, 9)],
+        "Location": ["L", "R", "L", "R", "L", "R", "L", "R"],
+        "Bilateral": [0, 0, 1, 0, 0, 0, 0, 1],
+    })
+    (root / "download").mkdir(parents=True)
+    clinical.to_csv(root / "download" / "clinical.csv", index=False)
+    step3(["--path_root", str(root),
+           "--clinical", str(root / "download" / "clinical.csv")])
+    split = pd.read_csv(root / "preprocessed_crop" / "splits" / "split.csv")
+    assert {"UID", "Malignant", "Fold", "Split"} <= set(split.columns)
+    # bilateral row 003 malignant on both sides
+    assert split[split["UID"].str.startswith("003")]["Malignant"].min() == 1
+
+    # Build per-side NIfTI dirs and pack to H5.
+    data = root / "preprocessed_crop" / "data"
+    for i in range(1, 9):
+        for side in ("left", "right"):
+            d = data / f"Breast_MRI_{i:03d}_{side}"
+            d.mkdir(parents=True)
+            write_nifti(d / "sub.nii.gz",
+                        rng.normal(size=(24, 24, 6)).astype(np.float32),
+                        np.diag([0.7, 0.7, 3.0, 1.0]))
+    h5 = root / "data_compressed.h5"
+    h5_main(["pack", "--data", str(data), "--h5", str(h5)])
+
+    # split.csv must live where the dataset looks for it
+    (root / "splits").mkdir()
+    split.to_csv(root / "splits" / "split.csv", index=False)
+
+    from mst_tpu.data.datasets.duke import DUKE_Dataset3D
+
+    ds = DUKE_Dataset3D(root, split="train", fold=0, image_crop=(24, 24, 6))
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["source"].shape == (1, 6, 24, 24)
+    assert np.isfinite(s["source"]).all()
+
+    # unpack round-trip
+    h5_main(["unpack", "--h5", str(h5), "--out", str(root / "unpacked")])
+    assert any((root / "unpacked").rglob("sub.nii.gz"))
+
+
+def test_pigs_bpe_and_kspace():
+    from scripts.preprocessing.pigs.bpe_calculations import (
+        calculate_relative_enhancement,
+        calculate_volumetric_bpe,
+    )
+    from scripts.preprocessing.pigs.k_space import (
+        find_breast_center_intensity,
+        image_k_space,
+    )
+    from scripts.preprocessing.pigs.normalize import normalize_mean_std
+
+    pre = np.full((8, 8, 4), 100.0)
+    post = np.full((8, 8, 4), 150.0)
+    mask = np.ones((8, 8, 4), np.uint8)
+    mean_re, med_re, _ = calculate_relative_enhancement(pre, post, mask)
+    assert mean_re == pytest.approx(50.0, rel=1e-4)
+    vol, frac, bpe_mask = calculate_volumetric_bpe(
+        pre, post, mask, voxel_spacing=(1, 1, 1), enhancement_threshold=20.0
+    )
+    assert frac == 1.0 and bpe_mask.all()
+    assert vol == pytest.approx(8 * 8 * 4 / 1000.0)
+
+    # two bright blobs -> centre detected between them
+    img = np.zeros((64, 64))
+    img[20:40, 10:20] = 1.0
+    img[20:40, 44:54] = 1.0
+    center, _, peaks = find_breast_center_intensity(img)
+    assert 20 < center < 44
+    assert image_k_space(img).shape == img.shape
+
+    normed, mean, std = normalize_mean_std(np.array([1.0, 3.0]))
+    assert mean == 2.0 and np.allclose(normed.mean(), 0, atol=1e-6)
