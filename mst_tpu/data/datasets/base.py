@@ -21,6 +21,25 @@ import pandas as pd
 from mst_tpu.data.transforms import AugmentConfig
 
 
+def load_volume_dhw(path):
+    """Read a NIfTI volume as ([D, H, W] float32, affine), using the native
+    C++ loader (native/mstio.cpp) when built, else the pure-Python reader.
+    Both produce the torchio->torch axis order of the reference
+    (`augmentations_3d.py:19-21`)."""
+    from mst_tpu.data import native_io
+
+    if native_io.available():
+        return native_io.read_nifti(path)
+    from mst_tpu.utils.nifti import read_nifti
+
+    data, affine = read_nifti(path)
+    if data.ndim == 4:  # [X, Y, Z, 1] -> [X, Y, Z]
+        data = data[..., 0]
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(data, np.float32), (2, 1, 0))
+    ), affine
+
+
 class Dataset3D:
     LABEL: str = "target"
 

@@ -22,17 +22,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from mst_tpu.data.datasets.base import Dataset3D
+from mst_tpu.data.datasets.base import Dataset3D, load_volume_dhw
 from mst_tpu.data.transforms import AugmentConfig, crop_or_pad
-from mst_tpu.utils.nifti import read_nifti
-
-
-def _to_cdhw(data: np.ndarray) -> np.ndarray:
-    """NIfTI [X, Y, Z] -> [1, D=Z, H=Y, W=X] (the reference's torchio
-    [C, W, H, D] -> torch [C, D, H, W] swap, `augmentations_3d.py:19-21`)."""
-    if data.ndim == 3:
-        data = data[None]
-    return np.swapaxes(data, 1, 3)
 
 
 class LIDC_Dataset3D(Dataset3D):
@@ -89,16 +80,16 @@ class LIDC_Dataset3D(Dataset3D):
         )
         path_dir = self.path_root_data / rel_path
 
-        img, affine = read_nifti(path_dir / f"img_{nodule_idx}.nii.gz")
-        seg, _ = read_nifti(path_dir / f"seg_{nodule_idx}.nii.gz")
-        vol = _to_cdhw(np.asarray(img, np.float32))
-        mask = _to_cdhw(np.asarray(seg) > 0)
+        img, affine = load_volume_dhw(path_dir / f"img_{nodule_idx}.nii.gz")
+        seg, _ = load_volume_dhw(path_dir / f"seg_{nodule_idx}.nii.gz")
+        vol = img[None]
+        mask = (seg > 0)[None]
 
         rater_masks = []
         if self.split == "test":
             for r in range(int(item["annotation_num"])):
-                m, _ = read_nifti(path_dir / f"seg_{nodule_idx}_{r}.nii.gz")
-                rater_masks.append(_to_cdhw(np.asarray(m) > 0))
+                m, _ = load_volume_dhw(path_dir / f"seg_{nodule_idx}_{r}.nii.gz")
+                rater_masks.append((m > 0)[None])
 
         # reference `moveaxis(1, 2)` view fix == H/W transpose in our layout
         vol = np.swapaxes(vol, 2, 3)

@@ -19,9 +19,8 @@ from typing import Optional
 
 import numpy as np
 
-from mst_tpu.data.datasets.base import Dataset3D
+from mst_tpu.data.datasets.base import Dataset3D, load_volume_dhw
 from mst_tpu.data.transforms import AugmentConfig, crop_or_pad
-from mst_tpu.utils.nifti import read_nifti
 
 
 class MRNet_Dataset3D(Dataset3D):
@@ -71,16 +70,14 @@ class MRNet_Dataset3D(Dataset3D):
         folder = item["Folder"]
         target = int(item[self.LABEL])
 
-        img, affine = read_nifti(
+        dhw, affine = load_volume_dhw(
             self.path_root / "preprocessed" / "data" / folder / "sagittal"
             / f"{uid:04d}.nii.gz"
         )
-        vol = np.asarray(img, np.float32)
-        if vol.ndim == 3:
-            vol = vol[None]
-        # torchio transpose(-1, 1) then [C,W,H,D]->[C,D,H,W]: net effect is
-        # that the stored [C, X, Y, Z] tensor's X axis becomes the slice
-        # axis; equivalently only swap Y/Z relative to the raw array.
+        # The stored [X=S, Y, Z] stack's X axis is the slice axis (step1
+        # writes npy [S, H, W] as NIfTI [S, H, W]); the reference's
+        # transpose(-1, 1) + tensor swap nets out to swapping our H/W back:
+        vol = np.swapaxes(dhw, 0, 2)[None]  # [1, S, W, H] -> match torchio
         vol = np.swapaxes(vol, 2, 3)
         mask_bg = np.ones_like(vol, dtype=np.uint8)[:1]
 

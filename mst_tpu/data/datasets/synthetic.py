@@ -79,4 +79,10 @@ class Synthetic_Dataset3D(Dataset3D):
         }
         if self.with_mask:
             sample["mask"] = self._masks[index]
+            if self.split == "test":
+                # two synthetic raters agreeing on the blob (mirrors LIDC's
+                # per-rater masks on the test split, `dataset_3d_lidc.py:80-98`)
+                sample["rater_masks"] = np.stack(
+                    [self._masks[index], self._masks[index]]
+                )
         return sample

@@ -38,6 +38,7 @@ from mst_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from mst_tpu.utils.metrics import ClassificationMetrics
+from mst_tpu.utils.profiling import StepTimer, trace
 
 log = logging.getLogger(__name__)
 
@@ -140,6 +141,7 @@ class Trainer:
         mesh=None,
         log_every: int = 50,
         keep_last: bool = True,
+        profile_dir=None,
     ):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -151,6 +153,7 @@ class Trainer:
         self.mesh = mesh or make_mesh()
         self.log_every = log_every
         self.keep_last = keep_last
+        self.profile_dir = profile_dir
 
     def init_state(self, model, example_batch, tx, seed: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(seed)
@@ -172,19 +175,29 @@ class Trainer:
         best, best_epoch, stale = -np.inf, -1, 0
         history = []
 
+        timer = StepTimer()
+        items_per_step = dm.batch_size
         for epoch in range(self.max_epochs):
             t0 = time.time()
             train_metrics = ClassificationMetrics()
             n_steps, loss_sum = 0, 0.0
-            for batch in dm.train_dataloader():
-                batch = shard_batch(batch, self.mesh)
-                mask = batch.get("src_key_padding_mask")
-                state, loss, logits = train_step(
-                    state, batch["source"], jnp.asarray(batch["target"]), mask
-                )
+            # Device results are collected asynchronously and pulled to host
+            # once per epoch: no per-step sync, XLA keeps the pipe full.
+            pending = []
+            with trace(self.profile_dir if epoch == 1 else None):
+                for batch in dm.train_dataloader():
+                    with timer.step():
+                        batch = shard_batch(batch, self.mesh)
+                        mask = batch.get("src_key_padding_mask")
+                        state, loss, logits = train_step(
+                            state, batch["source"],
+                            jnp.asarray(batch["target"]), mask
+                        )
+                    pending.append((loss, logits, batch["target"]))
+                    n_steps += 1
+            for loss, logits, target in pending:
                 loss_sum += float(loss)
-                n_steps += 1
-                train_metrics.update(np.asarray(logits), np.asarray(batch["target"]))
+                train_metrics.update(np.asarray(logits), np.asarray(target))
 
             val_metrics = ClassificationMetrics()
             for bi, batch in enumerate(dm.val_dataloader()):
@@ -206,6 +219,8 @@ class Trainer:
                 **{f"train/{k}": v for k, v in tm.items()},
                 **{f"val/{k}": v for k, v in vm.items()},
                 "seconds": dt,
+                **{f"perf/{k}": v
+                   for k, v in timer.stats(items_per_step).items()},
             }
             history.append(row)
             log.info(

@@ -55,6 +55,8 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fusion_heads", type=int, default=12)
+    ap.add_argument("--profile_dir", default=None,
+                    help="write a jax.profiler trace of epoch 1 here")
     args = ap.parse_args(argv)
 
     ds_kw = dict(path_root=args.path_root)
@@ -94,6 +96,7 @@ def main(argv=None):
     trainer = Trainer(
         run_dir, max_epochs=args.max_epochs, patience=args.patience,
         limit_val_batches=min(len(ds_val), 200),
+        profile_dir=args.profile_dir,
     )
     example = next(iter(dm.val_dataloader()))
     state = trainer.init_state(model, example, tx, seed=args.seed)

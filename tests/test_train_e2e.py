@@ -62,6 +62,24 @@ def test_predict_tta_attention(trained_run):
         assert (Path(c) / "input.png").exists()
 
 
+def test_predict_segmentation(trained_run):
+    """--get_segmentation: saliency -> 99.9th-pct mask -> Dice/IoU/ASSD vs
+    the >=2-rater synthetic ground truth -> results_seg.csv."""
+    import pandas as pd
+
+    from scripts.main_predict import main as predict_main
+
+    run_dir, _ = trained_run
+    out = predict_main([
+        "--run_folder", str(run_dir), "--get_segmentation",
+        "--output_dir", str(Path(run_dir) / "results_seg"),
+    ])
+    df = pd.read_csv(Path(out) / "results_seg.csv")
+    assert {"uid", "GT", "NN", "Dice", "IoU", "ASSD"} <= set(df.columns)
+    assert len(df) == 16
+    assert df["Dice"].between(0, 1).all() or df["Dice"].isna().any()
+
+
 def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 
