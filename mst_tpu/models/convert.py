@@ -97,6 +97,73 @@ def convert_dinov2_vit(sd: Dict, depth: int, ffn_layer: str = "mlp") -> Dict:
     return params
 
 
+def convert_hf_dinov2(sd: Dict, depth: int) -> Dict:
+    """HuggingFace `Dinov2Model` state_dict -> our VisionTransformer params.
+
+    Covers the reference DinoV3 classifier's HF fallback path
+    (`mst/models/dino.py:321-333` loads `AutoModel` weights when the
+    torch.hub URLs are expired). HF stores separate q/k/v projections
+    (`encoder.layer.{i}.attention.attention.{query,key,value}`); they are
+    re-packed into the fused qkv layout ([q; k; v] output rows).
+    """
+    def g(key):
+        return np.asarray(sd[key])
+
+    params: Dict = {
+        "cls_token": g("embeddings.cls_token"),
+        "pos_embed": g("embeddings.position_embeddings"),
+        "patch_embed": {"proj": {
+            "kernel": _conv(g("embeddings.patch_embeddings.projection.weight")),
+            "bias": g("embeddings.patch_embeddings.projection.bias"),
+        }},
+        "norm": {"scale": g("layernorm.weight"), "bias": g("layernorm.bias")},
+    }
+    if "embeddings.register_tokens" in sd:
+        params["register_tokens"] = g("embeddings.register_tokens")
+    for i in range(depth):
+        p = f"encoder.layer.{i}"
+        qkv_w = np.concatenate([
+            g(f"{p}.attention.attention.query.weight"),
+            g(f"{p}.attention.attention.key.weight"),
+            g(f"{p}.attention.attention.value.weight"),
+        ], axis=0)
+        qkv_b = np.concatenate([
+            g(f"{p}.attention.attention.query.bias"),
+            g(f"{p}.attention.attention.key.bias"),
+            g(f"{p}.attention.attention.value.bias"),
+        ], axis=0)
+        blk = {
+            "norm1": {"scale": g(f"{p}.norm1.weight"),
+                      "bias": g(f"{p}.norm1.bias")},
+            "norm2": {"scale": g(f"{p}.norm2.weight"),
+                      "bias": g(f"{p}.norm2.bias")},
+            "attn": {
+                "qkv": {"kernel": qkv_w.T, "bias": qkv_b},
+                "proj": {"kernel": _t(g(f"{p}.attention.output.dense.weight")),
+                         "bias": g(f"{p}.attention.output.dense.bias")},
+            },
+        }
+        if f"{p}.layer_scale1.lambda1" in sd:
+            blk["ls1"] = {"gamma": g(f"{p}.layer_scale1.lambda1")}
+            blk["ls2"] = {"gamma": g(f"{p}.layer_scale2.lambda1")}
+        if f"{p}.mlp.weights_in.weight" in sd:  # SwiGLU (giant)
+            blk["mlp"] = {
+                "w12": {"kernel": _t(g(f"{p}.mlp.weights_in.weight")),
+                        "bias": g(f"{p}.mlp.weights_in.bias")},
+                "w3": {"kernel": _t(g(f"{p}.mlp.weights_out.weight")),
+                       "bias": g(f"{p}.mlp.weights_out.bias")},
+            }
+        else:
+            blk["mlp"] = {
+                "fc1": {"kernel": _t(g(f"{p}.mlp.fc1.weight")),
+                        "bias": g(f"{p}.mlp.fc1.bias")},
+                "fc2": {"kernel": _t(g(f"{p}.mlp.fc2.weight")),
+                        "bias": g(f"{p}.mlp.fc2.bias")},
+            }
+        params[f"blocks_{i}"] = blk
+    return params
+
+
 def _bn(sd, prefix) -> Tuple[Dict, Dict]:
     params = {"scale": np.asarray(sd[f"{prefix}.weight"]),
               "bias": np.asarray(sd[f"{prefix}.bias"])}

@@ -53,9 +53,27 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     freeze_encoder: bool = False,
     grad_clip: Optional[float] = None,
+    schedule: Optional[str] = None,  # None | "cosine" | "warmup_cosine"
+    total_steps: int = 100_000,
+    warmup_steps: int = 500,
 ):
-    """AdamW with optional encoder freezing via multi_transform."""
-    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    """AdamW with optional per-step LR schedule and encoder freezing.
+
+    The reference supports an arbitrary per-step `lr_scheduler`
+    (`base_model.py:103-110`, default None == constant); the common
+    choices are provided as optax schedules.
+    """
+    if schedule == "cosine":
+        lr = optax.cosine_decay_schedule(learning_rate, total_steps)
+    elif schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps
+        )
+    elif schedule is None:
+        lr = learning_rate
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    tx = optax.adamw(lr, weight_decay=weight_decay)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if not freeze_encoder:

@@ -57,6 +57,8 @@ def main(argv=None):
     ap.add_argument("--fusion_heads", type=int, default=12)
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace of epoch 1 here")
+    ap.add_argument("--lr_schedule", default=None,
+                    choices=[None, "cosine", "warmup_cosine"])
     args = ap.parse_args(argv)
 
     ds_kw = dict(path_root=args.path_root)
@@ -92,7 +94,8 @@ def main(argv=None):
     run_dir.mkdir(parents=True, exist_ok=True)
 
     tx = make_optimizer(entry.learning_rate, entry.weight_decay,
-                        freeze_encoder=args.freeze)
+                        freeze_encoder=args.freeze,
+                        schedule=args.lr_schedule)
     trainer = Trainer(
         run_dir, max_epochs=args.max_epochs, patience=args.patience,
         limit_val_batches=min(len(ds_val), 200),
