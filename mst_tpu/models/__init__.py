@@ -10,6 +10,18 @@ from mst_tpu.models.slice_fusion import (  # noqa: F401
     MultiheadAttention,
     TransformerEncoderLayer,
 )
+from mst_tpu.models.convert import (  # noqa: F401
+    convert_dinov2_vit,
+    convert_hf_dinov2,
+    convert_torch_resnet,
+    load_pretrained_encoder,
+    load_torch_state_dict,
+)
+from mst_tpu.models.resnet import (  # noqa: F401
+    ResNet3DClassifier,
+    ResNetBackbone,
+    ResNetSliceTrans,
+)
 from mst_tpu.models.vit import (  # noqa: F401
     VisionTransformer,
     build_vit,

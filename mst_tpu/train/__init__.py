@@ -1,5 +1,6 @@
 """Train loop, optimizer construction, state."""
 
+from mst_tpu.train.predictor import make_predict_fn  # noqa: F401
 from mst_tpu.train.trainer import (  # noqa: F401
     FitResult,
     Trainer,
