@@ -101,6 +101,22 @@ def crop_or_pad(
     return tuple(np.ascontiguousarray(o[sl]) for o in outs)
 
 
+def ensure_shape_multiple(
+    vol: np.ndarray, multiple, method: str = "pad",
+    pad_value: Optional[float] = None, extra: Sequence[np.ndarray] = (),
+):
+    """Pad (or crop) spatial axes to the next multiple (torchio
+    `EnsureShapeMultiple` with the reference's `padding_mode` extension,
+    `augmentations_3d.py:128-142`). `multiple` is scalar or per-axis
+    (D, H, W)."""
+    mult = np.broadcast_to(np.asarray(multiple, np.int64), (3,))
+    fn = np.floor if method == "crop" else np.ceil
+    src = np.asarray(vol.shape[1:], np.int64)
+    target = np.maximum((fn(src / mult) * mult).astype(np.int64), 1)
+    return crop_or_pad(vol, tuple(int(t) for t in target),
+                       pad_value=pad_value, extra=extra)
+
+
 # ---------------------------------------------------------------------------
 # Device ops (jittable, [C, D, H, W])
 # ---------------------------------------------------------------------------

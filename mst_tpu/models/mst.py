@@ -40,6 +40,22 @@ from mst_tpu.models.vit import build_vit
 MAX_SLICES = 256  # slice-position vocabulary (reference `dino.py:81-82`)
 
 
+def slices2rgb(volume: jax.Array) -> jax.Array:
+    """Pack consecutive slice triplets into RGB channels:
+    [B, 1, D, H, W] -> [B*ceil(D/3), 3, H, W] (capability twin of the
+    reference's unused alternative packing, `mst/models/dino.py:10-27` —
+    3x fewer encoder forwards at the cost of mixing adjacent slices)."""
+    B, C, D, H, W = volume.shape
+    assert C == 1
+    pad = (-D) % 3
+    if pad:
+        volume = jnp.pad(volume, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)),
+                         mode="edge")
+    D3 = volume.shape[2] // 3
+    x = volume.reshape(B, D3, 3, H, W)
+    return x.reshape(B * D3, 3, H, W)
+
+
 class DinoSliceClassifier(nn.Module):
     """MST-DINO classifier (v2 and v3 are configs of this one module)."""
 

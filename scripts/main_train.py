@@ -59,7 +59,16 @@ def main(argv=None):
                     help="write a jax.profiler trace of epoch 1 here")
     ap.add_argument("--lr_schedule", default=None,
                     choices=[None, "cosine", "warmup_cosine"])
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="enable jax_debug_nans (the functional analogue of "
+                         "a sanitizer pass, SURVEY 5.2)")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a run dir's last checkpoint")
     args = ap.parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     ds_kw = dict(path_root=args.path_root)
     if args.dataset == "Synthetic":
@@ -103,6 +112,13 @@ def main(argv=None):
     )
     example = next(iter(dm.val_dataloader()))
     state = trainer.init_state(model, example, tx, seed=args.seed)
+    if args.resume:
+        from mst_tpu.utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(args.resume, "last")
+        state = state.replace(params=ck["params"],
+                              batch_stats=ck.get("batch_stats"))
+        print(f"resumed params from {args.resume}/last (step {ck.get('step')})")
     hparams = {"model": args.model, "dataset": args.dataset, **{
         k: (v if isinstance(v, (int, float, str, bool, type(None))) else str(v))
         for k, v in model_kw.items()}}
