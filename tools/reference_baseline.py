@@ -36,7 +36,20 @@ def _install_stubs():
         def __call__(self, *a, **k):
             return _Anything()
 
+    import importlib.util
+
     def mod(name, **attrs):
+        # Only stub modules that genuinely cannot be imported — overwriting
+        # a real module (e.g. transformers) would poison later importers in
+        # the same process.
+        if name in sys.modules:
+            return sys.modules[name]
+        if "." not in name:
+            try:
+                if importlib.util.find_spec(name) is not None:
+                    return importlib.import_module(name)
+            except (ValueError, ModuleNotFoundError):
+                pass
         m = types.ModuleType(name)
         m.__dict__.update(attrs)
         sys.modules[name] = m
