@@ -36,6 +36,7 @@ from mst_tpu.ops.attention import (
     flash_attention,
     make_key_padding_bias,
 )
+from mst_tpu.ops.rotary import apply_rope
 
 Dtype = jnp.dtype
 
@@ -121,7 +122,8 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, bias: Optional[jax.Array] = None,
-                 return_weights: bool = False):
+                 return_weights: bool = False,
+                 rope_angles: Optional[jax.Array] = None):
         B, S, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(
@@ -131,6 +133,8 @@ class Attention(nn.Module):
         q, k, v = (
             jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
         )  # each [B, H, S, hd]
+        if rope_angles is not None:  # DINOv3-style 2D RoPE on patch tokens
+            q, k = apply_rope(q, rope_angles), apply_rope(k, rope_angles)
         if return_weights or bias is not None or not self.use_flash:
             out, probs = attention_reference(q, k, v, bias=bias, return_weights=True)
             if return_weights:
@@ -159,7 +163,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True,
-                 return_weights: bool = False):
+                 return_weights: bool = False,
+                 rope_angles=None):
         def ls(name):
             if self.layerscale_init is None:
                 return lambda y: y
@@ -173,7 +178,7 @@ class Block(nn.Module):
         h = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             dtype=self.dtype, use_flash=self.use_flash, name="attn",
-        )(h, return_weights=return_weights)
+        )(h, return_weights=return_weights, rope_angles=rope_angles)
         h = ls("ls1")(h)
         x = x + drop_path(h, self.drop_path_rate, dp_rng, deterministic)
 

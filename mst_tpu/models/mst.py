@@ -68,6 +68,7 @@ class DinoSliceClassifier(nn.Module):
     fusion_heads: int = 12
     rotary: Optional[str] = None  # None | RoPE | LiRE
     use_bottleneck: bool = False  # Linear(e -> e/4), `dino.py:75-77`
+    use_rope_2d: bool = False  # DINOv3 in-plane rotary (`dino.py:686-724`)
     use_slice_pos_emb: bool = False  # Embedding(256, e), `dino.py:81-82`
     freeze: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -78,6 +79,7 @@ class DinoSliceClassifier(nn.Module):
             self.model_size,
             patch_size=self.patch_size,
             num_register_tokens=self.num_register_tokens,
+            use_rope_2d=self.use_rope_2d,
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="encoder",
@@ -190,4 +192,5 @@ def dino_v3_classifier_slice(**kw) -> DinoSliceClassifier:
     size = kw.setdefault("model_size", "small")
     kw.setdefault("patch_size", 16 if size == "giant2" else 14)
     kw.setdefault("slice_fusion", "transformer")
+    kw.setdefault("use_rope_2d", True)  # DINOv3 ViTs carry in-plane RoPE
     return DinoSliceClassifier(**kw)

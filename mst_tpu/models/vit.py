@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mst_tpu.models.layers import Block, PatchEmbed
+from mst_tpu.ops.rotary import rope_2d_angles
 
 
 def _cubic_weights(out_size: int, in_size: int, scale: float) -> "np.ndarray":
@@ -112,6 +113,8 @@ class VisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     drop_path_rate: float = 0.0
     pos_embed_grid: int = 37  # pretrained DINOv2 canonical grid (518/14)
+    use_rope_2d: bool = False  # DINOv3-style axial RoPE over patch coords
+    rope_theta: float = 100.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
 
@@ -166,6 +169,13 @@ class VisionTransformer(nn.Module):
             self.drop_path_rate * i / max(self.depth - 1, 1)
             for i in range(self.depth)
         ]
+        rope = None
+        if self.use_rope_2d:
+            rope = rope_2d_angles(
+                (gh, gw), self.embed_dim // self.num_heads,
+                num_prefix=1 + self.num_register_tokens,
+                theta=self.rope_theta,
+            )
         intermediates = []
         for i in range(self.depth):
             want_weights = return_weights == "all" or (
@@ -176,7 +186,8 @@ class VisionTransformer(nn.Module):
                 layerscale_init=self.layerscale_init, drop_path_rate=dpr[i],
                 ffn_layer=self.ffn_layer, dtype=self.dtype,
                 use_flash=self.use_flash, name=f"blocks_{i}",
-            )(h, deterministic=deterministic, return_weights=want_weights)
+            )(h, deterministic=deterministic, return_weights=want_weights,
+              rope_angles=rope)
             if return_layers is not None and i in return_layers:
                 intermediates.append(h)
 

@@ -62,6 +62,28 @@ def apply_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def rope_2d_angles(grid_hw, dim: int, num_prefix: int = 1,
+                   theta: float = 100.0) -> jnp.ndarray:
+    """Axial 2D RoPE angles for a patch grid (the DINOv3-style in-plane
+    rotary encoding; reference `mst/models/dino.py:686-724` plumbs the rope
+    kwarg of DINOv3 attention).
+
+    Half of `dim` rotates with the row coordinate, half with the column.
+    Prefix tokens (CLS + registers) get zero angles (identity rotation).
+    Returns [num_prefix + gh*gw, dim].
+    """
+    gh, gw = grid_hw
+    half = dim // 2
+    freqs = rope_frequencies(half, theta)  # [half/2]
+    rows = np.repeat(np.arange(gh, dtype=np.float64), gw)
+    cols = np.tile(np.arange(gw, dtype=np.float64), gh)
+    ang_r = np.repeat(np.einsum("s,d->sd", rows, freqs), 2, axis=-1)
+    ang_c = np.repeat(np.einsum("s,d->sd", cols, freqs), 2, axis=-1)
+    ang = np.concatenate([ang_r, ang_c], axis=-1)  # [gh*gw, dim]
+    ang = np.concatenate([np.zeros((num_prefix, dim)), ang], axis=0)
+    return jnp.asarray(ang, dtype=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # LiRE (learned rotary via Lie-group generators)
 # ---------------------------------------------------------------------------

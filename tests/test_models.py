@@ -135,3 +135,30 @@ def test_freeze_blocks_encoder_gradients():
     )
     assert enc_norm == 0.0
     assert head_norm > 0.0
+
+
+def test_dino_v3_rope2d_forward():
+    from mst_tpu.models.mst import dino_v3_classifier_slice
+
+    model = dino_v3_classifier_slice(
+        out_ch=2, model_size="tiny", fusion_heads=4, use_flash=False
+    )
+    assert model.use_rope_2d
+    x = _volume(b=1, d=2)
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert jnp.isfinite(logits).all()
+
+
+def test_rope_2d_angles_structure():
+    from mst_tpu.ops.rotary import rope_2d_angles
+
+    ang = rope_2d_angles((3, 4), 8, num_prefix=2)
+    a = np.asarray(ang)
+    assert a.shape == (2 + 12, 8)
+    np.testing.assert_array_equal(a[:2], 0.0)  # prefix tokens unrotated
+    # row half repeats per column index; col half cycles
+    assert a[2, 0] == 0.0  # patch (0,0)
+    assert a[2 + 4, 4] == a[2, 4]  # same col angle pattern across rows? no:
+    # patch (1,0): row angle > 0, col angle == 0
+    assert a[2 + 4, 0] > 0.0 and a[2 + 4, 4] == 0.0
