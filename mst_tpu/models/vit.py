@@ -115,6 +115,7 @@ class VisionTransformer(nn.Module):
     pos_embed_grid: int = 37  # pretrained DINOv2 canonical grid (518/14)
     use_rope_2d: bool = False  # DINOv3-style axial RoPE over patch coords
     rope_theta: float = 100.0
+    gelu_approximate: bool = True  # tanh-GELU (2x cheaper, <=4.3e-4 abs dev)
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
 
@@ -184,7 +185,8 @@ class VisionTransformer(nn.Module):
             h = Block(
                 self.embed_dim, self.num_heads, mlp_ratio=self.mlp_ratio,
                 layerscale_init=self.layerscale_init, drop_path_rate=dpr[i],
-                ffn_layer=self.ffn_layer, dtype=self.dtype,
+                ffn_layer=self.ffn_layer,
+                gelu_approximate=self.gelu_approximate, dtype=self.dtype,
                 use_flash=self.use_flash, name=f"blocks_{i}",
             )(h, deterministic=deterministic, return_weights=want_weights,
               rope_angles=rope)

@@ -53,7 +53,7 @@ def test_dinov2_converter_cls_parity():
 
     import jax.numpy as jnp
 
-    jmodel = vit_small(patch_size=14, use_flash=False, layerscale_init=None,
+    jmodel = vit_small(patch_size=14, use_flash=False, layerscale_init=None, gelu_approximate=False,
                        pos_embed_grid=pos_embed_grid_from_sd(sd))
     xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
     out = jmodel.apply({"params": params}, xj)
@@ -80,7 +80,7 @@ def test_dinov2_converter_patch_tokens_parity():
 
     from mst_tpu.models.convert import pos_embed_grid_from_sd
 
-    jmodel = vit_small(patch_size=14, use_flash=False, layerscale_init=None,
+    jmodel = vit_small(patch_size=14, use_flash=False, layerscale_init=None, gelu_approximate=False,
                        pos_embed_grid=pos_embed_grid_from_sd(sd))
     out = jmodel.apply({"params": params},
                        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))

@@ -30,7 +30,7 @@ def test_hf_dinov2_converter_cls_parity():
     import jax.numpy as jnp
 
     jmodel = build_vit(
-        "tiny", patch_size=14, use_flash=False,
+        "tiny", patch_size=14, use_flash=False, gelu_approximate=False,
         layerscale_init=1.0, pos_embed_grid=56 // 14,
     )
     jout = jmodel.apply({"params": params},
