@@ -86,6 +86,22 @@ def cm2x(cm: np.ndarray):
     return ppv, npv, sens, spec
 
 
+def gather_across_hosts(*arrays):
+    """All-gather per-host metric buffers in multi-host runs (the analogue
+    of torchmetrics' `sync_dist=True`, reference `base_model.py:170,177`).
+    No-op in single-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    return tuple(
+        np.asarray(multihost_utils.process_allgather(a)).reshape(-1, *np.asarray(a).shape[1:])
+        for a in arrays
+    )
+
+
 class ClassificationMetrics:
     """Streaming epoch accumulator (torchmetrics `.update()/.compute()`
     analogue, reference `base_model.py:141-178`)."""
