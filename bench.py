@@ -53,6 +53,28 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     dt = (time.perf_counter() - t0) / iters
     vps = batch / dt
 
+    # Secondary: full training-step throughput (fwd + CE + bwd + AdamW in
+    # one donated program).
+    import optax
+
+    from mst_tpu.train.trainer import TrainState, make_optimizer, make_train_step
+
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=make_optimizer(1e-6), dropout_rng=jax.random.PRNGKey(1),
+    )
+    step = make_train_step(model)
+    target = jnp.zeros((batch,), jnp.int32)
+    state, *_ = step(state, source, target, None)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    train_iters = max(iters // 2, 5)
+    for _ in range(train_iters):
+        state, loss, _ = step(state, source, target, None)
+    jax.block_until_ready(loss)
+    train_dt = (time.perf_counter() - t0) / train_iters
+    del optax
+
     baseline_path = Path(__file__).parent / "BASELINE_measured.json"
     vs = None
     if baseline_path.exists():
@@ -67,6 +89,8 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         "detail": {
             "batch": batch, "depth": depth, "hw": hw,
             "latency_ms_per_batch": round(dt * 1e3, 2),
+            "train_volumes_per_sec": round(batch / train_dt, 2),
+            "train_step_ms": round(train_dt * 1e3, 2),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

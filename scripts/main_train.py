@@ -64,6 +64,8 @@ def main(argv=None):
                          "a sanitizer pass, SURVEY 5.2)")
     ap.add_argument("--resume", default=None,
                     help="resume from a run dir's last checkpoint")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the model's default learning rate")
     args = ap.parse_args(argv)
     if args.debug_nans:
         import jax
@@ -102,7 +104,7 @@ def main(argv=None):
     run_dir = Path(args.run_dir) / args.dataset / f"{args.model}_{stamp}"
     run_dir.mkdir(parents=True, exist_ok=True)
 
-    tx = make_optimizer(entry.learning_rate, entry.weight_decay,
+    tx = make_optimizer(args.lr or entry.learning_rate, entry.weight_decay,
                         freeze_encoder=args.freeze,
                         schedule=args.lr_schedule)
     trainer = Trainer(

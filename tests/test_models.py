@@ -162,3 +162,13 @@ def test_rope_2d_angles_structure():
     assert a[2 + 4, 4] == a[2, 4]  # same col angle pattern across rows? no:
     # patch (1,0): row angle > 0, col angle == 0
     assert a[2 + 4, 0] > 0.0 and a[2 + 4, 4] == 0.0
+
+
+def test_vit_swiglu_ffn_forward():
+    """giant2-style SwiGLU FFN path (tiny dims)."""
+    vit = build_vit("tiny", patch_size=14, use_flash=False, ffn_layer="swiglu")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 28, 28, 3))
+    params = vit.init(jax.random.PRNGKey(1), x)
+    out = vit.apply(params, x)
+    assert out["cls_token"].shape == (1, 32)
+    assert "w12" in params["params"]["blocks_0"]["mlp"]
