@@ -178,18 +178,16 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
                want_lse=True):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    block_q = min(block_q, max(8, 1 << (Sq - 1).bit_length()))
-    block_k = min(block_k, max(8, 1 << (Sk - 1).bit_length()))
-    qp = _pad_to(q.reshape(B * H, Sq, D), 1, block_q)
-    kp = _pad_to(k.reshape(B * H, Sk, D), 1, block_k)
-    vp = _pad_to(v.reshape(B * H, Sk, D), 1, block_k)
-    Sqp, Skp = qp.shape[1], kp.shape[1]
 
-    if Skp <= SINGLE_BLOCK_MAX_KV:
-        bq = Sqp
-        while bq > 512 or Sqp % bq:
-            bq //= 2
-        bq = max(bq, 8)
+    if Sk <= SINGLE_BLOCK_MAX_KV and Sq <= 512:
+        # Whole-sequence blocks: Mosaic accepts blocks equal to the (ragged)
+        # array dims and pads tiles internally, so no host-visible 257->384
+        # padding copies are needed; masking operates on logical shapes.
+        qp = q.reshape(B * H, Sq, D)
+        kp = k.reshape(B * H, Sk, D)
+        vp = v.reshape(B * H, Sk, D)
+        Sqp, Skp = Sq, Sk
+        bq = Sq
         out_specs = [pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype)]
@@ -222,6 +220,13 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
         lse = res[1][:, :Sq, 0].reshape(B, H, Sq)
         return out, lse
 
+    # Long-sequence blocked path: pad to block multiples.
+    block_q = min(block_q, max(8, 1 << (Sq - 1).bit_length()))
+    block_k = min(block_k, max(8, 1 << (Sk - 1).bit_length()))
+    qp = _pad_to(q.reshape(B * H, Sq, D), 1, block_q)
+    kp = _pad_to(k.reshape(B * H, Sk, D), 1, block_k)
+    vp = _pad_to(v.reshape(B * H, Sk, D), 1, block_k)
+    Sqp, Skp = qp.shape[1], kp.shape[1]
     grid = (B * H, Sqp // block_q, Skp // block_k)
 
     out, lse = pl.pallas_call(
