@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import zlib
 from typing import Iterator, Optional
 
 import jax
@@ -40,6 +41,8 @@ def _collate(samples):
         batch["rater_masks"] = [s.get("rater_masks") for s in samples]
     if "affine" in samples[0]:
         batch["affine"] = np.stack([s["affine"] for s in samples])
+    if "spacing_dhw" in samples[0]:
+        batch["spacing_dhw"] = np.stack([s["spacing_dhw"] for s in samples])
     if "path" in samples[0]:
         batch["path"] = [s.get("path") for s in samples]
     batch["needs_padding_mask"] = bool(samples[0].get("needs_padding_mask", False))
@@ -88,16 +91,21 @@ class DataModule:
     # -- augmentation ------------------------------------------------------
 
     def _augment(self, ds, batch, train: bool):
-        if not self.augment_on_device:
-            return batch
+        # augment_on_device=False disables only the RANDOM train-time
+        # augmentation; the deterministic device pipeline (normalisation,
+        # resize, padding-mask derivation) always runs — it is required
+        # preprocessing, not augmentation.
+        train = train and self.augment_on_device
         cfg = ds.augment_config(train)
         key = (id(ds), train)
         if key not in self._augment_cache:
             self._augment_cache[key] = DeviceAugment(cfg, train)
         aug = self._augment_cache[key]
         b = batch["source"].shape[0]
+        # Stable across processes (hash() is salted per interpreter).
         seeds = np.asarray(
-            [abs(hash((self.seed, self._epoch, u))) % (2**31) for u in batch["uid"]],
+            [zlib.crc32(f"{self.seed}|{self._epoch}|{u}".encode())
+             for u in batch["uid"]],
             np.uint32,
         )
         keys = jax.vmap(jax.random.PRNGKey)(seeds)
@@ -123,13 +131,16 @@ class DataModule:
         work_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
         def producer():
-            for bi in range(n_full):
-                chunk = indices[bi * bs : (bi + 1) * bs]
-                if len(chunk) == 0:
-                    break
-                samples = [ds[int(i)] for i in chunk]
-                work_q.put(_collate(samples))
-            work_q.put(None)
+            try:
+                for bi in range(n_full):
+                    chunk = indices[bi * bs : (bi + 1) * bs]
+                    if len(chunk) == 0:
+                        break
+                    samples = [ds[int(i)] for i in chunk]
+                    work_q.put(_collate(samples))
+                work_q.put(None)
+            except BaseException as e:  # surface in the consumer, never hang
+                work_q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -137,6 +148,8 @@ class DataModule:
             batch = work_q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                raise batch
             yield self._augment(ds, batch, train)
 
     def train_dataloader(self) -> Iterator[dict]:

@@ -97,9 +97,11 @@ class DUKE_Dataset3D(Dataset3D):
                 vol, self.crop_dhw, random_center=self.random_center, rng=self.rng
             )
 
+        sx, sy, sz = np.abs(np.diag(np.asarray(affine))[:3])
         return {
             "uid": str(uid),
             "source": vol.astype(np.float32),
             "target": target,
             "affine": affine,
+            "spacing_dhw": np.array([sz, sy, sx]),
         }

@@ -104,12 +104,16 @@ class LIDC_Dataset3D(Dataset3D):
             )
             vol, mask, rater_masks = out[0], out[1] > 0, [m > 0 for m in out[2:]]
 
+        # Physical spacing per OUR (D, H, W) axes: volume is [Z, Y, X]
+        # then H/W transposed -> (sz, sx, sy).
+        sx, sy, sz = np.abs(np.diag(affine)[:3])
         sample = {
             "uid": str(uid),
             "source": vol.astype(np.float32),
             "mask": mask.astype(np.uint8),
             "target": target,
             "affine": affine,
+            "spacing_dhw": np.array([sz, sx, sy]),
             "path": str(rel_path),
             "filename": f"img_{nodule_idx}.nii.gz",
         }

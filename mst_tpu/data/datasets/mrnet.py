@@ -86,12 +86,15 @@ class MRNet_Dataset3D(Dataset3D):
             random_center=self.random_center, rng=self.rng, extra=[mask_bg],
         )
 
+        # [D, H, W] = [X, Z, Y] after the transposes above.
+        sx, sy, sz = np.abs(np.diag(affine)[:3])
         return {
             "uid": uid,
             "source": vol.astype(np.float32),
             "mask": mask_bg.astype(np.uint8),
             "target": target,
             "affine": affine,
+            "spacing_dhw": np.array([sx, sz, sy]),
             "needs_padding_mask": True,
         }
 

@@ -186,7 +186,8 @@ class Block(nn.Module):
             dtype=self.dtype, use_flash=self.use_flash, name="attn",
         )(h, return_weights=return_weights, rope_angles=rope_angles)
         h = ls("ls1")(h)
-        x = x + drop_path(h, self.drop_path_rate, dp_rng, deterministic)
+        rng1 = None if dp_rng is None else jax.random.fold_in(dp_rng, 0)
+        x = x + drop_path(h, self.drop_path_rate, rng1, deterministic)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
@@ -202,7 +203,8 @@ class Block(nn.Module):
                 h, deterministic=deterministic
             )
         h = ls("ls2")(h)
-        x = x + drop_path(h, self.drop_path_rate, dp_rng, deterministic)
+        rng2 = None if dp_rng is None else jax.random.fold_in(dp_rng, 1)
+        x = x + drop_path(h, self.drop_path_rate, rng2, deterministic)
         return x
 
 

@@ -444,7 +444,7 @@ def _flash_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
 
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
 

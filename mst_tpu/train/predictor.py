@@ -157,7 +157,15 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
             for s in FLIP_SUBSETS
         ]
         stacked = jnp.concatenate(variants, axis=0)  # [8B, C, D, H, W]
-        m = None if mask is None else jnp.concatenate([mask] * len(FLIP_SUBSETS), 0)
+        m = None
+        if mask is not None:
+            # Variants that flip the slice (D) axis must flip the key
+            # padding mask too. (The reference keeps the unflipped mask for
+            # all variants, main_predict.py:148-149 — a bug not replicated.)
+            m = jnp.concatenate([
+                jnp.flip(mask, axis=1) if 1 in s_ else mask
+                for s_ in FLIP_SUBSETS
+            ], 0)
         if with_saliency:
             probs, sal = saliency_fn(model, variables, stacked, m)
         else:

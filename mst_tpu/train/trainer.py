@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import logging
+import shutil
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -250,6 +251,7 @@ class Trainer:
             if np.isnan(metric):
                 metric = -np.inf
             if metric > best:
+                prev_name = f"epoch={best_epoch}" if best_epoch >= 0 else None
                 best, best_epoch, stale = metric, epoch, 0
                 name = f"epoch={epoch}"
                 ck = {"params": state.params, "step": int(state.step)}
@@ -257,6 +259,10 @@ class Trainer:
                     ck["batch_stats"] = state.batch_stats
                 save_checkpoint(self.run_dir, name, ck, hparams=hparams)
                 save_best_checkpoint(self.run_dir, name)
+                if prev_name:  # top-1 policy: drop the superseded best
+                    shutil.rmtree(self.run_dir / prev_name, ignore_errors=True)
+                    (self.run_dir / f"{prev_name}.hparams.json").unlink(
+                        missing_ok=True)
             else:
                 stale += 1
             if self.keep_last:

@@ -129,6 +129,9 @@ class ClassificationMetrics:
         scores = np.concatenate(self._scores)
         preds = np.concatenate(self._preds)
         labels = np.concatenate(self._labels)
+        # Multi-host: every host sees the global buffers (sync_dist
+        # analogue) so early stopping / best-checkpoint agree everywhere.
+        scores, preds, labels = gather_across_hosts(scores, preds, labels)
         return {
             "ACC": accuracy(preds, labels),
             "AUC_ROC": binary_auroc(scores, labels),

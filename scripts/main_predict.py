@@ -116,8 +116,11 @@ def main(argv=None):
             # >=2 raters agree -> GT mask (reference :243-250)
             gt = (np.asarray(rater_masks)[:, 0].sum(0) >= 2)
             seg = saliency_to_mask(sal_np, 0.999)
-            affine = np.asarray(batch["affine"][0])
-            spacing = np.abs(np.diag(affine)[:3])[::-1]  # (D,H,W) order
+            if "spacing_dhw" in batch:  # dataset-provided (D,H,W) spacing
+                spacing = np.asarray(batch["spacing_dhw"][0])
+            else:
+                affine = np.asarray(batch["affine"][0])
+                spacing = np.abs(np.diag(affine)[:3])[::-1]
             results_seg.append({
                 "uid": uid, "GT": target, "NN": pred_cls,
                 "Dice": dice_score(seg, gt),
