@@ -269,6 +269,41 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
 # ---------------------------------------------------------------------------
 
 
+def _bwd_single_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref,
+                       *, sm_scale: float, kv_len: int):
+    """Short-sequence backward: dq, dk, dv in ONE program per (b*h) — the
+    whole sequence is VMEM-resident, so no scratch accumulators, no grid
+    loops, and no host-visible padding (same ragged-block trick as the
+    forward)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [Sq, Sk]
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * sm_scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_acc, *, sm_scale: float, kv_len: int, block_k: int):
     kb = pl.program_id(2)
@@ -345,11 +380,59 @@ def _flash_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
     q, k, v, out, lse = residuals
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    block_q = min(block_q, max(8, 1 << (Sq - 1).bit_length()))
-    block_k = min(block_k, max(8, 1 << (Sk - 1).bit_length()))
 
     do = g.astype(q.dtype)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    if Sk <= SINGLE_BLOCK_MAX_KV and Sq <= 512:
+        # Ragged single-block backward (see _bwd_single_kernel).
+        qp = q.reshape(B * H, Sq, D)
+        kp = k.reshape(B * H, Sk, D)
+        vp = v.reshape(B * H, Sk, D)
+        dop = do.reshape(B * H, Sq, D)
+        lsep = jnp.broadcast_to(
+            lse.reshape(B * H, Sq)[..., None], (B * H, Sq, 128))
+        deltap = jnp.broadcast_to(
+            delta.reshape(B * H, Sq)[..., None], (B * H, Sq, 128))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_single_kernel, sm_scale=sm_scale, kv_len=Sk
+            ),
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sq, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sq, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+                jax.ShapeDtypeStruct((B * H, Sk, D), k.dtype),
+                jax.ShapeDtypeStruct((B * H, Sk, D), v.dtype),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp, dop, lsep, deltap)
+        return (dq.reshape(B, H, Sq, D), dk.reshape(B, H, Sk, D),
+                dv.reshape(B, H, Sk, D))
+
+    block_q = min(block_q, max(8, 1 << (Sq - 1).bit_length()))
+    block_k = min(block_k, max(8, 1 << (Sk - 1).bit_length()))
 
     qp = _pad_to(q.reshape(B * H, Sq, D), 1, block_q)
     kp = _pad_to(k.reshape(B * H, Sk, D), 1, block_k)
