@@ -16,6 +16,7 @@ Capability twin of `scripts/main_predict.py:55-164` (`_pred_trans`,
 
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import Optional
 
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 
 from mst_tpu.ops.gradcam import argmax_logit_gradcam, grad_cam_map
 from mst_tpu.ops.saliency import (
+    attention_rollout,
     combined_saliency,
     plane_attention,
     slice_attention,
@@ -51,16 +53,23 @@ def _find_sowed(tree, name):
     return found
 
 
-def _forward_with_saliency(model, variables, source, mask):
-    """Dino path: source [B,C,D,H,W] -> (probs, saliency [B,D,H,W])."""
+def _forward_with_saliency(model, variables, source, mask,
+                           plane_mode: str = "last"):
+    """Dino path: source [B,C,D,H,W] -> (probs, saliency [B,D,H,W]).
+
+    plane_mode="last": CLS->patch row of the last ViT block (the
+    reference's default map, `dino.py:189-195`); "rollout": full
+    attention rollout over all blocks (`get_attention_cls`,
+    `dino.py:204-212`).
+    """
     B, C, D, H, W = source.shape
     logits, aux = model.apply(
         variables, source, mask,
-        deterministic=True, return_weights="last",
+        deterministic=True,
+        return_weights="all" if plane_mode == "rollout" else "last",
         mutable=["intermediates"],
     )
     inter = aux["intermediates"]
-    vit_probs = _find_sowed(inter["encoder"], "attn_probs")[-1]
     fusion_all = _find_sowed(
         {k: v for k, v in inter.items() if k.startswith("fusion")}, "attn_probs"
     )
@@ -71,7 +80,12 @@ def _forward_with_saliency(model, variables, source, mask):
         sw = slice_attention(fusion_all[-1])
     n_prefix = 1 + model.num_register_tokens
     patch = model.patch_size
-    pw = plane_attention(vit_probs, n_prefix, (H // patch, W // patch))
+    gh, gw = H // patch, W // patch
+    vit_probs_all = _find_sowed(inter["encoder"], "attn_probs")
+    if plane_mode == "rollout":
+        pw = attention_rollout(vit_probs_all, n_prefix).reshape(-1, gh, gw)
+    else:
+        pw = plane_attention(vit_probs_all[-1], n_prefix, (gh, gw))
     sal = combined_saliency(sw, pw)
     sal = upsample_saliency(sal, (D, H, W))
     return probs, sal
@@ -130,10 +144,15 @@ def _saliency_fn_for(model):
 
 
 def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
-                    batch_stats=None):
+                    batch_stats=None, plane_mode: str = "last"):
     """Returns jitted fn(params, source [B,C,D,H,W], mask) ->
-    (probs [B,n], saliency [B,D,H,W] | None)."""
+    (probs [B,n], saliency [B,D,H,W] | None).
+
+    plane_mode applies to the Dino saliency path ("last" | "rollout")."""
     saliency_fn = _saliency_fn_for(model)
+    if saliency_fn is _forward_with_saliency and plane_mode != "last":
+        saliency_fn = functools.partial(_forward_with_saliency,
+                                        plane_mode=plane_mode)
 
     def variables_of(params):
         v = {"params": params}

@@ -54,6 +54,9 @@ def main(argv=None):
     ap.add_argument("--get_attention", action="store_true")
     ap.add_argument("--get_segmentation", action="store_true")
     ap.add_argument("--use_tta", action="store_true")
+    ap.add_argument("--use_rollout", action="store_true",
+                    help="attention rollout over all ViT blocks instead of "
+                         "the last-block CLS map (reference get_attention_cls)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = ap.parse_args(argv)
 
@@ -88,7 +91,8 @@ def main(argv=None):
 
     want_sal = args.get_attention or args.get_segmentation
     predict = make_predict_fn(model, tta=args.use_tta, with_saliency=want_sal,
-                              batch_stats=batch_stats)
+                              batch_stats=batch_stats,
+                              plane_mode="rollout" if args.use_rollout else "last")
 
     from mst_tpu.data.datamodule import DataModule
 

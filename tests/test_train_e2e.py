@@ -104,3 +104,20 @@ def test_tta_flip_equivariance():
     p1, _ = predict(params, x, None)
     p2, _ = predict(params, jnp.flip(x, axis=(2, 3, 4)), None)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_rollout_saliency_mode():
+    """plane_mode='rollout' produces a normalised volume-shaped map."""
+    import jax
+
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train.predictor import make_predict_fn
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                fusion_heads=4, use_flash=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    predict = make_predict_fn(model, with_saliency=True, plane_mode="rollout")
+    probs, sal = predict(params, x, None)
+    assert sal.shape == (1, 4, 28, 28)
+    assert np.isfinite(np.asarray(sal)).all()

@@ -1,0 +1,74 @@
+"""Trainer unit behavior: early stopping, top-1 checkpoint deletion,
+optimizer schedules, freeze masking."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mst_tpu.data.datamodule import DataModule
+from mst_tpu.data.datasets.synthetic import Synthetic_Dataset3D
+from mst_tpu.models.mst import DinoSliceClassifier
+from mst_tpu.train.trainer import Trainer, make_optimizer
+
+TINY = dict(model_size="tiny", patch_size=14, use_flash=False, fusion_heads=4)
+
+
+def _fit(tmp_path, max_epochs=4, patience=1, lr=0.0):
+    ds = Synthetic_Dataset3D(num_samples=8, shape_cdhw=(1, 2, 28, 28))
+    dm = DataModule(ds_train=ds, ds_val=ds, batch_size=4, num_train_samples=8)
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    trainer = Trainer(tmp_path, max_epochs=max_epochs, patience=patience,
+                      keep_last=True)
+    example = next(iter(dm.val_dataloader()))
+    state = trainer.init_state(model, example, make_optimizer(lr), seed=0)
+    return trainer.fit(model, state, dm, hparams={"m": "tiny"})
+
+
+def test_early_stopping_with_zero_lr(tmp_path):
+    """lr=0 means the metric never improves after epoch 0 -> stop at
+    1 + patience epochs."""
+    state, result = _fit(tmp_path, max_epochs=10, patience=2, lr=0.0)
+    assert result.best_epoch == 0
+    assert result.epochs_run == 3  # epoch 0 best + 2 stale
+    assert (Path(tmp_path) / "best_checkpoint.json").exists()
+    assert (Path(tmp_path) / "last").exists()
+
+
+def test_top1_checkpoint_policy_deletes_superseded(tmp_path):
+    ds = Synthetic_Dataset3D(num_samples=8, shape_cdhw=(1, 2, 28, 28))
+    dm = DataModule(ds_train=ds, ds_val=ds, batch_size=4, num_train_samples=8)
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    trainer = Trainer(tmp_path, max_epochs=3, patience=10)
+    example = next(iter(dm.val_dataloader()))
+    state = trainer.init_state(model, example, make_optimizer(1e-2), seed=0)
+    state, result = trainer.fit(model, state, dm)
+    epoch_dirs = [p.name for p in Path(tmp_path).glob("epoch=*")
+                  if p.is_dir()]
+    assert len(epoch_dirs) == 1  # only the current best survives
+    assert epoch_dirs[0] == f"epoch={result.best_epoch}"
+
+
+def test_make_optimizer_schedules_and_freeze():
+    tx = make_optimizer(1e-3, schedule="warmup_cosine", total_steps=10,
+                        warmup_steps=2)
+    params = {"encoder": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(updates)[0])).all()
+
+    tx_f = make_optimizer(1e-3, freeze_encoder=True)
+    state = tx_f.init(params)
+    updates, _ = tx_f.update(grads, state, params)
+    np.testing.assert_array_equal(np.asarray(updates["encoder"]["w"]), 0.0)
+    assert float(np.abs(np.asarray(updates["head"]["w"])).sum()) > 0.0
+
+
+def test_history_contains_perf_stats(tmp_path):
+    _fit(tmp_path, max_epochs=2, patience=5, lr=1e-3)
+    rows = [json.loads(l) for l in (Path(tmp_path) / "history.jsonl").open()]
+    assert any("perf/p50_ms" in r for r in rows)
