@@ -205,6 +205,44 @@ def convert_torch_resnet(sd: Dict, variant: int) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def convert_reference_mst(sd: Dict, depth: int = 12,
+                          fusion_layers: int = 1) -> Dict:
+    """Reference `DinoV2ClassifierSlice` state_dict -> our
+    `DinoSliceClassifier` params (full-model conversion: encoder + slice
+    fusion + CLS + head + optional bottleneck / slice pos-emb)."""
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    params: Dict = {"encoder": convert_dinov2_vit(enc_sd, depth)}
+    params["cls_token"] = np.asarray(sd["cls_token"])
+    params["head"] = {"kernel": _t(sd["linear.weight"]),
+                      "bias": np.asarray(sd["linear.bias"])}
+    if "bottleneck.weight" in sd:
+        params["bottleneck"] = {"kernel": _t(sd["bottleneck.weight"]),
+                                "bias": np.asarray(sd["bottleneck.bias"])}
+    if "slice_pos_emb.weight" in sd:
+        params["slice_pos_emb"] = {
+            "embedding": np.asarray(sd["slice_pos_emb.weight"])}
+    for i in range(fusion_layers):
+        p = f"slice_fusion.layers.{i}"
+        params[f"fusion_{i}"] = {
+            "self_attn": {
+                "in_proj": {"kernel": _t(sd[f"{p}.self_attn.in_proj_weight"]),
+                            "bias": np.asarray(sd[f"{p}.self_attn.in_proj_bias"])},
+                "out_proj": {"kernel": _t(sd[f"{p}.self_attn.out_proj.weight"]),
+                             "bias": np.asarray(sd[f"{p}.self_attn.out_proj.bias"])},
+            },
+            "linear1": {"kernel": _t(sd[f"{p}.linear1.weight"]),
+                        "bias": np.asarray(sd[f"{p}.linear1.bias"])},
+            "linear2": {"kernel": _t(sd[f"{p}.linear2.weight"]),
+                        "bias": np.asarray(sd[f"{p}.linear2.bias"])},
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+        }
+    if "slice_fusion.norm.weight" in sd:
+        params["fusion_norm"] = _ln(sd, "slice_fusion.norm")
+    return params
+
+
 def load_torch_state_dict(path) -> Dict:
     """Load a .pth/.pt checkpoint into a numpy state_dict (CPU, no grad)."""
     import torch

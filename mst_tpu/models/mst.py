@@ -71,6 +71,12 @@ class DinoSliceClassifier(nn.Module):
     use_rope_2d: bool = False  # DINOv3 in-plane rotary (`dino.py:686-724`)
     use_slice_pos_emb: bool = False  # Embedding(256, e), `dino.py:81-82`
     freeze: bool = False
+    # encoder weight-config knobs (match the source of pretrained weights:
+    # hub DINOv2 = grid 37 + LayerScale; the reference's local vit_small =
+    # grid 16, no LayerScale)
+    pos_embed_grid: int = 37
+    layerscale_init: Optional[float] = 1e-5
+    gelu_approximate: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
 
@@ -80,6 +86,9 @@ class DinoSliceClassifier(nn.Module):
             patch_size=self.patch_size,
             num_register_tokens=self.num_register_tokens,
             use_rope_2d=self.use_rope_2d,
+            pos_embed_grid=self.pos_embed_grid,
+            layerscale_init=self.layerscale_init,
+            gelu_approximate=self.gelu_approximate,
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="encoder",
@@ -106,6 +115,10 @@ class DinoSliceClassifier(nn.Module):
                 )
                 for i in range(self.fusion_layers)
             ]
+            # final encoder norm (reference `nn.TransformerEncoder(...,
+            # norm=nn.LayerNorm(emb_ch))`, `dino.py:84-96`)
+            self.fusion_norm = nn.LayerNorm(dtype=self.dtype,
+                                            name="fusion_norm")
         elif self.slice_fusion == "linear":
             self.fusion_linear = nn.Dense(emb, dtype=self.dtype, name="fusion_linear")
         elif self.slice_fusion not in ("average", "none"):
@@ -162,6 +175,7 @@ class DinoSliceClassifier(nn.Module):
                     h, key_padding_mask=mask, return_weights=want_w,
                     deterministic=deterministic,
                 )
+            h = self.fusion_norm(h)
             pooled = h[:, 0]
         elif self.slice_fusion == "linear":
             pooled = self.fusion_linear(feats.reshape(B, D * self.emb_ch))
