@@ -39,9 +39,16 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     source = jax.random.normal(key, (batch, 1, depth, hw, hw), jnp.float32)
     params = model.init(key, source[:1])["params"]
 
-    @jax.jit
-    def forward(source):
-        return model.apply({"params": params}, source, deterministic=True)
+    if on_tpu:
+        from mst_tpu.models.vit_fast import fused_mst_logits
+
+        @jax.jit
+        def forward(source):
+            return fused_mst_logits(params, source, model)
+    else:
+        @jax.jit
+        def forward(source):
+            return model.apply({"params": params}, source, deterministic=True)
 
     forward(source).block_until_ready()
     for _ in range(warmup):

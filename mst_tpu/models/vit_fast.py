@@ -1,0 +1,168 @@
+"""Fused-kernel ViT/MST forward over the STANDARD parameter pytree.
+
+A pure-function fast path for serving: consumes exactly the params produced
+by `DinoSliceClassifier.init` / the weight converters (checkpoints stay
+compatible) and runs each transformer block through the fused Pallas
+sub-layer kernels (`mst_tpu/ops/fused_block.py`), eliminating the
+LayerNorm/residual/layout traffic between XLA fusion islands.
+
+Scope: inference-shaped workloads (differentiable via the fused ops' custom
+VJPs, but the explainability / bias / rope paths use the flax modules).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.models.vit import _VIT_CONFIGS, interpolate_pos_embed
+from mst_tpu.ops.fused_block import (
+    fused_attention_sublayer,
+    fused_mlp_sublayer,
+)
+
+
+@dataclass(frozen=True)
+class FastViTConfig:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int = 14
+    num_register_tokens: int = 0
+    pos_embed_grid: int = 37
+    gelu_approximate: bool = True
+
+    @classmethod
+    def from_model(cls, model) -> "FastViTConfig":
+        base = _VIT_CONFIGS[model.model_size]
+        return cls(
+            embed_dim=base["embed_dim"], depth=base["depth"],
+            num_heads=base["num_heads"], patch_size=model.patch_size,
+            num_register_tokens=model.num_register_tokens,
+            pos_embed_grid=model.pos_embed_grid,
+            gelu_approximate=model.gelu_approximate,
+        )
+
+
+def fused_vit_cls(params, x, cfg: FastViTConfig,
+                  dtype=jnp.bfloat16) -> jax.Array:
+    """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E]."""
+    N, H, W, C = x.shape
+    p = cfg.patch_size
+    gh, gw = H // p, W // p
+    E = cfg.embed_dim
+
+    x = x.astype(dtype)
+    x = x.reshape(N, gh, p, gw, p, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(N, gh * gw, p * p * C)
+    w = params["patch_embed"]["proj"]["kernel"].reshape(p * p * C, E)
+    tokens = x @ w.astype(dtype) + params["patch_embed"]["proj"]["bias"].astype(dtype)
+
+    pe = interpolate_pos_embed(
+        params["pos_embed"], (gh, gw), (cfg.pos_embed_grid, cfg.pos_embed_grid)
+    ).astype(dtype)
+    tokens = tokens + pe[:, 1:]
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(dtype) + pe[:, :1], (N, 1, E)
+    )
+    parts = [cls]
+    if cfg.num_register_tokens:
+        parts.append(jnp.broadcast_to(
+            params["register_tokens"].astype(dtype),
+            (N, cfg.num_register_tokens, E)))
+    parts.append(tokens)
+    h = jnp.concatenate(parts, axis=1)
+
+    for i in range(cfg.depth):
+        blk = params[f"blocks_{i}"]
+        ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
+        ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
+        h = fused_attention_sublayer(
+            h, blk["norm1"]["scale"], blk["norm1"]["bias"],
+            blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
+            blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"],
+            ls1, cfg.num_heads,
+        )
+        h = fused_mlp_sublayer(
+            h, blk["norm2"]["scale"], blk["norm2"]["bias"],
+            blk["mlp"]["fc1"]["kernel"], blk["mlp"]["fc1"]["bias"],
+            blk["mlp"]["fc2"]["kernel"], blk["mlp"]["fc2"]["bias"],
+            ls2, cfg.gelu_approximate,
+        )
+
+    n = params["norm"]
+    hf = h.astype(jnp.float32)
+    mean = hf.mean(-1, keepdims=True)
+    var = ((hf - mean) ** 2).mean(-1, keepdims=True)
+    hf = (hf - mean) * jax.lax.rsqrt(var + 1e-6) * n["scale"] + n["bias"]
+    return hf[:, 0].astype(dtype)
+
+
+def fused_mst_logits(params, source, model, src_key_padding_mask=None,
+                     dtype=jnp.bfloat16) -> jax.Array:
+    """Full MST forward (DinoSliceClassifier params) on the fused path.
+
+    source: [B, C, D, H, W]; only the per-slice encoder uses the fused
+    kernels — the slice fusion / head are tiny and stay in XLA.
+    """
+    cfg = FastViTConfig.from_model(model)
+    B, C, D, H, W = source.shape
+    x = jnp.transpose(source, (0, 2, 3, 4, 1)).reshape(B * D, H, W, C)
+    if C == 1:
+        x = jnp.repeat(x, 3, axis=-1)
+    feats = fused_vit_cls(params["encoder"], x, cfg, dtype)  # [B*D, E]
+    E = feats.shape[-1]
+    if "bottleneck" in params:
+        bp = params["bottleneck"]
+        feats = feats @ bp["kernel"].astype(dtype) + bp["bias"].astype(dtype)
+        E = feats.shape[-1]
+    feats = feats.reshape(B, D, E)
+    if "slice_pos_emb" in params:
+        feats = feats + params["slice_pos_emb"]["embedding"][
+            jnp.arange(D)][None].astype(dtype)
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (B, 1, E))
+    h = jnp.concatenate([cls, feats], axis=1)
+    scale = 1.0 / math.sqrt(E // model.fusion_heads)
+
+    def ln(x, prm):
+        xf = x.astype(jnp.float32)
+        m = xf.mean(-1, keepdims=True)
+        v = ((xf - m) ** 2).mean(-1, keepdims=True)
+        return ((xf - m) * jax.lax.rsqrt(v + 1e-6) * prm["scale"]
+                + prm["bias"]).astype(x.dtype)
+
+    for i in range(model.fusion_layers):
+        fp = params[f"fusion_{i}"]
+        hn = ln(h, fp["norm1"])
+        qkv = hn @ fp["self_attn"]["in_proj"]["kernel"].astype(dtype) + \
+            fp["self_attn"]["in_proj"]["bias"].astype(dtype)
+        nh = model.fusion_heads
+        hd = E // nh
+        qkv = qkv.reshape(B, -1, 3, nh, hd)
+        q, k, v = (jnp.moveaxis(qkv[:, :, j], 1, 2) for j in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        if src_key_padding_mask is not None:
+            pad = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), src_key_padding_mask], axis=1)
+            s = jnp.where(pad[:, None, None, :], -1e30, s)
+        p = jax.nn.softmax(s, -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(dtype), v,
+                       preferred_element_type=jnp.float32).astype(dtype)
+        o = jnp.moveaxis(o, 1, 2).reshape(B, -1, E)
+        h = h + (o @ fp["self_attn"]["out_proj"]["kernel"].astype(dtype)
+                 + fp["self_attn"]["out_proj"]["bias"].astype(dtype))
+        hn = ln(h, fp["norm2"])
+        ff = jax.nn.relu(hn @ fp["linear1"]["kernel"].astype(dtype)
+                         + fp["linear1"]["bias"].astype(dtype))
+        h = h + (ff @ fp["linear2"]["kernel"].astype(dtype)
+                 + fp["linear2"]["bias"].astype(dtype))
+    if "fusion_norm" in params:
+        h = ln(h, params["fusion_norm"])
+    pooled = h[:, 0].astype(jnp.float32)
+    return pooled @ params["head"]["kernel"] + params["head"]["bias"]

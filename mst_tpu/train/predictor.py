@@ -160,13 +160,26 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
             v["batch_stats"] = batch_stats
         return v
 
+    def plain_logits(variables, source, mask):
+        # Serving fast path: fused Pallas sub-layer kernels for the Dino
+        # classifier when no attention maps are requested.
+        if (type(model).__name__ == "DinoSliceClassifier"
+                and batch_stats is None and not model.use_rope_2d
+                and model.slice_fusion == "transformer"
+                and model.fusion_layers >= 1):
+            from mst_tpu.models.vit_fast import fused_mst_logits
+
+            return fused_mst_logits(variables["params"], source, model,
+                                    src_key_padding_mask=mask,
+                                    dtype=model.dtype)
+        return model.apply(variables, source, mask, deterministic=True)
+
     def fn(params, source, mask):
         variables = variables_of(params)
         if not tta:
             if with_saliency:
                 return saliency_fn(model, variables, source, mask)
-            logits = model.apply(variables, source, mask,
-                                 deterministic=True)
+            logits = plain_logits(variables, source, mask)
             return jax.nn.softmax(logits.astype(jnp.float32), -1), None
 
         # Batched TTA: stack the 8 flip variants along the batch axis.
@@ -188,8 +201,7 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
         if with_saliency:
             probs, sal = saliency_fn(model, variables, stacked, m)
         else:
-            logits = model.apply(variables, stacked, m,
-                                 deterministic=True)
+            logits = plain_logits(variables, stacked, m)
             probs, sal = jax.nn.softmax(logits.astype(jnp.float32), -1), None
         probs = probs.reshape(len(FLIP_SUBSETS), B, -1).mean(0)
         if sal is not None:

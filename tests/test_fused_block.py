@@ -1,0 +1,88 @@
+"""Fused sub-layer kernels vs the flax modules (numerics + full fast path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mst_tpu.models.mst import DinoSliceClassifier
+from mst_tpu.models.vit_fast import FastViTConfig, fused_mst_logits, fused_vit_cls
+from mst_tpu.ops.fused_block import (
+    _attn_ref,
+    _mlp_ref,
+    fused_attention_sublayer,
+    fused_mlp_sublayer,
+)
+
+TINY = dict(model_size="tiny", patch_size=14, use_flash=False, fusion_heads=4)
+
+
+def test_fused_attention_sublayer_matches_reference():
+    key = jax.random.PRNGKey(0)
+    N, S, E, H = 2, 9, 32, 4
+    x = jax.random.normal(key, (N, S, E))
+    ks = jax.random.split(key, 8)
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[0], (E,))
+    ln_b = 0.1 * jax.random.normal(ks[1], (E,))
+    wqkv = 0.1 * jax.random.normal(ks[2], (E, 3 * E))
+    bqkv = 0.1 * jax.random.normal(ks[3], (3 * E,))
+    wproj = 0.1 * jax.random.normal(ks[4], (E, E))
+    bproj = 0.1 * jax.random.normal(ks[5], (E,))
+    ls = 1.0 + 0.1 * jax.random.normal(ks[6], (E,))
+
+    for ls_arg in (None, ls):
+        ref = _attn_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls_arg, H)
+        out = fused_attention_sublayer(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                       bproj, ls_arg, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_fused_mlp_sublayer_matches_reference_and_grads():
+    key = jax.random.PRNGKey(1)
+    N, S, E, F = 2, 9, 32, 64
+    x = jax.random.normal(key, (N, S, E))
+    ks = jax.random.split(key, 8)
+    args = (
+        1.0 + 0.1 * jax.random.normal(ks[0], (E,)),
+        0.1 * jax.random.normal(ks[1], (E,)),
+        0.1 * jax.random.normal(ks[2], (E, F)),
+        0.1 * jax.random.normal(ks[3], (F,)),
+        0.1 * jax.random.normal(ks[4], (F, E)),
+        0.1 * jax.random.normal(ks[5], (E,)),
+        None,
+    )
+    ref = _mlp_ref(x, *args, approximate=True)
+    out = fused_mlp_sublayer(x, *args, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    g_f = jax.grad(lambda x: jnp.sum(fused_mlp_sublayer(x, *args, True) ** 2))(x)
+    g_r = jax.grad(lambda x: jnp.sum(_mlp_ref(x, *args, approximate=True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_fused_mst_logits_match_flax_model():
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    ref = model.apply({"params": params}, x)
+    out = fused_mst_logits(params, x, model, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_vit_cls_matches_encoder():
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 2, 28, 28))
+    params = model.init(jax.random.PRNGKey(3), x)["params"]
+    imgs = jnp.repeat(
+        jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(4, 28, 28, 1), 3, -1)
+    from mst_tpu.models.vit import build_vit
+
+    vit = build_vit("tiny", patch_size=14, use_flash=False)
+    ref = vit.apply({"params": params["encoder"]}, imgs)["cls_token"]
+    cfg = FastViTConfig.from_model(model)
+    out = fused_vit_cls(params["encoder"], imgs, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
