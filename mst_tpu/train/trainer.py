@@ -100,6 +100,13 @@ def cross_entropy_loss(logits, targets):
 
 
 def make_train_step(model, has_batch_stats: bool = False):
+    # Note: routing training through the fused serving kernels was measured
+    # SLOWER (30.5 vs 43.6 vol/s): their custom VJPs re-run the full XLA
+    # forward inside the backward (no residual sharing), so training pays
+    # both forwards. The flax composition (ragged Pallas attention inside)
+    # stays the training path; the fused kernels serve inference.
+    use_fused = False
+
     def step(state: TrainState, source, target, mask):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
         rngs = {"dropout": rng, "drop_path": jax.random.fold_in(rng, 1)}
@@ -113,6 +120,13 @@ def make_train_step(model, has_batch_stats: bool = False):
                     rngs=rngs, mutable=["batch_stats"],
                 )
                 return cross_entropy_loss(logits, target), (logits, updates)
+            if use_fused:
+                from mst_tpu.models.vit_fast import fused_mst_logits
+
+                logits = fused_mst_logits(params, source, model,
+                                          src_key_padding_mask=mask,
+                                          dtype=model.dtype)
+                return cross_entropy_loss(logits, target), (logits, None)
             logits = model.apply(variables, source, mask,
                                  deterministic=False, rngs=rngs)
             return cross_entropy_loss(logits, target), (logits, None)

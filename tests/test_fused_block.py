@@ -86,3 +86,33 @@ def test_fused_vit_cls_matches_encoder():
     out = fused_vit_cls(params["encoder"], imgs, cfg, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_gradients_match_flax_path():
+    """Gradients through fused_mst_logits == gradients through the flax
+    model (the fused op's VJP differentiates the equivalent composition)."""
+    import optax
+
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 2, 28, 28))
+    t = jnp.array([0, 1])
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+
+    def loss_flax(p):
+        logits = model.apply({"params": p}, x, deterministic=True)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    def loss_fused(p):
+        logits = fused_mst_logits(p, x, model, dtype=jnp.float32)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    g1 = jax.grad(loss_flax)(params)
+    g2 = jax.grad(loss_fused)(params)
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_flatten_with_path(g1)[0]}
+    flat2 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_flatten_with_path(g2)[0]}
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        np.testing.assert_allclose(np.asarray(flat1[k]), np.asarray(flat2[k]),
+                                   atol=2e-4, rtol=2e-4, err_msg=k)
