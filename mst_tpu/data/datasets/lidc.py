@@ -65,7 +65,9 @@ class LIDC_Dataset3D(Dataset3D):
             flip=self.flip,
             invert=self.noise,
             noise_std=0.1 if self.noise else 0.0,
-            has_mask=True,
+            # the nodule mask is consumed on host (mask-centred crop; seg
+            # eval vs the untransformed test volume) — never on device
+            has_mask=False,
         )
 
     def __getitem__(self, index):

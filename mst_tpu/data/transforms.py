@@ -228,7 +228,10 @@ class AugmentConfig:
 
 
 def _augment_one(cfg: AugmentConfig, train: bool, vol, mask, key):
-    """vol [C, D, H, W] float32; mask [1, D, H, W] or zeros; key: PRNGKey."""
+    """vol [C, D, H, W] (any float dtype — upcast to f32 on device; callers
+    may ship float16 over the host link to halve transfer bytes);
+    mask [1, D, H, W] or zeros; key: PRNGKey."""
+    vol = vol.astype(jnp.float32)
     k_rot, k_flip, k_inv, k_sig, k_noise = jax.random.split(key, 5)
 
     if cfg.clamp_range is not None:

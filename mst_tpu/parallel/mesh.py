@@ -51,9 +51,17 @@ def shard_batch(batch: dict, mesh: Mesh, batch_axis: str = "data") -> dict:
     """device_put array leaves with a leading-dim sharding; pass through
     host-side metadata (lists/strings) untouched."""
     axis_size = mesh.shape[batch_axis]
+    single_device = int(np.prod(list(mesh.shape.values()))) == 1
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            # Leave device-resident arrays alone on a single-device mesh:
+            # re-device_put of an already-committed array forces a copy
+            # (through the host on tunneled platforms — measured 3.3 s/step
+            # vs 90 ms when the augmented batch was re-staged).
+            if single_device and isinstance(v, jax.Array):
+                out[k] = v
+                continue
             # Replicate when the batch does not divide the data axis (tiny
             # eval remainders); otherwise shard the leading dim.
             spec = (

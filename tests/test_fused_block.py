@@ -116,3 +116,16 @@ def test_fused_gradients_match_flax_path():
     for k in flat1:
         np.testing.assert_allclose(np.asarray(flat1[k]), np.asarray(flat2[k]),
                                    atol=2e-4, rtol=2e-4, err_msg=k)
+
+
+def test_fused_logits_with_padding_mask_match_flax():
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 1, 4, 28, 28))
+    mask = jnp.array([[False, False, True, True],
+                      [False, False, False, True]])
+    params = model.init(jax.random.PRNGKey(5), x, mask)["params"]
+    ref = model.apply({"params": params}, x, mask)
+    out = fused_mst_logits(params, x, model, src_key_padding_mask=mask,
+                           dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
