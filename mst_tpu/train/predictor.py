@@ -166,7 +166,9 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
         if (type(model).__name__ == "DinoSliceClassifier"
                 and batch_stats is None and not model.use_rope_2d
                 and model.slice_fusion == "transformer"
-                and model.fusion_layers >= 1):
+                and model.fusion_layers >= 1
+                and jax.default_backend() == "tpu"):
+            # (on CPU the fused kernels run interpreted — slower than XLA)
             from mst_tpu.models.vit_fast import fused_mst_logits
 
             return fused_mst_logits(variables["params"], source, model,
