@@ -29,7 +29,7 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
           iters: int = 20, warmup: int = 3) -> dict:
     from mst_tpu.models.mst import dino_v2_classifier_slice
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     model = dino_v2_classifier_slice(
         out_ch=2, model_size="small",
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,

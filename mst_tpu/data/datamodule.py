@@ -115,6 +115,12 @@ class DataModule:
             np.uint32,
         )
         keys = jax.vmap(jax.random.PRNGKey)(seeds)
+        if batch["needs_padding_mask"] and not cfg.has_mask:
+            raise ValueError(
+                "dataset requests src_key_padding_mask derivation but its "
+                "AugmentConfig sets has_mask=False — the mask must ride "
+                "through the device pipeline to stay consistent"
+            )
         if cfg.has_mask:
             masks = batch.get("mask")
             if masks is None:
@@ -124,7 +130,11 @@ class DataModule:
             # of 6 MB of zeros per batch over the host->device link.
             masks = np.zeros((b, 1, 1, 1, 1), np.uint8)
         src = batch["source"]
-        if self.wire_dtype is not None and isinstance(src, np.ndarray):
+        # Downcast to the wire dtype only for value-range pipelines (LIDC HU
+        # clamp/rescale: exact in f16). Raw-unit znorm datasets (DUKE/MRNet)
+        # can exceed f16 range and must ship at full precision.
+        if (self.wire_dtype is not None and isinstance(src, np.ndarray)
+                and cfg.znorm_percentiles is None):
             src = src.astype(self.wire_dtype)
         vol, mask = aug(src, masks, keys)
         batch["source"] = vol

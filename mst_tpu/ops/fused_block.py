@@ -146,20 +146,16 @@ def _vec(x):
     return jnp.asarray(x, jnp.float32).reshape(1, -1)
 
 
-def _call_fused(kernel, x, vecs, mats, **kw):
-    """Common pallas_call plumbing: x [N,S,E]; vecs are [1,dim] fp32
-    broadcasts; mats are full matrices."""
+def _call_fused(kernel, x, operands, **kw):
+    """Common pallas_call plumbing: x [N,S,E]; operands are grid-invariant
+    VMEM-resident params ([1,dim] fp32 vectors or full weight matrices)."""
     N, S, E = x.shape
     in_specs = [pl.BlockSpec((1, S, E), lambda n: (n, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [x]
-    for item, is_mat in vecs + mats:
-        if is_mat:
-            in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
-                                         memory_space=pltpu.VMEM))
-        else:
-            in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
-                                         memory_space=pltpu.VMEM))
+    for item in operands:
+        in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
+                                     memory_space=pltpu.VMEM))
         args.append(item)
     return pl.pallas_call(
         kernel,
@@ -181,10 +177,8 @@ def fused_attention_sublayer(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
     return _call_fused(
         functools.partial(_attn_kernel, num_heads=num_heads, has_ls=has_ls),
         x,
-        vecs=[(_vec(ln_s), False), (_vec(ln_b), False)],
-        mats=[(jnp.asarray(wqkv, x.dtype), True), ((_vec(bqkv)), False),
-              (jnp.asarray(wproj, x.dtype), True), ((_vec(bproj)), False),
-              (ls_arg, False)],
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
+         jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
     )
 
 
@@ -213,10 +207,8 @@ def fused_mlp_sublayer(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
     return _call_fused(
         functools.partial(_mlp_kernel, approximate=approximate, has_ls=has_ls),
         x,
-        vecs=[(_vec(ln_s), False), (_vec(ln_b), False)],
-        mats=[(jnp.asarray(w1, x.dtype), True), (_vec(b1), False),
-              (jnp.asarray(w2, x.dtype), True), (_vec(b2), False),
-              (ls_arg, False)],
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype), _vec(b1),
+         jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
     )
 
 

@@ -165,6 +165,7 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
         # classifier when no attention maps are requested.
         if (type(model).__name__ == "DinoSliceClassifier"
                 and batch_stats is None and not model.use_rope_2d
+                and model.rotary is None
                 and model.slice_fusion == "transformer"
                 and model.fusion_layers >= 1
                 and jax.default_backend() == "tpu"):

@@ -105,8 +105,6 @@ def make_train_step(model, has_batch_stats: bool = False):
     # forward inside the backward (no residual sharing), so training pays
     # both forwards. The flax composition (ragged Pallas attention inside)
     # stays the training path; the fused kernels serve inference.
-    use_fused = False
-
     def step(state: TrainState, source, target, mask):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
         rngs = {"dropout": rng, "drop_path": jax.random.fold_in(rng, 1)}
@@ -120,13 +118,6 @@ def make_train_step(model, has_batch_stats: bool = False):
                     rngs=rngs, mutable=["batch_stats"],
                 )
                 return cross_entropy_loss(logits, target), (logits, updates)
-            if use_fused:
-                from mst_tpu.models.vit_fast import fused_mst_logits
-
-                logits = fused_mst_logits(params, source, model,
-                                          src_key_padding_mask=mask,
-                                          dtype=model.dtype)
-                return cross_entropy_loss(logits, target), (logits, None)
             logits = model.apply(variables, source, mask,
                                  deterministic=False, rngs=rngs)
             return cross_entropy_loss(logits, target), (logits, None)
@@ -217,10 +208,13 @@ class Trainer:
             # Device results are collected asynchronously and pulled to host
             # once per epoch: no per-step sync, XLA keeps the pipe full.
             pending = []
+            dev_keys = ("source", "target", "src_key_padding_mask")
             with trace(self.profile_dir if epoch == 1 else None):
                 for batch in dm.train_dataloader():
                     with timer.step():
-                        batch = shard_batch(batch, self.mesh)
+                        batch = shard_batch(
+                            {k: v for k, v in batch.items() if k in dev_keys},
+                            self.mesh)
                         mask = batch.get("src_key_padding_mask")
                         state, loss, logits = train_step(
                             state, batch["source"],

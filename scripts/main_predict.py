@@ -74,12 +74,14 @@ def main(argv=None):
     log.addHandler(fh)
 
     hparams = load_hparams(path_run) or {}
+    # Explicit nulls are meaningful (layerscale_init=None == no LayerScale),
+    # so whitelist membership alone decides — no None-filter.
     model_kw = {
         k: v for k, v in hparams.items()
         if k in ("model_size", "slice_fusion", "rotary", "use_bottleneck",
                  "use_slice_pos_emb", "freeze", "fusion_heads",
                  "num_register_tokens", "pos_embed_grid", "layerscale_init",
-                 "gelu_approximate", "use_rope_2d") and v is not None
+                 "gelu_approximate", "use_rope_2d")
     }
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, _ = get_model(model_name, dtype=dtype, **model_kw)
