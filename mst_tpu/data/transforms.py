@@ -239,12 +239,17 @@ def _augment_one(cfg: AugmentConfig, train: bool, vol, mask, key):
     if cfg.rescale is not None:
         out_range, in_min_max = cfg.rescale
         vol = rescale_intensity(vol, out_range, in_min_max)
-    if cfg.znorm_percentiles is not None:
-        vol = znorm_percentile(vol, cfg.znorm_percentiles)
+    # Resize BEFORE percentile znorm: the reference MRNet chain is
+    # CropOrPad -> Resize(224) -> ZNormalization (dataset_3d_mrnet.py:39-42),
+    # i.e. the normalisation statistics and the (min<x<max) extremes mask are
+    # computed on the 224-resolution volume after interpolation. The order
+    # only matters when both are configured (exactly the MRNet config).
     if cfg.resize_to is not None:
         vol = resize_trilinear(vol, cfg.resize_to)
         if cfg.has_mask:
             mask = (resize_trilinear(mask.astype(jnp.float32), cfg.resize_to) > 0.5)
+    if cfg.znorm_percentiles is not None:
+        vol = znorm_percentile(vol, cfg.znorm_percentiles)
 
     if train and cfg.random_rotate:
         ang = jax.random.uniform(k_rot, (), minval=0.0, maxval=jnp.pi / 2)

@@ -117,7 +117,7 @@ class DinoSliceClassifier(nn.Module):
             ]
             # final encoder norm (reference `nn.TransformerEncoder(...,
             # norm=nn.LayerNorm(emb_ch))`, `dino.py:84-96`)
-            self.fusion_norm = nn.LayerNorm(dtype=self.dtype,
+            self.fusion_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                             name="fusion_norm")
         elif self.slice_fusion == "linear":
             self.fusion_linear = nn.Dense(emb, dtype=self.dtype, name="fusion_linear")

@@ -141,8 +141,11 @@ class TransformerEncoderLayer(nn.Module):
             h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
             return nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
 
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        # torch nn.TransformerEncoderLayer LayerNorms use eps=1e-5 (the ViT's
+        # 1e-6 is DINOv2-specific); matched for bit-level converted-checkpoint
+        # parity.
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         if self.norm_first:
             x = x + sa(norm1(x))
             x = x + ff(norm2(x))

@@ -8,13 +8,17 @@ combined 3D saliency volumes. No hooks, no fastpath toggling — everything
 is jittable and TTA-batchable.
 
 Map semantics replicated exactly:
-- slice attention: CLS->slice row of the fusion attention, mean over heads,
-  renormalised to sum 1 (`dino.py:173-187`);
+- slice attention: CLS->slice row of the fusion attention, normalised to
+  sum 1 PER HEAD, then mean over heads (`dino.py:173-187` — the ordering
+  matters: mean-of-normalised != normalised-mean);
 - plane attention: CLS->patch row of the LAST ViT block, register tokens
   skipped via the token offset (`dino.py:189-195`), patch 0 zeroed
-  (`dino.py:193`), renormalised;
+  (`dino.py:193`), normalised per head, then head-mean (the reference
+  returns per-head maps and `main_predict.py:73-74` head-means them);
 - combined map = outer product of the two (`dino.py:197-202`);
-- attention rollout over all layers (`dino.py:204-212`).
+- attention rollout: `attention_cls_rollout` is the reference's
+  `get_attention_cls` chain (`dino.py:204-212`); `attention_rollout` is the
+  improved Abnar & Zuidema variant kept as an opt-in alternative.
 """
 
 from __future__ import annotations
@@ -27,10 +31,14 @@ import jax.numpy as jnp
 
 def slice_attention(fusion_probs: jax.Array) -> jax.Array:
     """[B, heads, S, S] fusion attention (S = 1 + D, CLS first) ->
-    normalised per-slice weights [B, D]."""
+    normalised per-slice weights [B, D].
+
+    Per-head CLS rows are normalised BEFORE the head mean (`dino.py:173-177`,
+    `resnet.py:200-206`); the mean of rows that each sum to 1 sums to 1, so
+    no renormalisation follows."""
     cls_row = fusion_probs[:, :, 0, 1:]  # [B, heads, D]
-    w = jnp.mean(cls_row, axis=1)
-    return w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    w = cls_row / jnp.clip(jnp.sum(cls_row, axis=-1, keepdims=True), 1e-12)
+    return jnp.mean(w, axis=1)
 
 
 def plane_attention(
@@ -43,11 +51,14 @@ def plane_attention(
     Skips register tokens (reference offset `slice(5, None)` for 4-register
     models, `dino.py:191`) and zeroes the first patch (`dino.py:193`) — the
     first patch often collects global signal and would dominate the map.
+    Zero + normalise happen PER HEAD, then heads are averaged
+    (`dino.py:189-195` returns per-head maps; `main_predict.py:73-74`
+    head-means the combined map).
     """
     cls_row = vit_probs[:, :, 0, num_prefix_tokens:]  # [BD, heads, N]
-    w = jnp.mean(cls_row, axis=1)
-    w = w.at[:, 0].set(0.0)
+    w = cls_row.at[:, :, 0].set(0.0)
     w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    w = jnp.mean(w, axis=1)
     gh, gw = grid_hw
     return w.reshape(-1, gh, gw)
 
@@ -62,14 +73,30 @@ def combined_saliency(
     return slice_w[:, :, None, None] * plane
 
 
+def attention_cls_rollout(
+    probs_per_layer: Sequence[jax.Array],  # each [B, heads, T, T]
+) -> jax.Array:
+    """Reference `get_attention_cls` (`dino.py:204-212`): a bare reversed
+    matmul chain over the raw per-head attention probs — A_0 @ A_1 @ ... @
+    A_{L-1}, no identity term, no row normalisation, heads kept.
+    Returns [B, heads, T, T]."""
+    result = probs_per_layer[-1]
+    for a in reversed(probs_per_layer[:-1]):
+        result = jnp.einsum("bhij,bhjk->bhik", a, result)
+    return result
+
+
 def attention_rollout(
     probs_per_layer: Sequence[jax.Array],  # each [B, heads, T, T]
     num_prefix_tokens: int,
 ) -> jax.Array:
-    """Rollout (Abnar & Zuidema) over all layers -> CLS->patch map [B, N].
+    """Rollout (Abnar & Zuidema 2020) over all layers -> CLS->patch map
+    [B, N]: per layer, head-mean + FULL identity (residual branch),
+    row-normalise, multiply down the stack, read the CLS row.
 
-    Mirrors `dino.py:204-212`: per layer, head-mean + 0.5 * identity
-    (residual), row-normalise, multiply down the stack, read the CLS row.
+    This is deliberately NOT the reference's `get_attention_cls` chain (see
+    `attention_cls_rollout`); it is kept as an opt-in improved alternative
+    (`--rollout_mode abnar`).
     """
     result = None
     for probs in probs_per_layer:

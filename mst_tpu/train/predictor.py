@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from mst_tpu.ops.gradcam import argmax_logit_gradcam, grad_cam_map
 from mst_tpu.ops.saliency import (
+    attention_cls_rollout,
     attention_rollout,
     combined_saliency,
     plane_attention,
@@ -58,15 +59,17 @@ def _forward_with_saliency(model, variables, source, mask,
     """Dino path: source [B,C,D,H,W] -> (probs, saliency [B,D,H,W]).
 
     plane_mode="last": CLS->patch row of the last ViT block (the
-    reference's default map, `dino.py:189-195`); "rollout": full
-    attention rollout over all blocks (`get_attention_cls`,
-    `dino.py:204-212`).
+    reference's default map, `dino.py:189-195`); "rollout": the reference's
+    `get_attention_cls` reversed matmul chain over all blocks
+    (`dino.py:204-212`), CLS row consumed like the last-block map;
+    "rollout_abnar": improved Abnar & Zuidema rollout (opt-in, not
+    reference behavior).
     """
     B, C, D, H, W = source.shape
     logits, aux = model.apply(
         variables, source, mask,
         deterministic=True,
-        return_weights="all" if plane_mode == "rollout" else "last",
+        return_weights="all" if plane_mode.startswith("rollout") else "last",
         mutable=["intermediates"],
     )
     inter = aux["intermediates"]
@@ -83,6 +86,11 @@ def _forward_with_saliency(model, variables, source, mask,
     gh, gw = H // patch, W // patch
     vit_probs_all = _find_sowed(inter["encoder"], "attn_probs")
     if plane_mode == "rollout":
+        # Reference get_attention_cls chain, then the CLS row consumed with
+        # the same per-head normalise -> head-mean as the last-block map.
+        chain = attention_cls_rollout(vit_probs_all)
+        pw = plane_attention(chain, n_prefix, (gh, gw))
+    elif plane_mode == "rollout_abnar":
         pw = attention_rollout(vit_probs_all, n_prefix).reshape(-1, gh, gw)
     else:
         pw = plane_attention(vit_probs_all[-1], n_prefix, (gh, gw))

@@ -56,7 +56,12 @@ def main(argv=None):
     ap.add_argument("--use_tta", action="store_true")
     ap.add_argument("--use_rollout", action="store_true",
                     help="attention rollout over all ViT blocks instead of "
-                         "the last-block CLS map (reference get_attention_cls)")
+                         "the last-block CLS map (reference get_attention_cls "
+                         "reversed matmul chain)")
+    ap.add_argument("--rollout_abnar", action="store_true",
+                    help="with --use_rollout: use the improved Abnar&Zuidema "
+                         "rollout (identity residual + row norm) instead of "
+                         "the reference chain")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = ap.parse_args(argv)
 
@@ -93,9 +98,11 @@ def main(argv=None):
     ds_test = get_dataset(dataset_name, split="test", **ds_kw)
 
     want_sal = args.get_attention or args.get_segmentation
+    plane_mode = "last"
+    if args.use_rollout:
+        plane_mode = "rollout_abnar" if args.rollout_abnar else "rollout"
     predict = make_predict_fn(model, tta=args.use_tta, with_saliency=want_sal,
-                              batch_stats=batch_stats,
-                              plane_mode="rollout" if args.use_rollout else "last")
+                              batch_stats=batch_stats, plane_mode=plane_mode)
 
     from mst_tpu.data.datamodule import DataModule
 
@@ -163,18 +170,26 @@ def main(argv=None):
 
         from mst_tpu.utils.roc_curve import plot_roc_curve
 
+        # Argmax ACC/CM go to the LOG only (reference :345-353).
+        cm_arg = confusion_matrix(df["NN"].to_numpy(), df["GT"].to_numpy())
+        log.info("argmax ACC=%.4f  CM=%s", cm2acc(cm_arg), cm_arg.tolist())
+
         fig, ax = plt.subplots(figsize=(5, 5))
         *_, cm = plot_roc_curve(df["GT"].to_numpy(), df["NN_pred"].to_numpy(), ax)
         fig.savefig(out_dir / "roc.png", dpi=150, bbox_inches="tight")
         plt.close(fig)
 
-        cm_arg = confusion_matrix(df["NN"].to_numpy(), df["GT"].to_numpy())
-        acc = cm2acc(cm_arg)
+        # The heatmapped artifact + reported ACC use the Youden working-point
+        # CM returned by plot_roc_curve (reference :366-375), not argmax.
+        acc = cm2acc(cm)
         ppv, npv, sens, spec = cm2x(cm)
         fig, ax = plt.subplots(figsize=(4, 4))
-        sns.heatmap(cm_arg, annot=True, fmt="d", cmap="Blues", ax=ax)
-        ax.set_xlabel("Predicted")
-        ax.set_ylabel("Ground truth")
+        sns.heatmap(cm, annot=True, fmt="d", cmap="Blues", ax=ax,
+                    xticklabels=["False", "True"],
+                    yticklabels=["False", "True"])
+        ax.set_title(f"Confusion Matrix ACC={acc:.2f}")
+        ax.set_xlabel("Prediction")
+        ax.set_ylabel("True")
         fig.savefig(out_dir / "confusion_matrix.png", dpi=150, bbox_inches="tight")
         plt.close(fig)
         log.info("ACC=%.4f  Sens=%.4f Spec=%.4f PPV=%.4f NPV=%.4f",
