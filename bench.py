@@ -60,6 +60,23 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     dt = (time.perf_counter() - t0) / iters
     vps = batch / dt
 
+    # Batched 8-way flip TTA (offline eval serving mode): all variants of
+    # all B volumes in ONE device program. Runs BEFORE training — the
+    # donated train step deletes the param buffers it shares.
+    tta_vps = None
+    if on_tpu:
+        from mst_tpu.train.predictor import make_predict_fn
+
+        predict_tta = make_predict_fn(model, tta=True, with_saliency=False)
+        p, _ = predict_tta(params, source, None)
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        tta_iters = max(iters // 2, 5)
+        for _ in range(tta_iters):
+            p, _ = predict_tta(params, source, None)
+        jax.block_until_ready(p)
+        tta_vps = batch / ((time.perf_counter() - t0) / tta_iters)
+
     # Secondary: full training-step throughput (fwd + CE + bwd + AdamW in
     # one donated program).
     import optax
@@ -70,7 +87,7 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         apply_fn=model.apply, params=params,
         tx=make_optimizer(1e-6), dropout_rng=jax.random.PRNGKey(1),
     )
-    step = make_train_step(model)
+    step = make_train_step(model)  # fused residual-sharing path on TPU
     target = jnp.zeros((batch,), jnp.int32)
     state, *_ = step(state, source, target, None)
     jax.block_until_ready(state.params)
@@ -82,26 +99,70 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     train_dt = (time.perf_counter() - t0) / train_iters
     del optax
 
+    # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
+    # biggest encoder the reference supports (`dino.py` model_size 'g').
+    giant2_vps = None
+    if on_tpu:
+        try:
+            giant2_vps = _bench_giant2(depth, hw)
+        except Exception as e:  # noqa: BLE001 — OOM/compile limits: report n/a
+            print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
+                  flush=True)
+
     baseline_path = Path(__file__).parent / "BASELINE_measured.json"
     vs = None
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text())
         vs = vps / base["volumes_per_sec"]
 
+    detail = {
+        "batch": batch, "depth": depth, "hw": hw,
+        "latency_ms_per_batch": round(dt * 1e3, 2),
+        "train_volumes_per_sec": round(batch / train_dt, 2),
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    if tta_vps is not None:
+        detail["tta8_volumes_per_sec"] = round(tta_vps, 2)
+    if giant2_vps is not None:
+        detail["giant2_volumes_per_sec"] = round(giant2_vps, 3)
     return {
         "metric": "MST-DINOv2 ViT-S/14 LIDC inference throughput",
         "value": round(vps, 3),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-        "detail": {
-            "batch": batch, "depth": depth, "hw": hw,
-            "latency_ms_per_batch": round(dt * 1e3, 2),
-            "train_volumes_per_sec": round(batch / train_dt, 2),
-            "train_step_ms": round(train_dt * 1e3, 2),
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
+
+
+def _bench_giant2(depth: int, hw: int, iters: int = 5) -> float:
+    """ViT-g2 per-volume inference throughput (batch 1, bf16, fused path)."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    model = DinoSliceClassifier(out_ch=2, model_size="giant2",
+                                dtype=jnp.bfloat16)
+    source = jax.random.normal(jax.random.PRNGKey(2),
+                               (1, 1, depth, hw, hw), jnp.float32)
+    # bf16 params: inference-shaped memory (1.1B params = 2.2 GB). Init on a
+    # tiny 28x28 single-slice input — param shapes are input-independent,
+    # and this avoids compiling a full-size f32 init forward just to draw
+    # random weights.
+    params = model.init(jax.random.PRNGKey(0),
+                        source[:, :, :1, :28, :28])["params"]
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def forward(src):
+        return fused_mst_logits(params, src, model)
+
+    forward(source).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(source)
+    out.block_until_ready()
+    return 1.0 / ((time.perf_counter() - t0) / iters)
 
 
 if __name__ == "__main__":

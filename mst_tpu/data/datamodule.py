@@ -86,6 +86,10 @@ class DataModule:
     def _train_indices(self) -> np.ndarray:
         n = len(self.ds_train)
         num = self.num_train_samples or n
+        if self.num_shards > 1:
+            # Equal per-host step counts (drop_last over the global stream):
+            # SPMD training hangs if one host runs an extra step.
+            num -= num % (self.num_shards * self.batch_size)
         rng = np.random.default_rng((self.seed, self._epoch))
         if self.weights is not None:
             p = self.weights / self.weights.sum()
@@ -185,18 +189,38 @@ class DataModule:
         if pending is not None:
             yield pending
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the sampling epoch counter (resume support): the
+        per-epoch index stream and augmentation seeds derive from
+        (seed, epoch), so a resumed run re-enters the exact sequence."""
+        self._epoch = int(epoch)
+
     def train_dataloader(self) -> Iterator[dict]:
         idx = self._train_indices()
         self._epoch += 1
         return self._iter_batches(self.ds_train, idx, train=True)
 
+    def _eval_indices(self, n: int) -> np.ndarray:
+        idx = np.arange(n)
+        if self.num_shards > 1:
+            # Multi-host eval runs SPMD collectives per batch and all-gathers
+            # equal-length metric buffers per epoch, so every host must see
+            # the same number of equally-sized batches: pad the global index
+            # list to a multiple of num_shards * batch_size by wrapping
+            # (the few duplicated samples shift epoch AUC/ACC negligibly and
+            # deterministically; torch's DistributedSampler pads the same way).
+            quantum = self.num_shards * self.batch_size
+            pad = (-n) % quantum
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx[self.shard_id :: self.num_shards]
+
     def val_dataloader(self) -> Iterator[dict]:
-        idx = np.arange(len(self.ds_val))[self.shard_id :: self.num_shards]
-        return self._iter_batches(self.ds_val, idx, train=False)
+        return self._iter_batches(
+            self.ds_val, self._eval_indices(len(self.ds_val)), train=False)
 
     def test_dataloader(self) -> Iterator[dict]:
-        idx = np.arange(len(self.ds_test))[self.shard_id :: self.num_shards]
-        return self._iter_batches(self.ds_test, idx, train=False)
+        return self._iter_batches(
+            self.ds_test, self._eval_indices(len(self.ds_test)), train=False)
 
 
 def balanced_weights(labels: np.ndarray) -> np.ndarray:

@@ -24,11 +24,32 @@ import numpy as np
 
 def pos_embed_grid_from_sd(sd) -> int:
     """Infer the canonical pos-embed grid side from a DINOv2 state_dict
-    (257 tokens -> 16, 1370 -> 37)."""
-    n = np.asarray(sd["pos_embed"]).shape[1] - 1
+    (257 tokens -> 16, 1370 -> 37). Accepts hub or HF key layout."""
+    key = "pos_embed" if "pos_embed" in sd else "embeddings.position_embeddings"
+    n = np.asarray(sd[key]).shape[1] - 1
     side = int(round(n ** 0.5))
     assert side * side == n, f"non-square pos embed ({n} patch tokens)"
     return side
+
+
+def detect_encoder_layout(sd) -> str:
+    """'hub' (torch.hub DINOv2 / local vit_*) vs 'hf' (HuggingFace
+    Dinov2Model); the reference consumes both (`dino.py:59-66,321-333`)."""
+    if "pos_embed" in sd and "cls_token" in sd:
+        return "hub"
+    if "embeddings.position_embeddings" in sd:
+        return "hf"
+    raise ValueError(
+        "unrecognised encoder state_dict layout (neither torch.hub DINOv2 "
+        "nor HuggingFace Dinov2Model keys present)"
+    )
+
+
+def convert_any_dinov2(sd: Dict, depth: int, ffn_layer: str = "mlp") -> Dict:
+    """Dispatch on state_dict layout: torch.hub vs HF."""
+    if detect_encoder_layout(sd) == "hub":
+        return convert_dinov2_vit(sd, depth, ffn_layer)
+    return convert_hf_dinov2(sd, depth)
 
 
 def _t(w) -> np.ndarray:
@@ -260,8 +281,8 @@ def load_pretrained_encoder(params: Dict, state_dict: Dict, depth: int,
                             ffn_layer: str = "mlp") -> Dict:
     """Replace the `encoder` subtree of an MST classifier param tree with
     converted DINOv2 weights (the `load_pretrained` analogue,
-    reference `base_model.py:67-75`)."""
-    converted = convert_dinov2_vit(state_dict, depth, ffn_layer)
+    reference `base_model.py:67-75`). Accepts hub or HF layout."""
+    converted = convert_any_dinov2(state_dict, depth, ffn_layer)
     out = dict(params)
     out["encoder"] = converted
     return out

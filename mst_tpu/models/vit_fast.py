@@ -22,7 +22,11 @@ import jax.numpy as jnp
 from mst_tpu.models.vit import _VIT_CONFIGS, interpolate_pos_embed
 from mst_tpu.ops.fused_block import (
     fused_attention_sublayer,
+    fused_attention_sublayer_train,
     fused_mlp_sublayer,
+    fused_mlp_sublayer_train,
+    fused_swiglu_sublayer,
+    fused_swiglu_sublayer_train,
 )
 
 
@@ -35,6 +39,7 @@ class FastViTConfig:
     num_register_tokens: int = 0
     pos_embed_grid: int = 37
     gelu_approximate: bool = True
+    ffn_layer: str = "mlp"  # "mlp" | "swiglu" (giant2)
 
     @classmethod
     def from_model(cls, model) -> "FastViTConfig":
@@ -45,12 +50,16 @@ class FastViTConfig:
             num_register_tokens=model.num_register_tokens,
             pos_embed_grid=model.pos_embed_grid,
             gelu_approximate=model.gelu_approximate,
+            ffn_layer=base.get("ffn_layer", "mlp"),
         )
 
 
 def fused_vit_cls(params, x, cfg: FastViTConfig,
-                  dtype=jnp.bfloat16) -> jax.Array:
-    """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E]."""
+                  dtype=jnp.bfloat16, train: bool = False) -> jax.Array:
+    """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E].
+
+    train=True routes through the residual-sharing kernel variants whose
+    backward never re-runs the forward (fused_block.py train section)."""
     N, H, W, C = x.shape
     p = cfg.patch_size
     gh, gw = H // p, W // p
@@ -77,22 +86,34 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     parts.append(tokens)
     h = jnp.concatenate(parts, axis=1)
 
+    attn_fn = fused_attention_sublayer_train if train else \
+        fused_attention_sublayer
+    mlp_fn = fused_mlp_sublayer_train if train else fused_mlp_sublayer
+    swiglu_fn = fused_swiglu_sublayer_train if train else fused_swiglu_sublayer
     for i in range(cfg.depth):
         blk = params[f"blocks_{i}"]
         ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
         ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
-        h = fused_attention_sublayer(
+        h = attn_fn(
             h, blk["norm1"]["scale"], blk["norm1"]["bias"],
             blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
             blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"],
             ls1, cfg.num_heads,
         )
-        h = fused_mlp_sublayer(
-            h, blk["norm2"]["scale"], blk["norm2"]["bias"],
-            blk["mlp"]["fc1"]["kernel"], blk["mlp"]["fc1"]["bias"],
-            blk["mlp"]["fc2"]["kernel"], blk["mlp"]["fc2"]["bias"],
-            ls2, cfg.gelu_approximate,
-        )
+        if cfg.ffn_layer == "swiglu":
+            h = swiglu_fn(
+                h, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                blk["mlp"]["w12"]["kernel"], blk["mlp"]["w12"]["bias"],
+                blk["mlp"]["w3"]["kernel"], blk["mlp"]["w3"]["bias"],
+                ls2,
+            )
+        else:
+            h = mlp_fn(
+                h, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                blk["mlp"]["fc1"]["kernel"], blk["mlp"]["fc1"]["bias"],
+                blk["mlp"]["fc2"]["kernel"], blk["mlp"]["fc2"]["bias"],
+                ls2, cfg.gelu_approximate,
+            )
 
     n = params["norm"]
     hf = h.astype(jnp.float32)
@@ -103,18 +124,21 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
 
 
 def fused_mst_logits(params, source, model, src_key_padding_mask=None,
-                     dtype=jnp.bfloat16) -> jax.Array:
+                     dtype=jnp.bfloat16, train: bool = False) -> jax.Array:
     """Full MST forward (DinoSliceClassifier params) on the fused path.
 
     source: [B, C, D, H, W]; only the per-slice encoder uses the fused
     kernels — the slice fusion / head are tiny and stay in XLA.
+    train=True selects the residual-sharing kernels (differentiable without
+    forward recompute); valid when all dropout rates are 0 (the reference's
+    defaults) since the fused path has no rng plumbing.
     """
     cfg = FastViTConfig.from_model(model)
     B, C, D, H, W = source.shape
     x = jnp.transpose(source, (0, 2, 3, 4, 1)).reshape(B * D, H, W, C)
     if C == 1:
         x = jnp.repeat(x, 3, axis=-1)
-    feats = fused_vit_cls(params["encoder"], x, cfg, dtype)  # [B*D, E]
+    feats = fused_vit_cls(params["encoder"], x, cfg, dtype, train=train)  # [B*D, E]
     E = feats.shape[-1]
     if "bottleneck" in params:
         bp = params["bottleneck"]
@@ -130,10 +154,12 @@ def fused_mst_logits(params, source, model, src_key_padding_mask=None,
     scale = 1.0 / math.sqrt(E // model.fusion_heads)
 
     def ln(x, prm):
+        # torch-layer norms (fusion / fusion_norm) use eps=1e-5, unlike the
+        # DINOv2 ViT's 1e-6 (matches models/slice_fusion.py).
         xf = x.astype(jnp.float32)
         m = xf.mean(-1, keepdims=True)
         v = ((xf - m) ** 2).mean(-1, keepdims=True)
-        return ((xf - m) * jax.lax.rsqrt(v + 1e-6) * prm["scale"]
+        return ((xf - m) * jax.lax.rsqrt(v + 1e-5) * prm["scale"]
                 + prm["bias"]).astype(x.dtype)
 
     for i in range(model.fusion_layers):

@@ -9,11 +9,23 @@ sub-layer:
 
 - `fused_attention_sublayer`: y = x + ls1 * proj(MHSA(LN1(x)))
 - `fused_mlp_sublayer`:       y = x + ls2 * fc2(act(fc1(LN2(x))))
+- `fused_swiglu_sublayer`:    y = x + ls2 * w3(silu(x1) * x2), x12=w12(LN2(x))
+  (the giant2 FFN, reference `layers/swiglu_ffn.py`)
 
 Both carry a custom VJP whose backward differentiates the equivalent XLA
 composition (`_attn_ref` / `_mlp_ref`), so the fused path is usable in
 training too; the kernels themselves are inference-oriented (weights are
 re-streamed per program).
+
+TRAINING variants (`fused_attention_sublayer_train` /
+`fused_mlp_sublayer_train` / `fused_swiglu_sublayer_train`) share residuals
+instead of recomputing: the forward kernel additionally writes the
+intermediates the pullback needs (qkv, per-head attention probs, pre-proj
+concat, pre-activation MLP hidden), and the backward is hand-written XLA
+matmul math over those saved tensors — the forward is never re-run (round-1
+VERDICT #3: the re-running VJPs made training fall back to the unfused
+path). LN statistics are recomputed in the backward from x (two cheap
+VPU reductions) rather than saved, avoiding lane-padded per-row outputs.
 
 Constraints: S <= 512 (whole sequence per program), no attention bias, no
 attention-prob output (the explainability path uses the unfused modules).
@@ -72,6 +84,16 @@ def _mlp_ref(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
     if ls is not None:
         h = h * ls.astype(x.dtype)
     return x + h
+
+
+def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+    h = _ln(x, ln_s, ln_b).astype(x.dtype)
+    h12 = h @ w12.astype(x.dtype) + b12.astype(x.dtype)
+    h1, h2 = jnp.split(h12, 2, axis=-1)
+    y = (jax.nn.silu(h1) * h2) @ w3.astype(x.dtype) + b3.astype(x.dtype)
+    if ls is not None:
+        y = y * ls.astype(x.dtype)
+    return x + y
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +164,134 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[0] = (xf + y).astype(o_ref.dtype)
 
 
+def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                       wproj_ref, bproj_ref, ls_ref, y_ref, qkv_ref, p_ref,
+                       o_ref, *, num_heads: int, has_ls: bool):
+    """Forward + residual outputs for the attention sublayer backward:
+    qkv [S,3E], per-head probs p [H,S,S], pre-proj concat o [S,E]."""
+    x = x_ref[0]
+    S, E = x.shape
+    hd = E // num_heads
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0]
+    qkv = qkv.astype(x.dtype)
+    qkv_ref[0] = qkv
+    scale = 1.0 / math.sqrt(hd)
+    outs = []
+    for i in range(num_heads):
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, E + i * hd: E + (i + 1) * hd]
+        v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p_ref[0, i] = p.astype(p_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+    o = jnp.concatenate(outs, axis=-1)
+    o_ref[0] = o
+    y = jax.lax.dot_general(
+        o, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0]
+    if has_ls:
+        y = y * ls_ref[0]
+    y_ref[0] = (xf + y).astype(y_ref.dtype)
+
+
+def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, ls_ref, y_ref, a_ref, *, approximate: bool,
+                      has_ls: bool):
+    """Forward + residual output for the MLP backward: pre-activation
+    hidden a [S, F]."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+    a = jax.lax.dot_general(
+        h, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    a = a.astype(x.dtype)
+    a_ref[0] = a
+    u = jax.nn.gelu(a, approximate=approximate).astype(x.dtype)
+    y = jax.lax.dot_general(
+        u, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0]
+    if has_ls:
+        y = y * ls_ref[0]
+    y_ref[0] = (xf + y).astype(y_ref.dtype)
+
+
+def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
+                         b3_ref, ls_ref, y_ref, h12_ref, *, has_ls: bool):
+    """Forward + residual output for the SwiGLU backward: pre-gate hidden
+    h12 [S, 2F]."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+    h12 = jax.lax.dot_general(
+        h, w12_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b12_ref[0]
+    h12 = h12.astype(x.dtype)
+    h12_ref[0] = h12
+    hidden = h12.shape[-1] // 2
+    h1 = h12[:, :hidden]
+    h2 = h12[:, hidden:]
+    g = (h1 * jax.nn.sigmoid(h1) * h2).astype(x.dtype)
+    y = jax.lax.dot_general(
+        g, w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b3_ref[0]
+    if has_ls:
+        y = y * ls_ref[0]
+    y_ref[0] = (xf + y).astype(y_ref.dtype)
+
+
+def _swiglu_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref, b3_ref,
+                   ls_ref, o_ref, *, has_ls: bool):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+    h12 = jax.lax.dot_general(
+        h, w12_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b12_ref[0]
+    hidden = h12.shape[-1] // 2
+    h1 = h12[:, :hidden]
+    h2 = h12[:, hidden:]
+    g = (h1 * jax.nn.sigmoid(h1) * h2).astype(x.dtype)
+    y = jax.lax.dot_general(
+        g, w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b3_ref[0]
+    if has_ls:
+        y = y * ls_ref[0]
+    o_ref[0] = (xf + y).astype(o_ref.dtype)
+
+
 def _vec(x):
     return jnp.asarray(x, jnp.float32).reshape(1, -1)
 
@@ -167,6 +317,295 @@ def _call_fused(kernel, x, operands, **kw):
         interpret=not _on_tpu(),
         **kw,
     )(*args)
+
+
+def _call_fused_multi(kernel, x, operands, out_shapes, **kw):
+    """Like `_call_fused` but with multiple grid-mapped outputs.
+
+    out_shapes: list of per-program shapes (without the leading grid dim);
+    output i has global shape (N, *out_shapes[i]) and block (1, *shape)."""
+    N = x.shape[0]
+    in_specs = [pl.BlockSpec((1, *x.shape[1:]),
+                             lambda n: (n,) + (0,) * (x.ndim - 1),
+                             memory_space=pltpu.VMEM)]
+    args = [x]
+    for item in operands:
+        in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(item)
+    out_specs, out_shape = [], []
+    for shp in out_shapes:
+        nd = len(shp)
+        out_specs.append(pl.BlockSpec(
+            (1, *shp), (lambda n, _nd=nd: (n,) + (0,) * _nd),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((N, *shp), x.dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=not _on_tpu(),
+        **kw,
+    )(*args)
+
+
+def _ln_recompute(x, ln_s):
+    """Recompute LN statistics from x (backward; cheaper than saving
+    lane-padded per-row stats from the kernel)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    xhat = (xf - mean) * rstd
+    return xhat, rstd
+
+
+def _ln_bwd(dh, xhat, rstd, ln_s):
+    """Pullback through h = xhat * ln_s + ln_b -> (dx, dln_s, dln_b)."""
+    dh = dh.astype(jnp.float32)
+    dln_s = (dh * xhat).sum((0, 1))
+    dln_b = dh.sum((0, 1))
+    dxhat = dh * ln_s.astype(jnp.float32)
+    m1 = dxhat.mean(-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    return dx, dln_s, dln_b
+
+
+def _heads(t, num_heads):
+    """[N, S, E] -> [N, H, S, hd]"""
+    N, S, E = t.shape
+    return jnp.moveaxis(t.reshape(N, S, num_heads, E // num_heads), 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_attention_sublayer_train(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                   ls, num_heads):
+    """y = x + ls * proj(MHSA(LN(x))) — training variant whose backward
+    consumes saved residuals instead of re-running the forward."""
+    y, *_ = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                 ls, num_heads)
+    return y
+
+
+def _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+                         num_heads):
+    N, S, E = x.shape
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
+    y, qkv, p, o = _call_fused_multi(
+        functools.partial(_attn_train_kernel, num_heads=num_heads,
+                          has_ls=has_ls),
+        x,
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
+         jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
+        out_shapes=[(S, E), (S, 3 * E), (num_heads, S, S), (S, E)],
+    )
+    return y, qkv, p, o
+
+
+def _attn_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads):
+    y, qkv, p, o = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                        bproj, ls, num_heads)
+    return y, (x, qkv, p, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
+
+
+def _attn_train_bwd(num_heads, res, g):
+    x, qkv, p, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
+    N, S, E = x.shape
+    hd = E // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    cd = x.dtype  # compute dtype for the big matmuls (MXU)
+    g = g.astype(cd)
+    f32 = jnp.float32
+
+    if ls is not None:
+        # z = proj output pre-LayerScale; one extra matmul for dls
+        z = (o @ wproj.astype(cd) + bproj.astype(cd)).astype(f32)
+        dls = (g.astype(f32) * z).sum((0, 1))
+        gz = (g * ls.astype(cd)).astype(cd)
+    else:
+        dls, gz = None, g
+
+    dwproj = jnp.einsum("nse,nsf->ef", o, gz,
+                        preferred_element_type=f32)
+    dbproj = gz.astype(f32).sum((0, 1))
+    do = (gz @ wproj.T.astype(cd)).astype(cd)
+
+    q, k, v = (
+        _heads(qkv[:, :, i * E:(i + 1) * E], num_heads) for i in range(3)
+    )
+    do_h = _heads(do, num_heads)
+    p_c = p.astype(cd)
+    dv = jnp.einsum("nhqk,nhqd->nhkd", p_c, do_h, preferred_element_type=f32)
+    dp = jnp.einsum("nhqd,nhkd->nhqk", do_h, v, preferred_element_type=f32)
+    pf = p.astype(f32)
+    ds = ((dp - (dp * pf).sum(-1, keepdims=True)) * pf * scale).astype(cd)
+    dq = jnp.einsum("nhqk,nhkd->nhqd", ds, k, preferred_element_type=f32)
+    dk = jnp.einsum("nhqk,nhqd->nhkd", ds, q, preferred_element_type=f32)
+
+    def unheads(t):  # [N,H,S,hd] -> [N,S,E]
+        return jnp.moveaxis(t.astype(cd), 1, 2).reshape(N, S, E)
+
+    dqkv = jnp.concatenate([unheads(dq), unheads(dk), unheads(dv)], axis=-1)
+    xhat, rstd = _ln_recompute(x, ln_s)
+    h = (xhat * ln_s.astype(f32) + ln_b.astype(f32)).astype(cd)
+    dwqkv = jnp.einsum("nse,nsf->ef", h, dqkv, preferred_element_type=f32)
+    dbqkv = dqkv.astype(f32).sum((0, 1))
+    dh = dqkv @ wqkv.T.astype(cd)
+    dx_ln, dln_s, dln_b = _ln_bwd(dh, xhat, rstd, ln_s)
+    dx = (g.astype(f32) + dx_ln).astype(x.dtype)
+
+    def cast(val, like):
+        return None if like is None else val.astype(
+            jnp.asarray(like).dtype).reshape(jnp.shape(like))
+
+    return (dx, cast(dln_s, ln_s), cast(dln_b, ln_b), cast(dwqkv, wqkv),
+            cast(dbqkv, bqkv), cast(dwproj, wproj), cast(dbproj, bproj),
+            cast(dls, ls))
+
+
+fused_attention_sublayer_train.defvjp(_attn_train_fwd, _attn_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_mlp_sublayer_train(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
+    y, _ = _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate)
+    return y
+
+
+def _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
+    N, S, E = x.shape
+    F = w1.shape[-1]
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
+    y, a = _call_fused_multi(
+        functools.partial(_mlp_train_kernel, approximate=approximate,
+                          has_ls=has_ls),
+        x,
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype), _vec(b1),
+         jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
+        out_shapes=[(S, E), (S, F)],
+    )
+    return y, a
+
+
+def _mlp_train_fwd(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
+    y, a = _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate)
+    return y, (x, a, ln_s, ln_b, w1, b1, w2, b2, ls)
+
+
+def _mlp_train_bwd(approximate, res, g):
+    x, a, ln_s, ln_b, w1, b1, w2, b2, ls = res
+    cd = x.dtype
+    g = g.astype(cd)
+    f32 = jnp.float32
+
+    gelu = functools.partial(jax.nn.gelu, approximate=approximate)
+    u = gelu(a.astype(f32))
+    if ls is not None:
+        z = (u.astype(cd) @ w2.astype(cd) + b2.astype(cd)).astype(f32)
+        dls = (g.astype(f32) * z).sum((0, 1))
+        gz = (g * ls.astype(cd)).astype(cd)
+    else:
+        dls, gz = None, g
+
+    dw2 = jnp.einsum("nsf,nse->fe", u.astype(cd), gz,
+                     preferred_element_type=f32)
+    db2 = gz.astype(f32).sum((0, 1))
+    du = gz @ w2.T.astype(cd)
+    # exact gelu' via jvp on the scalar activation (handles both variants)
+    _, dgelu = jax.jvp(gelu, (a.astype(f32),), (jnp.ones_like(a, f32),))
+    da = (du.astype(f32) * dgelu).astype(cd)
+    xhat, rstd = _ln_recompute(x, ln_s)
+    h = (xhat * ln_s.astype(f32) + ln_b.astype(f32)).astype(cd)
+    dw1 = jnp.einsum("nse,nsf->ef", h, da, preferred_element_type=f32)
+    db1 = da.astype(f32).sum((0, 1))
+    dh = da @ w1.T.astype(cd)
+    dx_ln, dln_s, dln_b = _ln_bwd(dh, xhat, rstd, ln_s)
+    dx = (g.astype(f32) + dx_ln).astype(x.dtype)
+
+    def cast(val, like):
+        return None if like is None else val.astype(
+            jnp.asarray(like).dtype).reshape(jnp.shape(like))
+
+    return (dx, cast(dln_s, ln_s), cast(dln_b, ln_b), cast(dw1, w1),
+            cast(db1, b1), cast(dw2, w2), cast(db2, b2), cast(dls, ls))
+
+
+fused_mlp_sublayer_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
+
+
+@jax.custom_vjp
+def fused_swiglu_sublayer_train(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+    y, _ = _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls)
+    return y
+
+
+def _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+    N, S, E = x.shape
+    F2 = w12.shape[-1]
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
+    y, h12 = _call_fused_multi(
+        functools.partial(_swiglu_train_kernel, has_ls=has_ls),
+        x,
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(w12, x.dtype), _vec(b12),
+         jnp.asarray(w3, x.dtype), _vec(b3), ls_arg],
+        out_shapes=[(S, E), (S, F2)],
+    )
+    return y, h12
+
+
+def _swiglu_train_fwd(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+    y, h12 = _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls)
+    return y, (x, h12, ln_s, ln_b, w12, b12, w3, b3, ls)
+
+
+def _swiglu_train_bwd(res, g):
+    x, h12, ln_s, ln_b, w12, b12, w3, b3, ls = res
+    cd = x.dtype
+    g = g.astype(cd)
+    f32 = jnp.float32
+    hidden = h12.shape[-1] // 2
+    h1 = h12[:, :, :hidden].astype(f32)
+    h2 = h12[:, :, hidden:].astype(f32)
+    sig = jax.nn.sigmoid(h1)
+    silu = h1 * sig
+    u = silu * h2
+    if ls is not None:
+        z = (u.astype(cd) @ w3.astype(cd) + b3.astype(cd)).astype(f32)
+        dls = (g.astype(f32) * z).sum((0, 1))
+        gz = (g * ls.astype(cd)).astype(cd)
+    else:
+        dls, gz = None, g
+
+    dw3 = jnp.einsum("nsf,nse->fe", u.astype(cd), gz,
+                     preferred_element_type=f32)
+    db3 = gz.astype(f32).sum((0, 1))
+    du = (gz @ w3.T.astype(cd)).astype(f32)
+    dh1 = du * h2 * (sig + silu * (1.0 - sig))  # d silu(h1)/dh1 = sig+h1*sig*(1-sig)
+    dh2 = du * silu
+    dh12 = jnp.concatenate([dh1, dh2], axis=-1).astype(cd)
+    xhat, rstd = _ln_recompute(x, ln_s)
+    h = (xhat * ln_s.astype(f32) + ln_b.astype(f32)).astype(cd)
+    dw12 = jnp.einsum("nse,nsf->ef", h, dh12, preferred_element_type=f32)
+    db12 = dh12.astype(f32).sum((0, 1))
+    dh = dh12 @ w12.T.astype(cd)
+    dx_ln, dln_s, dln_b = _ln_bwd(dh, xhat, rstd, ln_s)
+    dx = (g.astype(f32) + dx_ln).astype(x.dtype)
+
+    def cast(val, like):
+        return None if like is None else val.astype(
+            jnp.asarray(like).dtype).reshape(jnp.shape(like))
+
+    return (dx, cast(dln_s, ln_s), cast(dln_b, ln_b), cast(dw12, w12),
+            cast(db12, b12), cast(dw3, w3), cast(db3, b3), cast(dls, ls))
+
+
+fused_swiglu_sublayer_train.defvjp(_swiglu_train_fwd, _swiglu_train_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
@@ -227,3 +666,29 @@ def _mlp_bwd(approximate, res, g):
 
 
 fused_mlp_sublayer.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+@jax.custom_vjp
+def fused_swiglu_sublayer(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    return _call_fused(
+        functools.partial(_swiglu_kernel, has_ls=has_ls),
+        x,
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(w12, x.dtype), _vec(b12),
+         jnp.asarray(w3, x.dtype), _vec(b3), ls_arg],
+    )
+
+
+def _swiglu_fwd(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+    out = fused_swiglu_sublayer(x, ln_s, ln_b, w12, b12, w3, b3, ls)
+    return out, (x, ln_s, ln_b, w12, b12, w3, b3, ls)
+
+
+def _swiglu_bwd(res, g):
+    x, ln_s, ln_b, w12, b12, w3, b3, ls = res
+    _, vjp = jax.vjp(_swiglu_ref, x, ln_s, ln_b, w12, b12, w3, b3, ls)
+    return vjp(g)
+
+
+fused_swiglu_sublayer.defvjp(_swiglu_fwd, _swiglu_bwd)

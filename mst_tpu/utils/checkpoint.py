@@ -24,24 +24,98 @@ import orbax.checkpoint as ocp
 BEST_POINTER = "best_checkpoint.json"
 
 
+def _is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
 def save_checkpoint(run_dir, name: str, state: Any,
                     hparams: Optional[Dict] = None) -> Path:
+    """Multi-host safe: ALL processes must call this (orbax coordinates the
+    write with global barriers; replicated data is written once); the JSON
+    sidecars are written by process 0 only."""
     run_dir = Path(run_dir)
     path = (run_dir / name).resolve()
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, state, force=True)
-    if hparams is not None:
+    if hparams is not None and _is_main_process():
         (run_dir / f"{name}.hparams.json").write_text(json.dumps(hparams, indent=2))
     return path
 
 
 def load_checkpoint(run_dir, name: str) -> Any:
+    """Topology-free restore: arrays come back as host numpy, so a
+    checkpoint written by an N-host pod run loads on a single chip (the
+    predict CLI's normal situation). Without explicit restore_args orbax
+    re-applies the saved shardings, whose device ids do not exist off the
+    original topology."""
+    import numpy as np
+
+    path = (Path(run_dir) / name).resolve()
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore((Path(run_dir) / name).resolve())
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    return ckptr.restore(path, restore_args=restore_args)
+
+
+def save_train_state(run_dir, name: str, state: Any,
+                     meta: Optional[Dict] = None,
+                     hparams: Optional[Dict] = None) -> Path:
+    """Save the FULL TrainState (params + optimizer moments + step + rng)
+    so `--resume` is a true resume, not a warm start (the Lightning
+    `last.ckpt` analogue, reference `scripts/main_train.py:103-109`).
+
+    `meta` records loop counters (epoch, best metric, patience staleness)
+    in a sidecar JSON so the fit loop continues exactly where it stopped.
+    """
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "dropout_rng": state.dropout_rng,
+    }
+    if state.batch_stats is not None:
+        tree["batch_stats"] = state.batch_stats
+    path = save_checkpoint(run_dir, name, tree, hparams=hparams)
+    if meta is not None and _is_main_process():
+        (Path(run_dir) / f"{name}.meta.json").write_text(
+            json.dumps(meta, indent=2))
+    return path
+
+
+def restore_train_state(run_dir, name: str, template_state: Any):
+    """Restore a full TrainState saved by `save_train_state`.
+
+    `template_state` (a freshly-initialised TrainState) supplies the pytree
+    structure — optax states are NamedTuples that orbax cannot reconstruct
+    from the serialized dicts alone. Returns (state, meta_dict)."""
+    tree = {
+        "params": template_state.params,
+        "opt_state": template_state.opt_state,
+        "step": template_state.step,
+        "dropout_rng": template_state.dropout_rng,
+    }
+    if template_state.batch_stats is not None:
+        tree["batch_stats"] = template_state.batch_stats
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore((Path(run_dir) / name).resolve(), item=tree)
+    state = template_state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=int(restored["step"]),
+        dropout_rng=restored["dropout_rng"],
+        batch_stats=restored.get("batch_stats",
+                                 template_state.batch_stats),
+    )
+    meta_path = Path(run_dir) / f"{name}.meta.json"
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return state, meta
 
 
 def save_best_checkpoint(run_dir, name: str) -> None:
     """Write the pointer file (reference `base_model.py:51-54`)."""
+    if not _is_main_process():
+        return
     Path(run_dir).mkdir(parents=True, exist_ok=True)
     (Path(run_dir) / BEST_POINTER).write_text(
         json.dumps({"best_model_path": name}, indent=2)

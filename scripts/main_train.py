@@ -63,10 +63,37 @@ def main(argv=None):
                     help="enable jax_debug_nans (the functional analogue of "
                          "a sanitizer pass, SURVEY 5.2)")
     ap.add_argument("--resume", default=None,
-                    help="resume from a run dir's last checkpoint")
+                    help="resume from a run dir's last checkpoint (full "
+                         "TrainState: params, optimizer moments, step, rng)")
+    ap.add_argument("--pretrained_path", default=None,
+                    help="torch state_dict (.pth) with pretrained encoder "
+                         "weights: DINOv2 torch.hub or HuggingFace layout "
+                         "for the Dino classifiers, torchvision layout for "
+                         "the ResNets (the reference loads hub weights at "
+                         "construction, mst/models/dino.py:59-63)")
     ap.add_argument("--lr", type=float, default=None,
                     help="override the model's default learning rate")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host run: jax.distributed.initialize() "
+                         "(auto-detected topology on TPU pods), per-host "
+                         "disjoint data shards, global SPMD batches; launch "
+                         "the same command on every host (mst_tpu.sbatch)")
+    ap.add_argument("--dist_coordinator", default=None,
+                    help="coordinator address host:port (CPU clusters; "
+                         "TPU pods auto-detect)")
+    ap.add_argument("--dist_num_processes", type=int, default=None)
+    ap.add_argument("--dist_process_id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        from mst_tpu.parallel.distributed import initialize
+
+        initialize(args.dist_coordinator, args.dist_num_processes,
+                   args.dist_process_id)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
     if args.debug_nans:
         import jax
 
@@ -79,12 +106,18 @@ def main(argv=None):
                            random_center=True, random_rotate=True, **ds_kw)
     ds_val = get_dataset(args.dataset, split="val", **ds_kw)
 
+    shard_id, num_shards = 0, 1
+    if args.distributed:
+        import jax
+
+        shard_id, num_shards = jax.process_index(), jax.process_count()
+
     weights = balanced_weights(ds_train.labels())
     dm = DataModule(
         ds_train=ds_train, ds_val=ds_val, batch_size=args.batch_size,
         weights=weights,
         num_train_samples=min(len(ds_train), args.num_train_samples),
-        seed=args.seed,
+        seed=args.seed, shard_id=shard_id, num_shards=num_shards,
     )
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -98,9 +131,35 @@ def main(argv=None):
         model_kw["num_register_tokens"] = 4
     if args.model.startswith("ResNet"):
         model_kw = {"freeze": args.freeze}
+
+    pretrained_sd = None
+    if args.pretrained_path:
+        from mst_tpu.models.convert import (
+            load_torch_state_dict,
+            pos_embed_grid_from_sd,
+        )
+
+        pretrained_sd = load_torch_state_dict(args.pretrained_path)
+        if not args.model.startswith("ResNet"):
+            # The encoder config must match the weights: canonical pos-embed
+            # grid + register-token count come FROM the state_dict, and are
+            # recorded in hparams so predict reconstructs the same encoder.
+            model_kw["pos_embed_grid"] = pos_embed_grid_from_sd(pretrained_sd)
+            for reg_key in ("register_tokens", "embeddings.register_tokens"):
+                if reg_key in pretrained_sd:
+                    model_kw["num_register_tokens"] = int(
+                        np.asarray(pretrained_sd[reg_key]).shape[1])
+
     model, entry = get_model(args.model, dtype=dtype, **model_kw)
 
     stamp = datetime.now().strftime("%Y_%m_%d_%H%M%S")
+    if num_shards > 1:
+        # All hosts must agree on the run directory (orbax coordinates the
+        # checkpoint writes across processes): broadcast process 0's stamp.
+        from jax.experimental import multihost_utils
+
+        buf = np.frombuffer(stamp.encode().ljust(32), dtype=np.uint8).copy()
+        stamp = bytes(multihost_utils.broadcast_one_to_all(buf)).decode().strip()
     run_dir = Path(args.run_dir) / args.dataset / f"{args.model}_{stamp}"
     run_dir.mkdir(parents=True, exist_ok=True)
 
@@ -114,17 +173,42 @@ def main(argv=None):
     )
     example = next(iter(dm.val_dataloader()))
     state = trainer.init_state(model, example, tx, seed=args.seed)
-    if args.resume:
-        from mst_tpu.utils.checkpoint import load_checkpoint
 
-        ck = load_checkpoint(args.resume, "last")
-        state = state.replace(params=ck["params"],
-                              batch_stats=ck.get("batch_stats"))
-        print(f"resumed params from {args.resume}/last (step {ck.get('step')})")
+    if pretrained_sd is not None:
+        if args.model.startswith("ResNet"):
+            from mst_tpu.models.convert import convert_torch_resnet
+
+            bb_params, bb_stats = convert_torch_resnet(
+                pretrained_sd, model.variant)
+            new_params = dict(state.params)
+            new_params["backbone"] = bb_params
+            new_bs = dict(state.batch_stats or {})
+            new_bs["backbone"] = bb_stats
+            state = state.replace(params=new_params, batch_stats=new_bs)
+        else:
+            from mst_tpu.models.convert import load_pretrained_encoder
+            from mst_tpu.models.vit import _VIT_CONFIGS
+
+            cfg = _VIT_CONFIGS[args.model_size]
+            state = state.replace(params=load_pretrained_encoder(
+                state.params, pretrained_sd, cfg["depth"],
+                cfg.get("ffn_layer", "mlp")))
+        print(f"loaded pretrained encoder from {args.pretrained_path}")
+
+    start_epoch, resume_meta = 0, None
+    if args.resume:
+        from mst_tpu.utils.checkpoint import restore_train_state
+
+        state, resume_meta = restore_train_state(args.resume, "last", state)
+        start_epoch = int(resume_meta.get("epoch", -1)) + 1
+        print(f"resumed full TrainState from {args.resume}/last "
+              f"(step {int(state.step)}, next epoch {start_epoch})")
     hparams = {"model": args.model, "dataset": args.dataset, **{
         k: (v if isinstance(v, (int, float, str, bool, type(None))) else str(v))
         for k, v in model_kw.items()}}
-    state, result = trainer.fit(model, state, dm, hparams=hparams)
+    state, result = trainer.fit(model, state, dm, hparams=hparams,
+                                start_epoch=start_epoch,
+                                resume_meta=resume_meta)
     print(f"best val/AUC_ROC={result.best_metric:.4f} @ epoch {result.best_epoch} "
           f"({result.epochs_run} epochs) -> {run_dir}")
     return run_dir, result

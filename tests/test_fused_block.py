@@ -9,8 +9,13 @@ from mst_tpu.models.vit_fast import FastViTConfig, fused_mst_logits, fused_vit_c
 from mst_tpu.ops.fused_block import (
     _attn_ref,
     _mlp_ref,
+    _swiglu_ref,
     fused_attention_sublayer,
+    fused_attention_sublayer_train,
     fused_mlp_sublayer,
+    fused_mlp_sublayer_train,
+    fused_swiglu_sublayer,
+    fused_swiglu_sublayer_train,
 )
 
 TINY = dict(model_size="tiny", patch_size=14, use_flash=False, fusion_heads=4)
@@ -60,6 +65,163 @@ def test_fused_mlp_sublayer_matches_reference_and_grads():
     g_r = jax.grad(lambda x: jnp.sum(_mlp_ref(x, *args, approximate=True) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
                                atol=5e-4, rtol=5e-4)
+
+
+def _rand_attn_args(key, E=32):
+    ks = jax.random.split(key, 8)
+    return (
+        1.0 + 0.1 * jax.random.normal(ks[0], (E,)),
+        0.1 * jax.random.normal(ks[1], (E,)),
+        0.1 * jax.random.normal(ks[2], (E, 3 * E)),
+        0.1 * jax.random.normal(ks[3], (3 * E,)),
+        0.1 * jax.random.normal(ks[4], (E, E)),
+        0.1 * jax.random.normal(ks[5], (E,)),
+        1.0 + 0.1 * jax.random.normal(ks[6], (E,)),
+    )
+
+
+def test_attention_train_variant_full_grad_parity():
+    """The residual-sharing backward (hand-written, no forward recompute)
+    must match jax.grad of the XLA reference in EVERY argument."""
+    key = jax.random.PRNGKey(3)
+    N, S, E, H = 2, 9, 32, 4
+    x = jax.random.normal(key, (N, S, E))
+    *args, ls = _rand_attn_args(key)
+    for ls_arg in (None, ls):
+        out = fused_attention_sublayer_train(x, *args, ls_arg, H)
+        ref = _attn_ref(x, *args, ls_arg, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        diff_args = (x, *args) + (() if ls_arg is None else (ls_arg,))
+        argnums = tuple(range(len(diff_args)))
+
+        def loss_t(*a):
+            full = a if ls_arg is not None else a + (None,)
+            return jnp.sum(fused_attention_sublayer_train(*full, H) ** 2)
+
+        def loss_r(*a):
+            full = a if ls_arg is not None else a + (None,)
+            return jnp.sum(_attn_ref(*full, num_heads=H) ** 2)
+
+        gt = jax.grad(loss_t, argnums)(*diff_args)
+        gr = jax.grad(loss_r, argnums)(*diff_args)
+        for i, (a, b) in enumerate(zip(gt, gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-4,
+                                       err_msg=f"arg {i} (ls={ls_arg is not None})")
+
+
+def test_mlp_train_variant_full_grad_parity():
+    key = jax.random.PRNGKey(4)
+    N, S, E, F = 2, 9, 32, 64
+    x = jax.random.normal(key, (N, S, E))
+    ks = jax.random.split(key, 8)
+    args = (
+        1.0 + 0.1 * jax.random.normal(ks[0], (E,)),
+        0.1 * jax.random.normal(ks[1], (E,)),
+        0.1 * jax.random.normal(ks[2], (E, F)),
+        0.1 * jax.random.normal(ks[3], (F,)),
+        0.1 * jax.random.normal(ks[4], (F, E)),
+        0.1 * jax.random.normal(ks[5], (E,)),
+        1.0 + 0.1 * jax.random.normal(ks[6], (E,)),
+    )
+    for approx in (True, False):
+        for with_ls in (False, True):
+            a = args if with_ls else args[:-1] + (None,)
+            out = fused_mlp_sublayer_train(x, *a, approx)
+            ref = _mlp_ref(x, *a, approximate=approx)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+            diff = (x,) + (args if with_ls else args[:-1])
+            argnums = tuple(range(len(diff)))
+
+            def loss_t(*d):
+                full = d if with_ls else d + (None,)
+                return jnp.sum(fused_mlp_sublayer_train(*full, approx) ** 2)
+
+            def loss_r(*d):
+                full = d if with_ls else d + (None,)
+                return jnp.sum(_mlp_ref(*full, approximate=approx) ** 2)
+
+            gt = jax.grad(loss_t, argnums)(*diff)
+            gr = jax.grad(loss_r, argnums)(*diff)
+            for i, (u, v) in enumerate(zip(gt, gr)):
+                np.testing.assert_allclose(
+                    np.asarray(u), np.asarray(v), atol=5e-4, rtol=5e-4,
+                    err_msg=f"arg {i} approx={approx} ls={with_ls}")
+
+
+def test_swiglu_variants_match_reference_and_grads():
+    key = jax.random.PRNGKey(5)
+    N, S, E, Fh = 2, 9, 32, 40  # 2*Fh = w12 out
+    x = jax.random.normal(key, (N, S, E))
+    ks = jax.random.split(key, 8)
+    args = (
+        1.0 + 0.1 * jax.random.normal(ks[0], (E,)),
+        0.1 * jax.random.normal(ks[1], (E,)),
+        0.1 * jax.random.normal(ks[2], (E, 2 * Fh)),
+        0.1 * jax.random.normal(ks[3], (2 * Fh,)),
+        0.1 * jax.random.normal(ks[4], (Fh, E)),
+        0.1 * jax.random.normal(ks[5], (E,)),
+        1.0 + 0.1 * jax.random.normal(ks[6], (E,)),
+    )
+    for with_ls in (False, True):
+        a = args if with_ls else args[:-1] + (None,)
+        ref = _swiglu_ref(x, *a)
+        for fn in (fused_swiglu_sublayer, fused_swiglu_sublayer_train):
+            out = fn(x, *a)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+        diff = (x,) + (args if with_ls else args[:-1])
+        argnums = tuple(range(len(diff)))
+
+        def loss_t(*d):
+            full = d if with_ls else d + (None,)
+            return jnp.sum(fused_swiglu_sublayer_train(*full) ** 2)
+
+        def loss_r(*d):
+            full = d if with_ls else d + (None,)
+            return jnp.sum(_swiglu_ref(*full) ** 2)
+
+        gt = jax.grad(loss_t, argnums)(*diff)
+        gr = jax.grad(loss_r, argnums)(*diff)
+        for i, (u, v) in enumerate(zip(gt, gr)):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=5e-4, rtol=5e-4,
+                                       err_msg=f"arg {i} ls={with_ls}")
+
+
+def test_fused_train_path_gradients_match_flax():
+    """fused_mst_logits(train=True) end-to-end gradient parity vs the flax
+    model — the exact program make_train_step runs on TPU."""
+    import optax
+
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 1, 2, 28, 28))
+    t = jnp.array([0, 1])
+    params = model.init(jax.random.PRNGKey(7), x)["params"]
+
+    def loss_flax(p):
+        logits = model.apply({"params": p}, x, deterministic=True)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    def loss_fused(p):
+        logits = fused_mst_logits(p, x, model, dtype=jnp.float32, train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    np.testing.assert_allclose(float(loss_fused(params)),
+                               float(loss_flax(params)), atol=1e-5)
+    g1 = jax.grad(loss_flax)(params)
+    g2 = jax.grad(loss_fused)(params)
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_flatten_with_path(g1)[0]}
+    flat2 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_flatten_with_path(g2)[0]}
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        np.testing.assert_allclose(np.asarray(flat1[k]), np.asarray(flat2[k]),
+                                   atol=2e-4, rtol=2e-4, err_msg=k)
 
 
 def test_fused_mst_logits_match_flax_model():

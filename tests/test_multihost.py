@@ -1,0 +1,99 @@
+"""Multi-host data parallelism, exercised on a REAL 2-process CPU cluster
+(`jax.distributed` + gloo collectives), not a simulation:
+
+- each host consumes a disjoint stride of the global sample stream
+  (`DataModule(shard_id=process_index, num_shards=process_count)`);
+- per-host local batches become global SPMD arrays
+  (`jax.make_array_from_process_local_data`) and the train step runs as one
+  program across processes;
+- epoch metrics all-gather (`gather_across_hosts`) so both hosts agree on
+  val AUC — the requirement for consistent early stopping / checkpointing.
+
+This is the capability the reference only gestures at via `sync_dist`
+logging flags (`mst/models/base_model.py:170,177`); SURVEY §2.5 DP row.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r'''
+import os, sys, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid, run_dir, port = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %r)
+from scripts.main_train import main
+run, result = main([
+    "--dataset", "Synthetic", "--model", "DinoV2ClassifierSlice",
+    "--model_size", "tiny", "--fusion_heads", "4", "--dtype", "float32",
+    "--max_epochs", "1", "--batch_size", "4", "--num_train_samples", "16",
+    "--run_dir", run_dir,
+    "--distributed", "--dist_coordinator", "localhost:" + port,
+    "--dist_num_processes", "2", "--dist_process_id", str(pid),
+])
+from mst_tpu.data.datamodule import DataModule, balanced_weights
+from mst_tpu.registry import get_dataset
+ds = get_dataset("Synthetic", split="train", flip=True, noise=True,
+                 random_center=True, random_rotate=True)
+dm = DataModule(ds_train=ds, batch_size=4,
+                weights=balanced_weights(ds.labels()),
+                num_train_samples=16, seed=0, shard_id=pid, num_shards=2)
+idx = dm._train_indices().tolist()
+print("RESULT " + json.dumps({
+    "pid": pid, "idx": idx, "best": result.best_metric, "run": str(run),
+}), flush=True)
+''' % str(REPO)
+
+
+@pytest.mark.slow
+def test_two_process_cpu_cluster(tmp_path):
+    port = "23457"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), str(tmp_path), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    results = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, out[-3000:]
+        r = json.loads(line[-1][len("RESULT "):])
+        results[r["pid"]] = r
+
+    # 1. Disjoint shards that interleave to the exact global stream.
+    from mst_tpu.data.datamodule import DataModule, balanced_weights
+    from mst_tpu.registry import get_dataset
+
+    ds = get_dataset("Synthetic", split="train", flip=True, noise=True,
+                     random_center=True, random_rotate=True)
+    dm = DataModule(ds_train=ds, batch_size=4,
+                    weights=balanced_weights(ds.labels()),
+                    num_train_samples=16, seed=0)
+    global_stream = dm._train_indices().tolist()
+    interleaved = [None] * len(global_stream)
+    interleaved[0::2] = results[0]["idx"]
+    interleaved[1::2] = results[1]["idx"]
+    assert interleaved == global_stream
+
+    # 2. Both hosts computed the SAME globally-gathered val metric.
+    assert np.isclose(results[0]["best"], results[1]["best"])
+
+    # 3. Same run dir, and the coordinated orbax checkpoint is loadable.
+    assert results[0]["run"] == results[1]["run"]
+    from mst_tpu.utils.checkpoint import load_best_checkpoint
+
+    ck = load_best_checkpoint(results[0]["run"])
+    assert "params" in ck

@@ -86,6 +86,108 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+TRAIN_ARGS = [
+    "--dataset", "Synthetic", "--model", "DinoV2ClassifierSlice",
+    "--model_size", "tiny", "--fusion_heads", "4", "--dtype", "float32",
+    "--patience", "5", "--batch_size", "4", "--num_train_samples", "16",
+]
+
+
+def _leaves(tree):
+    import jax
+
+    return {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def test_true_resume_bit_identical(tmp_path):
+    """--resume restores the FULL TrainState (optimizer moments, step,
+    dropout rng, epoch counters): 1 epoch + resume + 1 epoch must equal an
+    uninterrupted 2-epoch run bit-for-bit (VERDICT r1 #7)."""
+    from mst_tpu.utils.checkpoint import load_checkpoint
+    from scripts.main_train import main
+
+    run_a, _ = main(TRAIN_ARGS + ["--max_epochs", "2",
+                                  "--run_dir", str(tmp_path / "a")])
+    run_b, _ = main(TRAIN_ARGS + ["--max_epochs", "1",
+                                  "--run_dir", str(tmp_path / "b")])
+    run_c, _ = main(TRAIN_ARGS + ["--max_epochs", "2",
+                                  "--run_dir", str(tmp_path / "c"),
+                                  "--resume", str(run_b)])
+
+    pa = _leaves(load_checkpoint(run_a, "last")["params"])
+    pc = _leaves(load_checkpoint(run_c, "last")["params"])
+    assert pa.keys() == pc.keys()
+    for k in pa:
+        np.testing.assert_array_equal(pa[k], pc[k], err_msg=k)
+    # optimizer moments must also match (true resume, not warm start)
+    oa = _leaves(load_checkpoint(run_a, "last")["opt_state"])
+    oc = _leaves(load_checkpoint(run_c, "last")["opt_state"])
+    for k in oa:
+        np.testing.assert_array_equal(oa[k], oc[k], err_msg=k)
+
+
+def _random_hub_state_dict(rng, embed=32, depth=2, grid=16, patch=14):
+    """A random torch.hub-layout DINOv2 ViT state_dict (tiny geometry)."""
+    sd = {
+        "cls_token": rng.normal(size=(1, 1, embed)),
+        "pos_embed": rng.normal(size=(1, grid * grid + 1, embed)),
+        "patch_embed.proj.weight": rng.normal(size=(embed, 3, patch, patch)),
+        "patch_embed.proj.bias": rng.normal(size=(embed,)),
+        "norm.weight": rng.normal(size=(embed,)),
+        "norm.bias": rng.normal(size=(embed,)),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        sd.update({
+            f"{p}.norm1.weight": rng.normal(size=(embed,)),
+            f"{p}.norm1.bias": rng.normal(size=(embed,)),
+            f"{p}.attn.qkv.weight": rng.normal(size=(3 * embed, embed)),
+            f"{p}.attn.qkv.bias": rng.normal(size=(3 * embed,)),
+            f"{p}.attn.proj.weight": rng.normal(size=(embed, embed)),
+            f"{p}.attn.proj.bias": rng.normal(size=(embed,)),
+            f"{p}.ls1.gamma": rng.normal(size=(embed,)),
+            f"{p}.ls2.gamma": rng.normal(size=(embed,)),
+            f"{p}.norm2.weight": rng.normal(size=(embed,)),
+            f"{p}.norm2.bias": rng.normal(size=(embed,)),
+            f"{p}.mlp.fc1.weight": rng.normal(size=(4 * embed, embed)),
+            f"{p}.mlp.fc1.bias": rng.normal(size=(4 * embed,)),
+            f"{p}.mlp.fc2.weight": rng.normal(size=(embed, 4 * embed)),
+            f"{p}.mlp.fc2.bias": rng.normal(size=(embed,)),
+        })
+    return {k: v.astype(np.float32) for k, v in sd.items()}
+
+
+def test_pretrained_path_e2e(tmp_path):
+    """--pretrained_path: torch-layout weights on disk reach the encoder
+    through the train CLI (VERDICT r1 #4; reference loads hub weights at
+    construction, dino.py:59-63). With --freeze the encoder must come out
+    of training exactly equal to the converted values."""
+    torch = pytest.importorskip("torch")
+
+    from mst_tpu.models.convert import convert_dinov2_vit
+    from mst_tpu.utils.checkpoint import load_best_checkpoint, load_hparams
+    from scripts.main_train import main
+
+    sd = _random_hub_state_dict(np.random.default_rng(0))
+    pth = tmp_path / "encoder.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pth)
+
+    run_dir, _ = main(TRAIN_ARGS + [
+        "--max_epochs", "1", "--run_dir", str(tmp_path / "runs"),
+        "--pretrained_path", str(pth), "--freeze",
+    ])
+    ck = load_best_checkpoint(run_dir)
+    expect = convert_dinov2_vit(sd, depth=2)
+    got = _leaves(ck["params"]["encoder"])
+    want = _leaves(expect)
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    # hparams must record the grid so predict rebuilds the right encoder
+    assert load_hparams(run_dir)["pos_embed_grid"] == 16
+
+
 def test_tta_flip_equivariance():
     """A spatially flipped input under full TTA must give the same
     prediction (the ensemble enumerates all flips) — SURVEY §4 (f)."""
