@@ -160,10 +160,15 @@ class DataModule:
 
         def producer():
             try:
+                prefetch = getattr(ds, "prefetch_decode", None)
                 for bi in range(n_full):
                     chunk = indices[bi * bs : (bi + 1) * bs]
                     if len(chunk) == 0:
                         break
+                    if prefetch is not None:
+                        # Native pthread pool decodes the whole chunk's
+                        # NIfTI files in parallel (no-op without libmstio).
+                        prefetch([int(i) for i in chunk])
                     samples = [ds[int(i)] for i in chunk]
                     work_q.put(_collate(samples))
                 work_q.put(None)

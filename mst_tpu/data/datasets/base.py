@@ -46,9 +46,45 @@ class Dataset3D:
     def __init__(self, path_root, split: Optional[str] = None):
         self.path_root = Path(path_root)
         self.split = split
+        self._decode_cache = {}
 
     def __len__(self):
         return len(self.item_pointers)
+
+    # -- native batch decode -------------------------------------------------
+
+    def nifti_paths(self, index) -> list:
+        """NIfTI files `__getitem__(index)` will read — the batch-decode
+        protocol. Datasets without NIfTI inputs (DUKE reads HDF5) return []."""
+        return []
+
+    def prefetch_decode(self, indices, num_threads: int = 4) -> None:
+        """Batch-decode the chunk's NIfTI files through the native pthread
+        pool (native/mstio.cpp `mstio_read_batch`) into the decode cache;
+        `__getitem__` consumes via `_read_volume`. The DataModule producer
+        calls this once per batch so gzip-inflate parallelises across
+        cores while the device computes. No-op without the native lib."""
+        from mst_tpu.data import native_io
+
+        if not native_io.available():
+            return
+        paths = []
+        for i in indices:
+            paths.extend(str(p) for p in self.nifti_paths(i))
+        paths = [p for p in paths if p not in self._decode_cache]
+        if not paths:
+            return
+        try:
+            results = native_io.read_nifti_batch(
+                paths, num_threads=min(num_threads, len(paths)))
+        except IOError:
+            return  # per-sample read raises a proper error with the path
+        self._decode_cache.update(zip(paths, results))
+
+    def _read_volume(self, path):
+        """Cache-aware volume read (pops, so the cache stays bounded)."""
+        out = self._decode_cache.pop(str(path), None)
+        return out if out is not None else load_volume_dhw(path)
 
     @classmethod
     def load_split(cls, filepath_or_buffer, fold: int = 0,

@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from mst_tpu.data.datasets.base import Dataset3D, load_volume_dhw
+from mst_tpu.data.datasets.base import Dataset3D
 from mst_tpu.data.transforms import AugmentConfig, crop_or_pad
 
 
@@ -70,10 +70,9 @@ class LIDC_Dataset3D(Dataset3D):
             has_mask=False,
         )
 
-    def __getitem__(self, index):
+    def _sample_paths(self, index):
         uid = self.item_pointers[index]
         item = self.df.loc[uid]
-        target = int(item[self.LABEL])
         nodule_idx = item["nodule_idx"]
         rel_path = (
             Path(str(item["patient_id"]))
@@ -81,17 +80,29 @@ class LIDC_Dataset3D(Dataset3D):
             / str(item["series_instance_uid"])
         )
         path_dir = self.path_root_data / rel_path
+        paths = [path_dir / f"img_{nodule_idx}.nii.gz",
+                 path_dir / f"seg_{nodule_idx}.nii.gz"]
+        if self.split == "test":
+            paths += [path_dir / f"seg_{nodule_idx}_{r}.nii.gz"
+                      for r in range(int(item["annotation_num"]))]
+        return uid, item, rel_path, paths
 
-        img, affine = load_volume_dhw(path_dir / f"img_{nodule_idx}.nii.gz")
-        seg, _ = load_volume_dhw(path_dir / f"seg_{nodule_idx}.nii.gz")
+    def nifti_paths(self, index) -> list:
+        return self._sample_paths(index)[3]
+
+    def __getitem__(self, index):
+        uid, item, rel_path, paths = self._sample_paths(index)
+        target = int(item[self.LABEL])
+
+        img, affine = self._read_volume(paths[0])
+        seg, _ = self._read_volume(paths[1])
         vol = img[None]
         mask = (seg > 0)[None]
 
         rater_masks = []
-        if self.split == "test":
-            for r in range(int(item["annotation_num"])):
-                m, _ = load_volume_dhw(path_dir / f"seg_{nodule_idx}_{r}.nii.gz")
-                rater_masks.append((m > 0)[None])
+        for p in paths[2:]:
+            m, _ = self._read_volume(p)
+            rater_masks.append((m > 0)[None])
 
         # reference `moveaxis(1, 2)` view fix == H/W transpose in our layout
         vol = np.swapaxes(vol, 2, 3)
@@ -117,7 +128,7 @@ class LIDC_Dataset3D(Dataset3D):
             "affine": affine,
             "spacing_dhw": np.array([sz, sx, sy]),
             "path": str(rel_path),
-            "filename": f"img_{nodule_idx}.nii.gz",
+            "filename": paths[0].name,
         }
         if rater_masks:
             sample["rater_masks"] = np.stack(rater_masks).astype(np.uint8)

@@ -19,7 +19,7 @@ from typing import Optional
 
 import numpy as np
 
-from mst_tpu.data.datasets.base import Dataset3D, load_volume_dhw
+from mst_tpu.data.datasets.base import Dataset3D
 from mst_tpu.data.transforms import AugmentConfig, crop_or_pad
 
 
@@ -63,17 +63,18 @@ class MRNet_Dataset3D(Dataset3D):
             has_mask=True,
         )
 
+    def nifti_paths(self, index) -> list:
+        item = self.df.loc[self.item_pointers[index]]
+        return [self.path_root / "preprocessed" / "data" / item["Folder"]
+                / "sagittal" / f"{int(item['ID']):04d}.nii.gz"]
+
     def __getitem__(self, index):
         idx = self.item_pointers[index]
         item = self.df.loc[idx]
         uid = int(item["ID"])
-        folder = item["Folder"]
         target = int(item[self.LABEL])
 
-        dhw, affine = load_volume_dhw(
-            self.path_root / "preprocessed" / "data" / folder / "sagittal"
-            / f"{uid:04d}.nii.gz"
-        )
+        dhw, affine = self._read_volume(self.nifti_paths(index)[0])
         # The stored [X=S, Y, Z] stack's X axis is the slice axis (step1
         # writes npy [S, H, W] as NIfTI [S, H, W]); the reference's
         # transpose(-1, 1) + tensor swap nets out to swapping our H/W back:

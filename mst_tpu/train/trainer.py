@@ -249,9 +249,25 @@ class Trainer:
             t0 = time.time()
             train_metrics = ClassificationMetrics()
             n_steps, loss_sum = 0, 0.0
-            # Device results are collected asynchronously and pulled to host
-            # once per epoch: no per-step sync, XLA keeps the pipe full.
+            # Device results are collected asynchronously and drained to the
+            # host in blocks: no per-step sync (XLA keeps the pipe full),
+            # and per-step logits/targets never pin more than drain_every
+            # steps of HBM (an epoch-long buffer at large num_train_samples
+            # would hold the whole epoch's outputs until epoch end).
             pending = []
+            drain_every = 64
+
+            def drain():
+                nonlocal loss_sum
+                for loss_, logits_, target_ in pending:
+                    loss_sum += float(loss_)
+                    # host_local_array pulls only this process's addressable
+                    # shards; ClassificationMetrics.compute() all-gathers
+                    # across hosts so every process sees the global buffers.
+                    train_metrics.update(host_local_array(logits_),
+                                         host_local_array(target_))
+                pending.clear()
+
             dev_keys = ("source", "target", "src_key_padding_mask")
             with trace(self.profile_dir if epoch == 1 else None):
                 for batch in dm.train_dataloader():
@@ -266,13 +282,9 @@ class Trainer:
                         )
                     pending.append((loss, logits, batch["target"]))
                     n_steps += 1
-            for loss, logits, target in pending:
-                loss_sum += float(loss)
-                # host_local_array pulls only this process's addressable
-                # shards; ClassificationMetrics.compute() all-gathers across
-                # hosts so every process sees the global buffers.
-                train_metrics.update(host_local_array(logits),
-                                     host_local_array(target))
+                    if len(pending) >= drain_every:
+                        drain()
+            drain()
 
             val_metrics = ClassificationMetrics()
             for bi, batch in enumerate(dm.val_dataloader()):

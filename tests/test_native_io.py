@@ -50,3 +50,37 @@ def test_native_reader_error_paths(tmp_path):
     bad.write_bytes(b"not a nifti at all" * 30)
     with pytest.raises(IOError):
         native_io.read_nifti(bad)
+
+
+@needs_native
+def test_dataset_prefetch_decode_cache(tmp_path):
+    """The batch-decode protocol: prefetch_decode fills the cache via the
+    native pthread pool and _read_volume consumes (then falls back to the
+    per-sample reader once drained)."""
+    from mst_tpu.data.datasets.base import Dataset3D
+
+    vols = []
+    paths = []
+    for i in range(3):
+        v = np.random.default_rng(i).normal(0, 10, (4, 5, 6)).astype(np.float32)
+        p = tmp_path / f"v{i}.nii.gz"
+        write_nifti(p, v)
+        vols.append(np.transpose(v, (2, 1, 0)))
+        paths.append(p)
+
+    class DS(Dataset3D):
+        def __init__(self):
+            super().__init__(tmp_path)
+
+        def nifti_paths(self, index):
+            return [paths[index]]
+
+    ds = DS()
+    ds.prefetch_decode([0, 1, 2], num_threads=2)
+    assert len(ds._decode_cache) == 3
+    for i in range(3):
+        d, _ = ds._read_volume(paths[i])
+        np.testing.assert_allclose(d, vols[i])
+    assert not ds._decode_cache  # popped on read
+    d, _ = ds._read_volume(paths[0])  # cold path still works
+    np.testing.assert_allclose(d, vols[0])
