@@ -153,14 +153,16 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> float:
                         source[:, :, :1, :28, :28])["params"]
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
+    # params as an ARGUMENT — closing over 2.2 GB of weights bakes them into
+    # the program as captured constants (huge lowering + compile).
     @jax.jit
-    def forward(src):
-        return fused_mst_logits(params, src, model)
+    def forward(prm, src):
+        return fused_mst_logits(prm, src, model)
 
-    forward(source).block_until_ready()
+    forward(params, source).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(source)
+        out = forward(params, source)
     out.block_until_ready()
     return 1.0 / ((time.perf_counter() - t0) / iters)
 

@@ -160,8 +160,11 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
         lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
-# Sequences up to this length take the single-block kernel.
-SINGLE_BLOCK_MAX_KV = 1024
+# Sequences up to this length take the single-block (ragged, unpadded)
+# kernels. 1536 covers the ViT-g/14 518px grid (1370 tokens); the
+# whole-row f32 intermediates at 1536x1536 are ~9.4 MB each, well within
+# VMEM for the ~4 the backward holds at once.
+SINGLE_BLOCK_MAX_KV = 1536
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
@@ -179,7 +182,7 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
 
-    if Sk <= SINGLE_BLOCK_MAX_KV and Sq <= 512:
+    if Sk <= SINGLE_BLOCK_MAX_KV and Sq <= SINGLE_BLOCK_MAX_KV:
         # Whole-sequence blocks: Mosaic accepts blocks equal to the (ragged)
         # array dims and pads tiles internally, so no host-visible 257->384
         # padding copies are needed; masking operates on logical shapes.
@@ -384,7 +387,7 @@ def _flash_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
     do = g.astype(q.dtype)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    if Sk <= SINGLE_BLOCK_MAX_KV and Sq <= 512:
+    if Sk <= SINGLE_BLOCK_MAX_KV and Sq <= SINGLE_BLOCK_MAX_KV:
         # Ragged single-block backward (see _bwd_single_kernel).
         qp = q.reshape(B * H, Sq, D)
         kp = k.reshape(B * H, Sk, D)

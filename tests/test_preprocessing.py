@@ -197,3 +197,45 @@ def test_pigs_bpe_and_kspace():
 
     normed, mean, std = normalize_mean_std(np.array([1.0, 3.0]))
     assert mean == 2.0 and np.allclose(normed.mean(), 0, atol=1e-6)
+
+
+def test_n4_bias_correction_recovers_smooth_field():
+    """Native N4 (mst_tpu/utils/bias_field.py): a piecewise-constant tissue
+    phantom corrupted by a smooth multiplicative field must come back with
+    (a) much lower within-tissue variation and (b) an estimated field that
+    tracks the true one (correlation > 0.9 inside the mask)."""
+    import numpy as np
+
+    from mst_tpu.utils.bias_field import n4_bias_correct, otsu_threshold
+
+    rng = np.random.default_rng(0)
+    shape = (24, 48, 48)
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                             indexing="ij")
+    # two-tissue phantom inside an ellipsoid
+    inside = (zz ** 2 + yy ** 2 + xx ** 2) < 0.9
+    tissue = np.where(yy > 0, 300.0, 120.0) * inside
+    true_bias = np.exp(0.5 * xx + 0.3 * yy - 0.2 * zz * xx)
+    corrupted = tissue * true_bias + rng.normal(0, 1.0, shape) * inside
+
+    corrected, est_bias = n4_bias_correct(
+        corrupted, mask=inside, iterations=10, levels=3)
+
+    def cv(img, sel):
+        v = img[sel]
+        return float(v.std() / max(abs(v.mean()), 1e-9))
+
+    bright = inside & (yy > 0.15)
+    dark = inside & (yy < -0.15)
+    for sel in (bright, dark):
+        assert cv(corrected, sel) < 0.5 * cv(corrupted, sel), (
+            cv(corrected, sel), cv(corrupted, sel))
+
+    lb_true = np.log(true_bias[inside])
+    lb_est = np.log(est_bias[inside])
+    corr = np.corrcoef(lb_true, lb_est)[0, 1]
+    assert corr > 0.9, corr
+
+    # otsu separates the phantom from background
+    thr = otsu_threshold(corrupted)
+    assert 0 < thr < 300
