@@ -165,10 +165,12 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                       wproj_ref, bproj_ref, ls_ref, y_ref, qkv_ref, p_ref,
+                       wproj_ref, bproj_ref, ls_ref, y_ref, qkv_ref,
                        o_ref, *, num_heads: int, has_ls: bool):
     """Forward + residual outputs for the attention sublayer backward:
-    qkv [S,3E], per-head probs p [H,S,S], pre-proj concat o [S,E]."""
+    qkv [S,3E] and the pre-proj concat o [S,E]. Attention probs are NOT
+    saved — the backward kernel recomputes the softmax in VMEM from qkv
+    (flash-style), avoiding an [H,S,S] HBM round trip per layer."""
     x = x_ref[0]
     S, E = x.shape
     hd = E // num_heads
@@ -195,7 +197,6 @@ def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        p_ref[0, i] = p.astype(p_ref.dtype)
         outs.append(jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -296,6 +297,12 @@ def _vec(x):
     return jnp.asarray(x, jnp.float32).reshape(1, -1)
 
 
+# Whole-sequence programs with resident weights want more than the default
+# 16 MiB scoped-VMEM budget (giant2's qkv matmul alone holds an 18 MiB
+# working set); v5e has 128 MiB of VMEM per core.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _call_fused(kernel, x, operands, **kw):
     """Common pallas_call plumbing: x [N,S,E]; operands are grid-invariant
     VMEM-resident params ([1,dim] fp32 vectors or full weight matrices)."""
@@ -315,6 +322,7 @@ def _call_fused(kernel, x, operands, **kw):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, S, E), x.dtype),
         interpret=not _on_tpu(),
+        compiler_params=_COMPILER_PARAMS,
         **kw,
     )(*args)
 
@@ -347,6 +355,7 @@ def _call_fused_multi(kernel, x, operands, out_shapes, **kw):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=not _on_tpu(),
+        compiler_params=_COMPILER_PARAMS,
         **kw,
     )(*args)
 
@@ -380,6 +389,213 @@ def _heads(t, num_heads):
     return jnp.moveaxis(t.reshape(N, S, num_heads, E // num_heads), 1, 2)
 
 
+# ---------------------------------------------------------------------------
+# Fused backward kernels (training). One program per slice image; the
+# weight/bias/LN grads accumulate in f32 VMEM blocks across the sequential
+# grid (constant index_map: initialised at program 0, written back once at
+# the end). dx streams out grid-mapped. Everything the flax backward would
+# bounce through HBM (softmax probs, LN intermediates, dqkv) stays in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
+                     wqkv_ref, wproj_ref, bproj_ref, ls_ref,
+                     dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                     dlns_ref, dlnb_ref, dls_ref,
+                     *, num_heads: int, has_ls: bool):
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _init():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+        dlns_ref[:] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+
+    g = g_ref[0]
+    x = x_ref[0]
+    qkv = qkv_ref[0]
+    o = o_ref[0]
+    S, E = x.shape
+    hd = E // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    cd = x.dtype
+    gf = g.astype(jnp.float32)
+
+    if has_ls:
+        z = jax.lax.dot_general(
+            o, wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj_ref[0]
+        dls_ref[:] += jnp.sum(gf * z, axis=0, keepdims=True)
+        gz = (g.astype(jnp.float32) * ls_ref[0]).astype(cd)
+    else:
+        gz = g
+
+    dwproj_ref[:] += jax.lax.dot_general(
+        o, gz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbproj_ref[:] += jnp.sum(gz.astype(jnp.float32), axis=0, keepdims=True)
+    do = jax.lax.dot_general(
+        gz, wproj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)  # [S, E]
+
+    dqs, dks, dvs = [], [], []
+    for i in range(num_heads):
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, E + i * hd: E + (i + 1) * hd]
+        v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
+        do_h = do[:, i * hd:(i + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p_c = p.astype(cd)
+        dvs.append(jax.lax.dot_general(
+            p_c, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cd))
+        dp = jax.lax.dot_general(
+            do_h, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = ((dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+              * scale).astype(cd)
+        dqs.append(jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cd))
+        dks.append(jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cd))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [S, 3E]
+    dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    xhat = (xf - mean) * rstd
+    h = (xhat * lns_ref[0] + lnb_ref[0]).astype(cd)
+    dwqkv_ref[:] += jax.lax.dot_general(
+        h, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dh = jax.lax.dot_general(
+        dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dlns_ref[:] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlnb_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * lns_ref[0]
+    m1 = dxhat.mean(-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(-1, keepdims=True)
+    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2) + gf).astype(dx_ref.dtype)
+
+
+def _mlp_bwd_kernel(g_ref, x_ref, a_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
+                    b2_ref, ls_ref,
+                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    dlns_ref, dlnb_ref, dls_ref,
+                    *, approximate: bool, has_ls: bool):
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dlns_ref[:] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+
+    g = g_ref[0]
+    x = x_ref[0]
+    a = a_ref[0].astype(jnp.float32)
+    cd = x.dtype
+    gf = g.astype(jnp.float32)
+
+    gelu = functools.partial(jax.nn.gelu, approximate=approximate)
+    u, dgelu = jax.jvp(gelu, (a,), (jnp.ones_like(a),))
+    u_c = u.astype(cd)
+    if has_ls:
+        z = jax.lax.dot_general(
+            u_c, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0]
+        dls_ref[:] += jnp.sum(gf * z, axis=0, keepdims=True)
+        gz = (gf * ls_ref[0]).astype(cd)
+    else:
+        gz = g
+
+    dw2_ref[:] += jax.lax.dot_general(
+        u_c, gz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(gz.astype(jnp.float32), axis=0, keepdims=True)
+    du = jax.lax.dot_general(
+        gz, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da = (du * dgelu).astype(cd)
+    db1_ref[:] += jnp.sum(da.astype(jnp.float32), axis=0, keepdims=True)
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    xhat = (xf - mean) * rstd
+    h = (xhat * lns_ref[0] + lnb_ref[0]).astype(cd)
+    dw1_ref[:] += jax.lax.dot_general(
+        h, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dh = jax.lax.dot_general(
+        da, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dlns_ref[:] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlnb_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * lns_ref[0]
+    m1 = dxhat.mean(-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(-1, keepdims=True)
+    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2) + gf).astype(dx_ref.dtype)
+
+
+def _call_fused_bwd(kernel, g, grid_inputs, operands, accum_shapes):
+    """Backward pallas_call: g + grid_inputs are [N, S, *]-blocked; operands
+    are grid-invariant; outputs are (dx [like g's block],
+    *accumulators [shape, f32, constant index])."""
+    N = g.shape[0]
+    args, in_specs = [], []
+    for t in (g, *grid_inputs):
+        in_specs.append(pl.BlockSpec((1, *t.shape[1:]),
+                                     lambda n, _nd=t.ndim - 1: (n,) + (0,) * _nd,
+                                     memory_space=pltpu.VMEM))
+        args.append(t)
+    for item in operands:
+        in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(item)
+    out_specs = [pl.BlockSpec((1, *g.shape[1:]),
+                              lambda n: (n,) + (0,) * (g.ndim - 1),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct(g.shape, g.dtype)]
+    for shp in accum_shapes:
+        nd = len(shp)
+        out_specs.append(pl.BlockSpec(shp, (lambda n, _nd=nd: (0,) * _nd),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=not _on_tpu(),
+        compiler_params=_COMPILER_PARAMS,
+    )(*args)
+
+
+# Above this embed width the f32 weight-grad accumulators + resident
+# weights outgrow the VMEM budget; fall back to the XLA backward.
+_PALLAS_BWD_MAX_E = 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_attention_sublayer_train(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
                                    ls, num_heads):
@@ -395,25 +611,65 @@ def _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
     N, S, E = x.shape
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
-    y, qkv, p, o = _call_fused_multi(
+    y, qkv, o = _call_fused_multi(
         functools.partial(_attn_train_kernel, num_heads=num_heads,
                           has_ls=has_ls),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
-        out_shapes=[(S, E), (S, 3 * E), (num_heads, S, S), (S, E)],
+        out_shapes=[(S, E), (S, 3 * E), (S, E)],
     )
-    return y, qkv, p, o
+    return y, qkv, o
 
 
 def _attn_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads):
-    y, qkv, p, o = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
-                                        bproj, ls, num_heads)
-    return y, (x, qkv, p, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
+    y, qkv, o = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                     bproj, ls, num_heads)
+    return y, (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
+
+
+def _cast_like(val, like):
+    return None if like is None else val.astype(
+        jnp.asarray(like).dtype).reshape(jnp.shape(like))
 
 
 def _attn_train_bwd(num_heads, res, g):
-    x, qkv, p, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
+    x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
+    N, S, E = x.shape
+    if E <= _PALLAS_BWD_MAX_E:
+        return _attn_train_bwd_pallas(num_heads, res, g)
+    return _attn_train_bwd_xla(num_heads, res, g)
+
+
+def _attn_train_bwd_pallas(num_heads, res, g):
+    """Fused backward: softmax recomputed in VMEM from the saved qkv,
+    weight grads accumulated in VMEM f32 across the grid — no [H,S,S]
+    HBM round trips (those made the first XLA backward SLOWER than the
+    flax path: 41.4 vs 44.5 vol/s measured)."""
+    x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
+    N, S, E = x.shape
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
+    dx, dwqkv, dbqkv, dwproj, dbproj, dlns, dlnb, dls = _call_fused_bwd(
+        functools.partial(_attn_bwd_kernel, num_heads=num_heads,
+                          has_ls=has_ls),
+        g.astype(x.dtype),
+        grid_inputs=[x, qkv, o],
+        operands=[_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype),
+                  jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
+        accum_shapes=[(E, 3 * E), (1, 3 * E), (E, E), (1, E),
+                      (1, E), (1, E), (1, E)],
+    )
+    return (dx, _cast_like(dlns, ln_s), _cast_like(dlnb, ln_b),
+            _cast_like(dwqkv, wqkv), _cast_like(dbqkv, bqkv),
+            _cast_like(dwproj, wproj), _cast_like(dbproj, bproj),
+            _cast_like(dls, ls) if has_ls else None)
+
+
+def _attn_train_bwd_xla(num_heads, res, g):
+    """XLA fallback backward for embed widths whose weight-grad
+    accumulators exceed VMEM (giant-scale)."""
+    x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
     N, S, E = x.shape
     hd = E // num_heads
     scale = 1.0 / math.sqrt(hd)
@@ -438,10 +694,12 @@ def _attn_train_bwd(num_heads, res, g):
         _heads(qkv[:, :, i * E:(i + 1) * E], num_heads) for i in range(3)
     )
     do_h = _heads(do, num_heads)
-    p_c = p.astype(cd)
+    s = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                   preferred_element_type=f32) * scale
+    pf = jax.nn.softmax(s, axis=-1)
+    p_c = pf.astype(cd)
     dv = jnp.einsum("nhqk,nhqd->nhkd", p_c, do_h, preferred_element_type=f32)
     dp = jnp.einsum("nhqd,nhkd->nhqk", do_h, v, preferred_element_type=f32)
-    pf = p.astype(f32)
     ds = ((dp - (dp * pf).sum(-1, keepdims=True)) * pf * scale).astype(cd)
     dq = jnp.einsum("nhqk,nhkd->nhqd", ds, k, preferred_element_type=f32)
     dk = jnp.einsum("nhqk,nhqd->nhkd", ds, q, preferred_element_type=f32)
@@ -458,13 +716,10 @@ def _attn_train_bwd(num_heads, res, g):
     dx_ln, dln_s, dln_b = _ln_bwd(dh, xhat, rstd, ln_s)
     dx = (g.astype(f32) + dx_ln).astype(x.dtype)
 
-    def cast(val, like):
-        return None if like is None else val.astype(
-            jnp.asarray(like).dtype).reshape(jnp.shape(like))
-
-    return (dx, cast(dln_s, ln_s), cast(dln_b, ln_b), cast(dwqkv, wqkv),
-            cast(dbqkv, bqkv), cast(dwproj, wproj), cast(dbproj, bproj),
-            cast(dls, ls))
+    return (dx, _cast_like(dln_s, ln_s), _cast_like(dln_b, ln_b),
+            _cast_like(dwqkv, wqkv), _cast_like(dbqkv, bqkv),
+            _cast_like(dwproj, wproj), _cast_like(dbproj, bproj),
+            _cast_like(dls, ls))
 
 
 fused_attention_sublayer_train.defvjp(_attn_train_fwd, _attn_train_bwd)
@@ -498,6 +753,34 @@ def _mlp_train_fwd(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
 
 
 def _mlp_train_bwd(approximate, res, g):
+    x, a, ln_s, ln_b, w1, b1, w2, b2, ls = res
+    if x.shape[-1] <= _PALLAS_BWD_MAX_E:
+        return _mlp_train_bwd_pallas(approximate, res, g)
+    return _mlp_train_bwd_xla(approximate, res, g)
+
+
+def _mlp_train_bwd_pallas(approximate, res, g):
+    x, a, ln_s, ln_b, w1, b1, w2, b2, ls = res
+    N, S, E = x.shape
+    F = w1.shape[-1]
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
+    dx, dw1, db1, dw2, db2, dlns, dlnb, dls = _call_fused_bwd(
+        functools.partial(_mlp_bwd_kernel, approximate=approximate,
+                          has_ls=has_ls),
+        g.astype(x.dtype),
+        grid_inputs=[x, a],
+        operands=[_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype),
+                  jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
+        accum_shapes=[(E, F), (1, F), (F, E), (1, E), (1, E), (1, E), (1, E)],
+    )
+    return (dx, _cast_like(dlns, ln_s), _cast_like(dlnb, ln_b),
+            _cast_like(dw1, w1), _cast_like(db1, b1),
+            _cast_like(dw2, w2), _cast_like(db2, b2),
+            _cast_like(dls, ls) if has_ls else None)
+
+
+def _mlp_train_bwd_xla(approximate, res, g):
     x, a, ln_s, ln_b, w1, b1, w2, b2, ls = res
     cd = x.dtype
     g = g.astype(cd)

@@ -291,3 +291,51 @@ def test_fused_logits_with_padding_mask_match_flax():
                            dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_train_bwd_xla_fallback_parity(monkeypatch):
+    """Embed widths above _PALLAS_BWD_MAX_E take the XLA backward — force
+    that path and re-check full gradient parity."""
+    from mst_tpu.ops import fused_block
+
+    monkeypatch.setattr(fused_block, "_PALLAS_BWD_MAX_E", 0)
+    key = jax.random.PRNGKey(9)
+    N, S, E, H, F = 2, 9, 32, 4, 64
+    x = jax.random.normal(key, (N, S, E))
+    *a_args, ls = _rand_attn_args(key)
+
+    def loss_t(*d):
+        return jnp.sum(fused_attention_sublayer_train(*d, ls, H) ** 2)
+
+    def loss_r(*d):
+        return jnp.sum(_attn_ref(*d, ls, H) ** 2)
+
+    argnums = tuple(range(1 + len(a_args)))
+    gt = jax.grad(loss_t, argnums)(x, *a_args)
+    gr = jax.grad(loss_r, argnums)(x, *a_args)
+    for i, (u, v) in enumerate(zip(gt, gr)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"attn arg {i}")
+
+    ks = jax.random.split(key, 8)
+    m_args = (
+        1.0 + 0.1 * jax.random.normal(ks[0], (E,)),
+        0.1 * jax.random.normal(ks[1], (E,)),
+        0.1 * jax.random.normal(ks[2], (E, F)),
+        0.1 * jax.random.normal(ks[3], (F,)),
+        0.1 * jax.random.normal(ks[4], (F, E)),
+        0.1 * jax.random.normal(ks[5], (E,)),
+    )
+
+    def mloss_t(*d):
+        return jnp.sum(fused_mlp_sublayer_train(*d, None, True) ** 2)
+
+    def mloss_r(*d):
+        return jnp.sum(_mlp_ref(*d, None, approximate=True) ** 2)
+
+    argnums = tuple(range(1 + len(m_args)))
+    gt = jax.grad(mloss_t, argnums)(x, *m_args)
+    gr = jax.grad(mloss_r, argnums)(x, *m_args)
+    for i, (u, v) in enumerate(zip(gt, gr)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"mlp arg {i}")
