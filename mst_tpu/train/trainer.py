@@ -101,6 +101,25 @@ def cross_entropy_loss(logits, targets):
     ).mean()
 
 
+def should_use_fused_train(model, has_batch_stats: bool,
+                           backend: str) -> bool:
+    """Whether make_train_step routes through the fused residual-sharing
+    kernels (the standard DinoSliceClassifier config on TPU; the model has
+    no dropout knobs so the deterministic program IS the training program).
+    Rotary / 2D-rope / frozen / non-transformer-fusion configs and CPU
+    (interpreted Pallas) keep the flax path."""
+    return (
+        type(model).__name__ == "DinoSliceClassifier"
+        and not has_batch_stats
+        and getattr(model, "rotary", 1) is None
+        and not getattr(model, "use_rope_2d", True)
+        and getattr(model, "slice_fusion", "") == "transformer"
+        and getattr(model, "fusion_layers", 0) >= 1
+        and not getattr(model, "freeze", False)
+        and backend == "tpu"
+    )
+
+
 def make_train_step(model, has_batch_stats: bool = False):
     # TPU training path: the residual-sharing fused kernels
     # (fused_block.py `*_train` variants — the forward saves qkv/probs/
@@ -111,16 +130,8 @@ def make_train_step(model, has_batch_stats: bool = False):
     # inside) remains the path for rotary / rope / frozen /
     # non-transformer-fusion configs and for CPU (interpreted Pallas is
     # slower than XLA there).
-    use_fused = (
-        type(model).__name__ == "DinoSliceClassifier"
-        and not has_batch_stats
-        and getattr(model, "rotary", 1) is None
-        and not getattr(model, "use_rope_2d", True)
-        and getattr(model, "slice_fusion", "") == "transformer"
-        and getattr(model, "fusion_layers", 0) >= 1
-        and not getattr(model, "freeze", False)
-        and jax.default_backend() == "tpu"
-    )
+    use_fused = should_use_fused_train(model, has_batch_stats,
+                                       jax.default_backend())
 
     def step(state: TrainState, source, target, mask):
         rng = jax.random.fold_in(state.dropout_rng, state.step)

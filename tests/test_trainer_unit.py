@@ -72,3 +72,25 @@ def test_history_contains_perf_stats(tmp_path):
     _fit(tmp_path, max_epochs=2, patience=5, lr=1e-3)
     rows = [json.loads(l) for l in (Path(tmp_path) / "history.jsonl").open()]
     assert any("perf/p50_ms" in r for r in rows)
+
+
+def test_should_use_fused_train_gate():
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.resnet import ResNet3DClassifier
+    from mst_tpu.train.trainer import should_use_fused_train
+
+    base = dict(out_ch=2, model_size="tiny", patch_size=14, fusion_heads=4)
+    m = DinoSliceClassifier(**base)
+    assert should_use_fused_train(m, False, "tpu")
+    assert not should_use_fused_train(m, False, "cpu")
+    assert not should_use_fused_train(m, True, "tpu")
+    assert not should_use_fused_train(
+        DinoSliceClassifier(rotary="RoPE", **base), False, "tpu")
+    assert not should_use_fused_train(
+        DinoSliceClassifier(use_rope_2d=True, **base), False, "tpu")
+    assert not should_use_fused_train(
+        DinoSliceClassifier(slice_fusion="average", **base), False, "tpu")
+    assert not should_use_fused_train(
+        DinoSliceClassifier(freeze=True, **base), False, "tpu")
+    assert not should_use_fused_train(
+        ResNet3DClassifier(out_ch=2), False, "tpu")
