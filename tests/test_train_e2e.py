@@ -223,3 +223,19 @@ def test_rollout_saliency_mode():
     probs, sal = predict(params, x, None)
     assert sal.shape == (1, 4, 28, 28)
     assert np.isfinite(np.asarray(sal)).all()
+
+
+@pytest.mark.slow
+def test_resnet_slice_trans_e2e(tmp_path):
+    """MST-ResNet through both CLIs: exercises batch_stats checkpointing
+    and the slice-attention x Grad-CAM++ saliency path end-to-end."""
+    from scripts.main_predict import main as predict_main
+    from scripts.main_train import main
+
+    run_dir, _ = main([
+        "--dataset", "Synthetic", "--model", "ResNetSliceTrans",
+        "--dtype", "float32", "--max_epochs", "1", "--batch_size", "4",
+        "--num_train_samples", "8", "--run_dir", str(tmp_path)])
+    out = predict_main(["--run_folder", str(run_dir), "--get_attention"])
+    assert (Path(out) / "results.csv").exists()
+    assert glob.glob(str(Path(out) / "case_*"))
