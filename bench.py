@@ -95,9 +95,29 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     train_iters = max(iters // 2, 5)
     for _ in range(train_iters):
         state, loss, _ = step(state, source, target, None)
-    jax.block_until_ready(loss)
+    float(loss)  # forced device->host sync (block_until_ready alone has
+    # been observed returning early through the remote-dispatch relay)
     train_dt = (time.perf_counter() - t0) / train_iters
     del optax
+
+    # Train at batch 8: amortises fusion/head/optimizer overhead (the
+    # per-device batch a pod host would run).
+    train8_vps = None
+    if on_tpu:
+        source8 = jax.random.normal(jax.random.PRNGKey(3),
+                                    (8, 1, depth, hw, hw), jnp.float32)
+        params8 = model.init(jax.random.PRNGKey(4), source8[:1])["params"]
+        state8 = TrainState.create(
+            apply_fn=model.apply, params=params8,
+            tx=make_optimizer(1e-6), dropout_rng=jax.random.PRNGKey(5))
+        target8 = jnp.zeros((8,), jnp.int32)
+        state8, loss8, _ = step(state8, source8, target8, None)
+        jax.block_until_ready(state8.params)
+        t0 = time.perf_counter()
+        for _ in range(train_iters):
+            state8, loss8, _ = step(state8, source8, target8, None)
+        float(loss8)  # forced device->host sync
+        train8_vps = 8 / ((time.perf_counter() - t0) / train_iters)
 
     # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
     # biggest encoder the reference supports (`dino.py` model_size 'g').
@@ -125,6 +145,8 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     }
     if tta_vps is not None:
         detail["tta8_volumes_per_sec"] = round(tta_vps, 2)
+    if train8_vps is not None:
+        detail["train_bs8_volumes_per_sec"] = round(train8_vps, 2)
     if giant2_vps is not None:
         detail["giant2_volumes_per_sec"] = round(giant2_vps, 3)
     return {
