@@ -89,7 +89,15 @@ class DataModule:
         if self.num_shards > 1:
             # Equal per-host step counts (drop_last over the global stream):
             # SPMD training hangs if one host runs an extra step.
-            num -= num % (self.num_shards * self.batch_size)
+            quantum = self.num_shards * self.batch_size
+            num -= num % quantum
+            if num == 0:
+                raise ValueError(
+                    f"num_train_samples ({self.num_train_samples or n}) < "
+                    f"num_shards * batch_size ({quantum}): every epoch would "
+                    "train 0 steps — raise num_train_samples or lower the "
+                    "per-host batch size"
+                )
         rng = np.random.default_rng((self.seed, self._epoch))
         if self.weights is not None:
             p = self.weights / self.weights.sum()
@@ -216,7 +224,9 @@ class DataModule:
             # deterministically; torch's DistributedSampler pads the same way).
             quantum = self.num_shards * self.batch_size
             pad = (-n) % quantum
-            idx = np.concatenate([idx, idx[:pad]])
+            # np.resize tiles the index list, so the pad is covered even
+            # when the split is smaller than one global batch (n < pad).
+            idx = np.resize(idx, n + pad)
         return idx[self.shard_id :: self.num_shards]
 
     def val_dataloader(self) -> Iterator[dict]:

@@ -97,4 +97,16 @@ def read_nifti_batch(paths: Sequence, num_threads: int = 4) -> List:
     vols = (_MstVolume * n)()
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     lib.mstio_read_batch(c_paths, n, vols, num_threads)
-    return [_take(v, lib) for v in vols]
+    # Take (and free) EVERY successful buffer before raising on the first
+    # failure — a mid-list raise would leak the remaining volumes' native
+    # buffers on every retry.
+    results, first_err = [], None
+    for v, p in zip(vols, paths):
+        if v.ok:
+            results.append(_take(v, lib))
+        elif first_err is None:
+            first_err = IOError(
+                f"{p}: {v.error.decode(errors='replace')}")
+    if first_err is not None:
+        raise first_err
+    return results

@@ -30,6 +30,20 @@ from mst_tpu.ops.fused_block import (
 )
 
 
+def fused_config_supported(model) -> bool:
+    """Model-config conditions shared by every fused-path gate (serving:
+    train/predictor.py; training: train/trainer.should_use_fused_train).
+    Rotary / 2D-rope / non-transformer-fusion configs use flax modules the
+    fused kernels do not implement."""
+    return (
+        type(model).__name__ == "DinoSliceClassifier"
+        and getattr(model, "rotary", 1) is None
+        and not getattr(model, "use_rope_2d", True)
+        and getattr(model, "slice_fusion", "") == "transformer"
+        and getattr(model, "fusion_layers", 0) >= 1
+    )
+
+
 @dataclass(frozen=True)
 class FastViTConfig:
     embed_dim: int

@@ -160,6 +160,12 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
         lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
+# Whole-sequence programs hold several f32 [S, S] intermediates at once
+# (~9.4 MB each at S=1536); the default 16 MiB scoped-VMEM budget only
+# covers S <= ~500. v5e has 128 MiB of VMEM per core.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 # Sequences up to this length take the single-block (ragged, unpadded)
 # kernels. 1536 covers the ViT-g/14 518px grid (1370 tokens); the
 # whole-row f32 intermediates at 1536x1536 are ~9.4 MB each, well within
@@ -216,6 +222,7 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(qp, kp, vp)
         out = res[0][:, :Sq].reshape(B, H, Sq, D)
         if not want_lse:
@@ -261,6 +268,7 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
     )(qp, kp, vp)
     out = out[:, :Sq].reshape(B, H, Sq, D)
     lse = lse[:, :Sq, 0].reshape(B, H, Sq)
@@ -430,6 +438,7 @@ def _flash_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
                 jax.ShapeDtypeStruct((B * H, Sk, D), v.dtype),
             ],
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(qp, kp, vp, dop, lsep, deltap)
         return (dq.reshape(B, H, Sq, D), dk.reshape(B, H, Sk, D),
                 dv.reshape(B, H, Sk, D))
@@ -479,6 +488,7 @@ def _flash_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
         out_shape=jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
     )(qp, kp, vp, dop, lsep, deltap)
 
     dk, dv = pl.pallas_call(
@@ -515,6 +525,7 @@ def _flash_bwd(sm_scale, block_q, block_k, interpret, residuals, g):
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
         interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
     )(qp, kp, vp, dop, lsep, deltap)
 
     dq = dq[:, :Sq].reshape(B, H, Sq, D)

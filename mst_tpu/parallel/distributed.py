@@ -78,12 +78,37 @@ def make_global_batch(batch: dict, mesh: Mesh, batch_axis: str = "data") -> dict
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
-            local = np.asarray(v)
-            spec = P(batch_axis, *[None] * (local.ndim - 1))
-            global_shape = (local.shape[0] * n_proc, *local.shape[1:])
-            out[k] = jax.make_array_from_process_local_data(
-                NamedSharding(mesh, spec), local, global_shape
-            )
+            spec = P(batch_axis, *[None] * (v.ndim - 1))
+            sharding = NamedSharding(mesh, spec)
+            global_shape = (v.shape[0] * n_proc, *v.shape[1:])
+            if isinstance(v, jax.Array) and v.is_fully_addressable:
+                # Already device-resident (the augmented batch): split it
+                # across this host's devices on-device — np.asarray here
+                # would force a device->host sync + full re-upload of the
+                # volume batch EVERY step (the tunneled-link cost mesh.py
+                # documents for single-host).
+                out[k] = _global_from_device_local(v, sharding, global_shape)
+            else:
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v), global_shape
+                )
         else:
             out[k] = v
     return out
+
+
+def _global_from_device_local(v: jax.Array, sharding: NamedSharding,
+                              global_shape) -> jax.Array:
+    """Build a global array from a host-local, device-resident array by
+    device-to-device placement of each addressable shard (no host copy)."""
+    idx_map = sharding.addressable_devices_indices_map(global_shape)
+    starts = [(idx[0].start or 0) for idx in idx_map.values()]
+    row0 = min(starts)  # this host's offset into the global batch axis
+    pieces, devices = [], []
+    for dev, idx in idx_map.items():
+        lo = (idx[0].start or 0) - row0
+        hi = (idx[0].stop if idx[0].stop is not None else global_shape[0]) - row0
+        pieces.append(jax.device_put(v[lo:hi], dev))
+        devices.append(dev)
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, pieces)

@@ -171,11 +171,10 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
     def plain_logits(variables, source, mask):
         # Serving fast path: fused Pallas sub-layer kernels for the Dino
         # classifier when no attention maps are requested.
-        if (type(model).__name__ == "DinoSliceClassifier"
-                and batch_stats is None and not model.use_rope_2d
-                and model.rotary is None
-                and model.slice_fusion == "transformer"
-                and model.fusion_layers >= 1
+        from mst_tpu.models.vit_fast import fused_config_supported
+
+        if (fused_config_supported(model)
+                and batch_stats is None
                 and jax.default_backend() == "tpu"):
             # (on CPU the fused kernels run interpreted — slower than XLA)
             from mst_tpu.models.vit_fast import fused_mst_logits

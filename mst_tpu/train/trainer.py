@@ -108,13 +108,13 @@ def should_use_fused_train(model, has_batch_stats: bool,
     no dropout knobs so the deterministic program IS the training program).
     Rotary / 2D-rope / frozen / non-transformer-fusion configs and CPU
     (interpreted Pallas) keep the flax path."""
+    from mst_tpu.models.vit_fast import fused_config_supported
+
     return (
-        type(model).__name__ == "DinoSliceClassifier"
+        fused_config_supported(model)
         and not has_batch_stats
-        and getattr(model, "rotary", 1) is None
-        and not getattr(model, "use_rope_2d", True)
-        and getattr(model, "slice_fusion", "") == "transformer"
-        and getattr(model, "fusion_layers", 0) >= 1
+        # freeze stop-gradients the encoder: the flax path lets XLA DCE the
+        # whole encoder backward, which the fused train kernels cannot.
         and not getattr(model, "freeze", False)
         and backend == "tpu"
     )

@@ -152,15 +152,26 @@ def main(argv=None):
 
     model, entry = get_model(args.model, dtype=dtype, **model_kw)
 
-    stamp = datetime.now().strftime("%Y_%m_%d_%H%M%S")
-    if num_shards > 1:
-        # All hosts must agree on the run directory (orbax coordinates the
-        # checkpoint writes across processes): broadcast process 0's stamp.
-        from jax.experimental import multihost_utils
+    if args.resume:
+        # Resume continues IN the original run dir (Lightning last.ckpt
+        # semantics): the restored best/patience bookkeeping refers to the
+        # best checkpoint living there — a fresh dir would strand it and
+        # could early-stop with no best_checkpoint.json at all.
+        run_dir = Path(args.resume)
+        if not (run_dir / "best_checkpoint.json").exists():
+            raise SystemExit(f"--resume: {run_dir} is not a run folder")
+    else:
+        stamp = datetime.now().strftime("%Y_%m_%d_%H%M%S")
+        if num_shards > 1:
+            # All hosts must agree on the run directory (orbax coordinates
+            # the checkpoint writes across processes): broadcast process 0's
+            # stamp.
+            from jax.experimental import multihost_utils
 
-        buf = np.frombuffer(stamp.encode().ljust(32), dtype=np.uint8).copy()
-        stamp = bytes(multihost_utils.broadcast_one_to_all(buf)).decode().strip()
-    run_dir = Path(args.run_dir) / args.dataset / f"{args.model}_{stamp}"
+            buf = np.frombuffer(stamp.encode().ljust(32), dtype=np.uint8).copy()
+            stamp = bytes(
+                multihost_utils.broadcast_one_to_all(buf)).decode().strip()
+        run_dir = Path(args.run_dir) / args.dataset / f"{args.model}_{stamp}"
     run_dir.mkdir(parents=True, exist_ok=True)
 
     tx = make_optimizer(args.lr or entry.learning_rate, entry.weight_decay,

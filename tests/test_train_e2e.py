@@ -114,6 +114,9 @@ def test_true_resume_bit_identical(tmp_path):
     run_c, _ = main(TRAIN_ARGS + ["--max_epochs", "2",
                                   "--run_dir", str(tmp_path / "c"),
                                   "--resume", str(run_b)])
+    # resume continues IN the original run dir (the restored best/patience
+    # bookkeeping refers to checkpoints living there)
+    assert Path(run_c) == Path(run_b)
 
     pa = _leaves(load_checkpoint(run_a, "last")["params"])
     pc = _leaves(load_checkpoint(run_c, "last")["params"])
@@ -239,3 +242,19 @@ def test_resnet_slice_trans_e2e(tmp_path):
     out = predict_main(["--run_folder", str(run_dir), "--get_attention"])
     assert (Path(out) / "results.csv").exists()
     assert glob.glob(str(Path(out) / "case_*"))
+
+
+@pytest.mark.slow
+def test_dinov3_e2e(tmp_path):
+    """DinoV3 config (2D in-plane RoPE) through both CLIs — the reference's
+    DinoV3ClassifierSlice as a config of the same module."""
+    from scripts.main_predict import main as predict_main
+    from scripts.main_train import main
+
+    run_dir, _ = main([
+        "--dataset", "Synthetic", "--model", "DinoV3ClassifierSlice",
+        "--model_size", "tiny", "--fusion_heads", "4", "--dtype", "float32",
+        "--max_epochs", "1", "--batch_size", "4", "--num_train_samples", "8",
+        "--run_dir", str(tmp_path)])
+    out = predict_main(["--run_folder", str(run_dir)])
+    assert (Path(out) / "results.csv").exists()
