@@ -352,14 +352,20 @@ class Trainer:
             if self.keep_last:
                 # `last` holds the FULL TrainState (+loop counters) so
                 # --resume continues bit-identically, not as a warm start.
+                # Async: the disk write overlaps the next epoch (the
+                # device->host copy completes before save returns, so the
+                # donated step cannot clobber it).
                 save_train_state(
                     self.run_dir, "last", state,
                     meta={"epoch": epoch, "best": float(best),
                           "best_epoch": best_epoch, "stale": stale},
-                    hparams=hparams)
+                    hparams=hparams, use_async=True)
             if epoch + 1 >= self.min_epochs and stale >= self.patience:
                 log.info("early stopping at epoch %d (best %.4f @ %d)",
                          epoch, best, best_epoch)
                 break
 
+        from mst_tpu.utils.checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()  # `last` must be durable before we return
         return state, FitResult(best, best_epoch, len(history), history)

@@ -23,20 +23,47 @@ import orbax.checkpoint as ocp
 
 BEST_POINTER = "best_checkpoint.json"
 
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
 
 def _is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def _get_async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint write has committed
+    (call before reading a just-saved checkpoint or exiting)."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(run_dir, name: str, state: Any,
-                    hparams: Optional[Dict] = None) -> Path:
+                    hparams: Optional[Dict] = None,
+                    use_async: bool = False) -> Path:
     """Multi-host safe: ALL processes must call this (orbax coordinates the
     write with global barriers; replicated data is written once); the JSON
-    sidecars are written by process 0 only."""
+    sidecars are written by process 0 only.
+
+    use_async=True returns after the device->host copy and commits the disk
+    write in the background (safe with donated train states — the copy
+    happens before the next step can reuse the buffers). Call
+    `wait_for_async_saves()` before reading it back.
+    """
     run_dir = Path(run_dir)
     path = (run_dir / name).resolve()
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, state, force=True)
+    if use_async:
+        ckptr = _get_async_checkpointer()
+        ckptr.wait_until_finished()  # one in-flight save at a time
+        ckptr.save(path, state, force=True)
+    else:
+        ocp.PyTreeCheckpointer().save(path, state, force=True)
     if hparams is not None and _is_main_process():
         (run_dir / f"{name}.hparams.json").write_text(json.dumps(hparams, indent=2))
     return path
@@ -50,6 +77,7 @@ def load_checkpoint(run_dir, name: str) -> Any:
     original topology."""
     import numpy as np
 
+    wait_for_async_saves()
     path = (Path(run_dir) / name).resolve()
     ckptr = ocp.PyTreeCheckpointer()
     meta = ckptr.metadata(path).item_metadata
@@ -60,7 +88,8 @@ def load_checkpoint(run_dir, name: str) -> Any:
 
 def save_train_state(run_dir, name: str, state: Any,
                      meta: Optional[Dict] = None,
-                     hparams: Optional[Dict] = None) -> Path:
+                     hparams: Optional[Dict] = None,
+                     use_async: bool = False) -> Path:
     """Save the FULL TrainState (params + optimizer moments + step + rng)
     so `--resume` is a true resume, not a warm start (the Lightning
     `last.ckpt` analogue, reference `scripts/main_train.py:103-109`).
@@ -76,7 +105,8 @@ def save_train_state(run_dir, name: str, state: Any,
     }
     if state.batch_stats is not None:
         tree["batch_stats"] = state.batch_stats
-    path = save_checkpoint(run_dir, name, tree, hparams=hparams)
+    path = save_checkpoint(run_dir, name, tree, hparams=hparams,
+                           use_async=use_async)
     if meta is not None and _is_main_process():
         (Path(run_dir) / f"{name}.meta.json").write_text(
             json.dumps(meta, indent=2))
@@ -85,6 +115,8 @@ def save_train_state(run_dir, name: str, state: Any,
 
 def restore_train_state(run_dir, name: str, template_state: Any):
     """Restore a full TrainState saved by `save_train_state`.
+
+    Waits for any in-flight async save first.
 
     `template_state` (a freshly-initialised TrainState) supplies the pytree
     structure — optax states are NamedTuples that orbax cannot reconstruct
@@ -97,6 +129,7 @@ def restore_train_state(run_dir, name: str, template_state: Any):
     }
     if template_state.batch_stats is not None:
         tree["batch_stats"] = template_state.batch_stats
+    wait_for_async_saves()
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore((Path(run_dir) / name).resolve(), item=tree)
     state = template_state.replace(

@@ -94,3 +94,22 @@ def test_should_use_fused_train_gate():
         DinoSliceClassifier(freeze=True, **base), False, "tpu")
     assert not should_use_fused_train(
         ResNet3DClassifier(out_ch=2), False, "tpu")
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async save commits in the background; wait + restore round-trips."""
+    import numpy as np
+
+    from mst_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_async_saves,
+    )
+
+    tree = {"a": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "b": {"c": np.ones((2,), np.int32)}}
+    save_checkpoint(tmp_path, "ck", tree, use_async=True)
+    wait_for_async_saves()
+    out = load_checkpoint(tmp_path, "ck")
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    np.testing.assert_array_equal(out["b"]["c"], tree["b"]["c"])
