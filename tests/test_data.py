@@ -169,3 +169,38 @@ def test_datamodule_padding_mask_derivation():
     np.testing.assert_array_equal(
         batch["src_key_padding_mask"][:, :-2], False
     )
+
+
+def test_multihost_eval_indices_equal_shards():
+    """Eval index padding must yield equal per-host batch counts even when
+    the split is smaller than one global batch (np.resize tiling)."""
+    from mst_tpu.data.datamodule import DataModule
+
+    class _DS:
+        def __len__(self):
+            return 3
+
+    for n, shards, bs in [(3, 4, 2), (5, 2, 4), (16, 2, 4), (1, 8, 2)]:
+        dm_list = [
+            DataModule(ds_val=None, batch_size=bs, shard_id=s, num_shards=shards)
+            for s in range(shards)
+        ]
+        lens = [len(dm._eval_indices(n)) for dm in dm_list]
+        assert len(set(lens)) == 1, (n, shards, bs, lens)
+        assert lens[0] % bs == 0, (n, shards, bs, lens)
+        # every original index appears at least once across the shards
+        all_idx = np.concatenate([dm._eval_indices(n) for dm in dm_list])
+        assert set(all_idx.tolist()) == set(range(n))
+
+
+def test_multihost_train_indices_raise_on_zero_steps():
+    from mst_tpu.data.datamodule import DataModule
+
+    class _DS:
+        def __len__(self):
+            return 100
+
+    dm = DataModule(ds_train=_DS(), batch_size=8, num_train_samples=32,
+                    shard_id=0, num_shards=8)
+    with pytest.raises(ValueError, match="0 steps"):
+        dm._train_indices()
