@@ -86,6 +86,11 @@ class DataModule:
     def _train_indices(self) -> np.ndarray:
         n = len(self.ds_train)
         num = self.num_train_samples or n
+        if self.weights is None:
+            # without-replacement sampling can only yield n indices; clamp
+            # so the weighted and unweighted branches agree on epoch length
+            # (and the multi-shard quantum below uses the achievable count)
+            num = min(num, n)
         if self.num_shards > 1:
             # Equal per-host step counts (drop_last over the global stream):
             # SPMD training hangs if one host runs an extra step.
@@ -108,7 +113,7 @@ class DataModule:
 
     # -- augmentation ------------------------------------------------------
 
-    def _augment(self, ds, batch, train: bool):
+    def _augment(self, ds, batch, train: bool, offset: int = 0):
         # augment_on_device=False disables only the RANDOM train-time
         # augmentation; the deterministic device pipeline (normalisation,
         # resize, padding-mask derivation) always runs — it is required
@@ -121,9 +126,13 @@ class DataModule:
         aug = self._augment_cache[key]
         b = batch["source"].shape[0]
         # Stable across processes (hash() is salted per interpreter).
+        # The epoch POSITION is part of the seed: weighted sampling draws
+        # the same uid multiple times per epoch and each occurrence must get
+        # fresh augmentation randomness (torchio draws per occurrence);
+        # (seed, epoch, position) stays deterministic for resume.
         seeds = np.asarray(
-            [zlib.crc32(f"{self.seed}|{self._epoch}|{u}".encode())
-             for u in batch["uid"]],
+            [zlib.crc32(f"{self.seed}|{self._epoch}|{offset + i}|{u}".encode())
+             for i, u in enumerate(batch["uid"])],
             np.uint32,
         )
         keys = jax.vmap(jax.random.PRNGKey)(seeds)
@@ -165,23 +174,37 @@ class DataModule:
         bs = self.batch_size
         n_full = len(indices) // bs if train else -(-len(indices) // bs)
         work_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # Consumers may abandon the generator mid-epoch (limit_val_batches
+        # breaks out of the loop every epoch): the stop event + timed puts
+        # let the producer exit instead of blocking on a full queue forever
+        # (one leaked thread + `prefetch` pinned batches per epoch).
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    work_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 prefetch = getattr(ds, "prefetch_decode", None)
                 for bi in range(n_full):
                     chunk = indices[bi * bs : (bi + 1) * bs]
-                    if len(chunk) == 0:
+                    if len(chunk) == 0 or stop.is_set():
                         break
                     if prefetch is not None:
                         # Native pthread pool decodes the whole chunk's
                         # NIfTI files in parallel (no-op without libmstio).
                         prefetch([int(i) for i in chunk])
-                    samples = [ds[int(i)] for i in chunk]
-                    work_q.put(_collate(samples))
-                work_q.put(None)
+                    if not _put(_collate([ds[int(i)] for i in chunk])):
+                        return
+                _put(None)
             except BaseException as e:  # surface in the consumer, never hang
-                work_q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -189,18 +212,23 @@ class DataModule:
         # yielding batch k, so the (potentially slow) host->device link
         # overlaps the consumer's train/eval step.
         pending = None
-        while True:
-            batch = work_q.get()
-            if batch is None:
-                break
-            if isinstance(batch, BaseException):
-                raise batch
-            current = self._augment(ds, batch, train)
+        consumed = 0
+        try:
+            while True:
+                batch = work_q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                current = self._augment(ds, batch, train, offset=consumed)
+                consumed += len(batch["uid"])
+                if pending is not None:
+                    yield pending
+                pending = current
             if pending is not None:
                 yield pending
-            pending = current
-        if pending is not None:
-            yield pending
+        finally:
+            stop.set()
 
     def set_epoch(self, epoch: int) -> None:
         """Fast-forward the sampling epoch counter (resume support): the

@@ -30,6 +30,12 @@ from mst_tpu.ops.fused_block import (
 )
 
 
+# The fused kernels hold the whole [S, E] sequence per program
+# (fused_block.py "Constraints"); beyond this the flax path (ragged flash
+# attention) takes over rather than risking a Mosaic VMEM compile failure.
+FUSED_MAX_TOKENS = 512
+
+
 def fused_config_supported(model) -> bool:
     """Model-config conditions shared by every fused-path gate (serving:
     train/predictor.py; training: train/trainer.should_use_fused_train).
@@ -42,6 +48,15 @@ def fused_config_supported(model) -> bool:
         and getattr(model, "slice_fusion", "") == "transformer"
         and getattr(model, "fusion_layers", 0) >= 1
     )
+
+
+def fused_seq_len_ok(model, height: int, width: int) -> bool:
+    """Whether an input of this slice size fits the whole-sequence fused
+    kernels (S = 1 + registers + patch tokens <= FUSED_MAX_TOKENS). 224px
+    ViT-S/14 gives 257; 518px (1370 tokens) must use the flax path."""
+    p = model.patch_size
+    tokens = 1 + model.num_register_tokens + (height // p) * (width // p)
+    return tokens <= FUSED_MAX_TOKENS
 
 
 @dataclass(frozen=True)

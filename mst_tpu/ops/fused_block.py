@@ -20,12 +20,14 @@ re-streamed per program).
 TRAINING variants (`fused_attention_sublayer_train` /
 `fused_mlp_sublayer_train` / `fused_swiglu_sublayer_train`) share residuals
 instead of recomputing: the forward kernel additionally writes the
-intermediates the pullback needs (qkv, per-head attention probs, pre-proj
-concat, pre-activation MLP hidden), and the backward is hand-written XLA
-matmul math over those saved tensors — the forward is never re-run (round-1
-VERDICT #3: the re-running VJPs made training fall back to the unfused
-path). LN statistics are recomputed in the backward from x (two cheap
-VPU reductions) rather than saved, avoiding lane-padded per-row outputs.
+intermediates the pullback needs (qkv, pre-proj concat, pre-activation
+hidden), and the backward runs as fused Pallas kernels that recompute the
+softmax in VMEM and accumulate weight/LN grads in f32 VMEM blocks across
+the sequential grid — the forward is never re-run (round-1 VERDICT #3: the
+re-running VJPs made training fall back to the unfused path). Embed widths
+above `_PALLAS_BWD_MAX_E` use an equivalent XLA backward instead (the
+accumulators outgrow VMEM). LN statistics are recomputed in the backward
+from x (two cheap VPU reductions) rather than saved.
 
 Constraints: S <= 512 (whole sequence per program), no attention bias, no
 attention-prob output (the explainability path uses the unfused modules).
@@ -810,12 +812,9 @@ def _mlp_train_bwd_xla(approximate, res, g):
     dx_ln, dln_s, dln_b = _ln_bwd(dh, xhat, rstd, ln_s)
     dx = (g.astype(f32) + dx_ln).astype(x.dtype)
 
-    def cast(val, like):
-        return None if like is None else val.astype(
-            jnp.asarray(like).dtype).reshape(jnp.shape(like))
-
-    return (dx, cast(dln_s, ln_s), cast(dln_b, ln_b), cast(dw1, w1),
-            cast(db1, b1), cast(dw2, w2), cast(db2, b2), cast(dls, ls))
+    return (dx, _cast_like(dln_s, ln_s), _cast_like(dln_b, ln_b),
+            _cast_like(dw1, w1), _cast_like(db1, b1), _cast_like(dw2, w2),
+            _cast_like(db2, b2), _cast_like(dls, ls))
 
 
 fused_mlp_sublayer_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
@@ -880,12 +879,9 @@ def _swiglu_train_bwd(res, g):
     dx_ln, dln_s, dln_b = _ln_bwd(dh, xhat, rstd, ln_s)
     dx = (g.astype(f32) + dx_ln).astype(x.dtype)
 
-    def cast(val, like):
-        return None if like is None else val.astype(
-            jnp.asarray(like).dtype).reshape(jnp.shape(like))
-
-    return (dx, cast(dln_s, ln_s), cast(dln_b, ln_b), cast(dw12, w12),
-            cast(db12, b12), cast(dw3, w3), cast(db3, b3), cast(dls, ls))
+    return (dx, _cast_like(dln_s, ln_s), _cast_like(dln_b, ln_b),
+            _cast_like(dw12, w12), _cast_like(db12, b12),
+            _cast_like(dw3, w3), _cast_like(db3, b3), _cast_like(dls, ls))
 
 
 fused_swiglu_sublayer_train.defvjp(_swiglu_train_fwd, _swiglu_train_bwd)

@@ -171,9 +171,13 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
     def plain_logits(variables, source, mask):
         # Serving fast path: fused Pallas sub-layer kernels for the Dino
         # classifier when no attention maps are requested.
-        from mst_tpu.models.vit_fast import fused_config_supported
+        from mst_tpu.models.vit_fast import (
+            fused_config_supported,
+            fused_seq_len_ok,
+        )
 
         if (fused_config_supported(model)
+                and fused_seq_len_ok(model, *source.shape[-2:])
                 and batch_stats is None
                 and jax.default_backend() == "tpu"):
             # (on CPU the fused kernels run interpreted — slower than XLA)

@@ -146,7 +146,11 @@ def make_train_step(model, has_batch_stats: bool = False):
                     rngs=rngs, mutable=["batch_stats"],
                 )
                 return cross_entropy_loss(logits, target), (logits, updates)
-            if use_fused:
+            from mst_tpu.models.vit_fast import fused_seq_len_ok
+
+            # seq-length part of the gate is shape-dependent, so it lives
+            # inside the trace (static per compiled shape)
+            if use_fused and fused_seq_len_ok(model, *source.shape[-2:]):
                 from mst_tpu.models.vit_fast import fused_mst_logits
 
                 # rngs unused: the model has no dropout knobs (all rates 0,
@@ -329,8 +333,8 @@ class Trainer:
                 epoch, row["train_loss"], tm["AUC_ROC"], vm["AUC_ROC"], dt,
             )
             if is_main:
-                (self.run_dir / "history.jsonl").open("a").write(
-                    json.dumps(row) + "\n")
+                with (self.run_dir / "history.jsonl").open("a") as fh:
+                    fh.write(json.dumps(row) + "\n")
 
             if np.isnan(metric):
                 metric = -np.inf

@@ -17,12 +17,20 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional
 
-import matplotlib
 import numpy as np
 
-matplotlib.use("Agg")
-import matplotlib.cm as mpl_cm  # noqa: E402
-import matplotlib.pyplot as plt  # noqa: E402
+
+def _mpl():
+    """Lazy matplotlib (Agg): importing mst_tpu must not pay the pyplot
+    setup cost, and headless installs without matplotlib can still use
+    everything but the PNG writers."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.cm as mpl_cm
+    import matplotlib.pyplot as plt
+
+    return mpl_cm, plt
 
 
 def one_hot(index: np.ndarray, num_classes: int) -> np.ndarray:
@@ -91,6 +99,7 @@ def overlay_cam(volume: np.ndarray, cam: np.ndarray, path,
     c = (c - c.min()) / max(c.max() - c.min(), 1e-8)
     g = _slice_grid(vol, max_cols)
     gc = _slice_grid(c, max_cols)
+    mpl_cm, _ = _mpl()
     heat = mpl_cm.jet(gc)[..., :3]
     rgb = (1 - alpha) * np.stack([g, g, g], -1) + alpha * heat
     _save_rgb(rgb, path)
@@ -98,9 +107,11 @@ def overlay_cam(volume: np.ndarray, cam: np.ndarray, path,
 
 def _save_gray(img: np.ndarray, path):
     Path(path).parent.mkdir(parents=True, exist_ok=True)
+    _, plt = _mpl()
     plt.imsave(str(path), np.clip(img, 0, 1), cmap="gray")
 
 
 def _save_rgb(img: np.ndarray, path):
     Path(path).parent.mkdir(parents=True, exist_ok=True)
+    _, plt = _mpl()
     plt.imsave(str(path), np.clip(img, 0, 1))

@@ -79,9 +79,12 @@ def read_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
         affine[:3] = srow
     else:
         affine[0, 0], affine[1, 1], affine[2, 2] = pixdim[1], pixdim[2], pixdim[3]
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data.astype(np.float32) * slope + scl_inter
+    # NaN slope/inter mean "no scaling" (nibabel semantics) — many scanner
+    # exports carry scl_slope=NaN; multiplying through would NaN the volume.
+    slope = scl_slope if np.isfinite(scl_slope) and scl_slope != 0.0 else 1.0
+    inter = scl_inter if np.isfinite(scl_inter) else 0.0
+    if slope != 1.0 or inter != 0.0:
+        data = data.astype(np.float32) * slope + inter
     return np.asarray(data), affine
 
 

@@ -29,6 +29,10 @@ def auc_bootstrapping(
     """
     y_true = np.asarray(y_true).ravel()
     y_score = np.asarray(y_score, dtype=np.float64).ravel()
+    if np.unique(y_true).size < 2:
+        # every resample would be rejected below — fail fast instead of
+        # looping forever on a single-class split
+        raise ValueError("auc_bootstrapping requires both classes in y_true")
     rng = np.random.default_rng(seed)
     mean_fpr = np.linspace(0, 1, fpr_grid_points)
     tprs, aucs, thrs = [], [], []

@@ -157,7 +157,10 @@ void mstio_read_nifti(const char* path, MstVolume* vol) {
   float srow[12];
   memcpy(srow, h + 280, 48);
 
-  if (scl_slope == 0.0f) scl_slope = 1.0f;
+  // NaN slope/inter mean "no scaling" (nibabel semantics); NaN != 0 would
+  // otherwise slip past the zero check and NaN the whole volume.
+  if (scl_slope == 0.0f || scl_slope != scl_slope) scl_slope = 1.0f;
+  if (scl_inter != scl_inter) scl_inter = 0.0f;
   size_t vox_offset = (size_t)vox_offset_f;
   int64_t n = X * Y * Z;
   size_t need = vox_offset + (size_t)n * (bitpix / 8);

@@ -89,7 +89,7 @@ def test_dryrun_multichip_8():
 TRAIN_ARGS = [
     "--dataset", "Synthetic", "--model", "DinoV2ClassifierSlice",
     "--model_size", "tiny", "--fusion_heads", "4", "--dtype", "float32",
-    "--patience", "5", "--batch_size", "4", "--num_train_samples", "16",
+    "--patience", "5", "--batch_size", "4", "--num_train_samples", "8",
 ]
 
 

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""On-device parity check: the fused Pallas serving AND training paths vs
+the flax composition, run on the REAL TPU kernels (the pytest suite runs
+them in interpret mode on CPU; this verifies the Mosaic-compiled kernels).
+
+    python tools/tpu_parity_check.py   ->  PASS/FAIL lines + exit code
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from mst_tpu.models.mst import dino_v2_classifier_slice
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: not on TPU (kernels would run interpreted)")
+        return 0
+
+    # f32 so tolerances are meaningful; the kernels themselves are
+    # dtype-generic (bf16 in production).
+    model = dino_v2_classifier_slice(out_ch=2, model_size="small",
+                                     dtype=jnp.float32, use_flash=False)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 1, 4, 224, 224), jnp.float32)
+    t = jnp.array([1])
+    params = model.init(key, x)["params"]
+
+    ref = np.asarray(model.apply({"params": params}, x, deterministic=True))
+    fused = np.asarray(jax.jit(
+        lambda p, s: fused_mst_logits(p, s, model, dtype=jnp.float32)
+    )(params, x))
+    err = float(np.abs(fused - ref).max())
+    ok_fwd = err < 1e-3
+    print(f"serving logits  max|diff|={err:.2e}  "
+          f"{'PASS' if ok_fwd else 'FAIL'}")
+
+    import optax
+
+    def loss_flax(p):
+        logits = model.apply({"params": p}, x, deterministic=True)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    def loss_fused(p):
+        logits = fused_mst_logits(p, x, model, dtype=jnp.float32, train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    g1 = jax.jit(jax.grad(loss_flax))(params)
+    g2 = jax.jit(jax.grad(loss_fused))(params)
+    worst, worst_key = 0.0, ""
+    for (k1, v1), (_, v2) in zip(
+        jax.tree_util.tree_flatten_with_path(g1)[0],
+        jax.tree_util.tree_flatten_with_path(g2)[0],
+    ):
+        scale = max(float(np.abs(np.asarray(v1)).max()), 1e-6)
+        d = float(np.abs(np.asarray(v1) - np.asarray(v2)).max()) / scale
+        if d > worst:
+            worst, worst_key = d, jax.tree_util.keystr(k1)
+    ok_bwd = worst < 1e-2
+    print(f"training grads  max rel diff={worst:.2e} ({worst_key})  "
+          f"{'PASS' if ok_bwd else 'FAIL'}")
+    return 0 if (ok_fwd and ok_bwd) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
