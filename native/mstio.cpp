@@ -18,6 +18,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <exception>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -48,6 +49,11 @@ static bool load_file(const char* path, std::vector<uint8_t>& out,
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (n < 0) {
+    fclose(f);
+    snprintf(err, errlen, "not a regular file: %s", path);
+    return false;
+  }
   std::vector<uint8_t> raw((size_t)n);
   if (fread(raw.data(), 1, (size_t)n, f) != (size_t)n) {
     fclose(f);
@@ -69,7 +75,7 @@ static bool load_file(const char* path, std::vector<uint8_t>& out,
     zs.avail_in = (uInt)raw.size();
     std::vector<uint8_t> chunk(1 << 20);
     int ret = Z_OK;
-    while (ret != Z_STREAM_END) {
+    for (;;) {
       zs.next_out = chunk.data();
       zs.avail_out = (uInt)chunk.size();
       ret = inflate(&zs, Z_NO_FLUSH);
@@ -80,6 +86,12 @@ static bool load_file(const char* path, std::vector<uint8_t>& out,
       }
       out.insert(out.end(), chunk.data(),
                  chunk.data() + (chunk.size() - zs.avail_out));
+      if (ret == Z_STREAM_END) {
+        // Multi-member gzip (pigz / concatenated streams, RFC 1952):
+        // keep inflating while input remains, like Python's gzip module.
+        if (zs.avail_in == 0) break;
+        if (inflateReset2(&zs, 16 + MAX_WBITS) != Z_OK) break;
+      }
     }
     inflateEnd(&zs);
   } else {
@@ -111,7 +123,7 @@ extern "C" {
 
 void mstio_free(float* p) { free(p); }
 
-void mstio_read_nifti(const char* path, MstVolume* vol) {
+static void read_nifti_impl(const char* path, MstVolume* vol) {
   vol->ok = 0;
   vol->data = nullptr;
   std::vector<uint8_t> buf;
@@ -163,7 +175,22 @@ void mstio_read_nifti(const char* path, MstVolume* vol) {
   if (scl_inter != scl_inter) scl_inter = 0.0f;
   size_t vox_offset = (size_t)vox_offset_f;
   int64_t n = X * Y * Z;
-  size_t need = vox_offset + (size_t)n * (bitpix / 8);
+  // Element size from DATATYPE, not the (untrusted) bitpix field: a corrupt
+  // header with small bitpix would pass this check and the typed conversion
+  // below would read past the buffer.
+  size_t elem = 0;
+  switch (datatype) {
+    case 2: case 256: elem = 1; break;
+    case 4: case 512: elem = 2; break;
+    case 8: case 16: elem = 4; break;
+    case 64: elem = 8; break;
+    default:
+      snprintf(vol->error, sizeof(vol->error), "unsupported dtype %d: %s",
+               datatype, path);
+      return;
+  }
+  (void)bitpix;
+  size_t need = vox_offset + (size_t)n * elem;
   if (buf.size() < need) {
     snprintf(vol->error, sizeof(vol->error), "data shorter than header: %s",
              path);
@@ -208,6 +235,24 @@ void mstio_read_nifti(const char* path, MstVolume* vol) {
   vol->shape[1] = Y;
   vol->shape[2] = X;
   vol->ok = 1;
+}
+
+void mstio_read_nifti(const char* path, MstVolume* vol) {
+  // C++ exceptions (std::bad_alloc on huge/corrupt sizes) must not cross
+  // the C ABI into ctypes — that would std::terminate the Python process
+  // instead of honouring the ok=0 + error-string contract.
+  try {
+    read_nifti_impl(path, vol);
+  } catch (const std::exception& e) {
+    vol->ok = 0;
+    vol->data = nullptr;
+    snprintf(vol->error, sizeof(vol->error), "exception: %s (%s)", e.what(),
+             path);
+  } catch (...) {
+    vol->ok = 0;
+    vol->data = nullptr;
+    snprintf(vol->error, sizeof(vol->error), "unknown exception (%s)", path);
+  }
 }
 
 // ---------------------------------------------------------------------------

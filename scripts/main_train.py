@@ -174,7 +174,8 @@ def main(argv=None):
         run_dir = Path(args.run_dir) / args.dataset / f"{args.model}_{stamp}"
     run_dir.mkdir(parents=True, exist_ok=True)
 
-    tx = make_optimizer(args.lr or entry.learning_rate, entry.weight_decay,
+    lr = entry.learning_rate if args.lr is None else args.lr
+    tx = make_optimizer(lr, entry.weight_decay,
                         freeze_encoder=args.freeze,
                         schedule=args.lr_schedule)
     trainer = Trainer(

@@ -25,10 +25,10 @@ from mst_tpu.utils.resample import resample_to_reference  # noqa: E402
 def process(path_patient: Path):
     pre, pre_aff = read_nifti(path_patient / "pre.nii.gz")
     post, _ = read_nifti(path_patient / "post_1.nii.gz")
-    pre = pre.astype(np.int16)
-    post = post.astype(np.int16)
-    sub = post - pre
-    sub = (sub - sub.min()).astype(np.uint16)  # avoid uint overflow (:26)
+    # Subtract in int32: uint16 intensities above 32767 would wrap in the
+    # reference's int16 cast and corrupt the shift below.
+    sub = post.astype(np.int32) - pre.astype(np.int32)
+    sub = (sub - sub.min()).astype(np.uint16)  # shift to >=0 for uint16 (:26)
     write_nifti(path_patient / "sub.nii.gz", sub, pre_aff)
 
     t1_path = path_patient / "T1.nii.gz"

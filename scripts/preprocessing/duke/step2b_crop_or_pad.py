@@ -64,12 +64,17 @@ def preprocess(args):
     def _padded_affine():
         return ref_rs_aff  # translation shift from crop is irrelevant downstream
 
-    ref_proc, _ = to_grid(ref, ref_aff)
+    ref_proc, ref_proc_aff = to_grid(ref, ref_aff)
     bottom, top = crop_breast_height(ref_proc)
 
     for path_img in sorted(path_dir.glob("*.nii.gz")):
-        img, aff = read_nifti(path_img)
-        out, out_aff = to_grid(img, aff)
+        if path_img.name == "pre.nii.gz":
+            # already resampled above for the height crop — reuse (the
+            # resample is the most expensive op in this script)
+            out, out_aff = ref_proc.copy(), ref_proc_aff
+        else:
+            img, aff = read_nifti(path_img)
+            out, out_aff = to_grid(img, aff)
         out = out[:, bottom: out.shape[1] - top, :]  # height -> 256
         for side, sl in (("right", slice(256, None)), ("left", slice(0, 256))):
             side_dir = path_out_data / f"{path_dir.name}_{side}"

@@ -52,8 +52,15 @@ def _install_stubs():
                 pass
         m = types.ModuleType(name)
         m.__dict__.update(attrs)
+        m._mst_stub = True
         sys.modules[name] = m
         return m
+
+    def stub_attr(m, name, value):
+        # Never clobber attributes of REAL installed modules (transformers
+        # exists in this image) — only fill gaps, or populate our own stubs.
+        if getattr(m, "_mst_stub", False) or not hasattr(m, name):
+            setattr(m, name, value)
 
     # pytorch_lightning: LightningModule just needs to be an nn.Module.
     class LightningModule(torch.nn.Module):
@@ -89,16 +96,16 @@ def _install_stubs():
     mod("monai")
     mod("monai.networks")
     nets = mod("monai.networks.nets")
-    nets.ResNetFeatures = _Anything()
-    nets.resnet50 = _Anything()
+    stub_attr(nets, "ResNetFeatures", _Anything())
+    stub_attr(nets, "resnet50", _Anything())
     mod("torchvision")
     tvm = mod("torchvision.models")
-    tvm.resnet34 = _Anything()
+    stub_attr(tvm, "resnet34", _Anything())
     tvu = mod("torchvision.utils")
-    tvu.draw_segmentation_masks = _Anything()
+    stub_attr(tvu, "draw_segmentation_masks", _Anything())
     tf = mod("transformers")
-    tf.AutoImageProcessor = _Anything()
-    tf.AutoModel = _Anything()
+    stub_attr(tf, "AutoImageProcessor", _Anything())
+    stub_attr(tf, "AutoModel", _Anything())
 
 
 def measure(batch: int = 1, depth: int = 32, hw: int = 224, iters: int = 3,
