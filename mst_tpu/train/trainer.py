@@ -208,6 +208,7 @@ class Trainer:
         log_every: int = 50,
         keep_last: bool = True,
         profile_dir=None,
+        num_sanity_val_steps: int = 2,
     ):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -220,6 +221,7 @@ class Trainer:
         self.log_every = log_every
         self.keep_last = keep_last
         self.profile_dir = profile_dir
+        self.num_sanity_val_steps = num_sanity_val_steps
 
     def init_state(self, model, example_batch, tx, seed: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(seed)
@@ -257,6 +259,21 @@ class Trainer:
 
             state = jax.device_put(
                 state, NamedSharding(self.mesh, PartitionSpec()))
+
+        if self.num_sanity_val_steps and start_epoch == 0:
+            # Lightning's sanity check (reference `num_sanity_val_steps=2`,
+            # main_train.py:121): run a couple of val batches BEFORE
+            # training so an eval-path bug fails in seconds, not after the
+            # first epoch.
+            for bi, batch in enumerate(dm.val_dataloader()):
+                if bi >= self.num_sanity_val_steps:
+                    break
+                batch = make_global_batch(
+                    {k: v for k, v in batch.items()
+                     if k in ("source", "target", "src_key_padding_mask")},
+                    self.mesh)
+                eval_step(state.params, state.batch_stats,
+                          batch["source"], batch.get("src_key_padding_mask"))
 
         timer = StepTimer()
         items_per_step = dm.batch_size
