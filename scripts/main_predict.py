@@ -63,6 +63,10 @@ def main(argv=None):
                          "rollout (identity residual + row norm) instead of "
                          "the reference chain")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--batch_size", type=int, default=1,
+                    help="volumes per device program for plain eval "
+                         "(saliency/segmentation modes run per case like "
+                         "the reference, bs=1)")
     args = ap.parse_args(argv)
 
     path_run = Path(args.run_folder)
@@ -106,22 +110,28 @@ def main(argv=None):
 
     from mst_tpu.data.datamodule import DataModule
 
-    dm = DataModule(ds_test=ds_test, batch_size=1)
+    batch_size = 1 if want_sal else max(1, args.batch_size)
+    dm = DataModule(ds_test=ds_test, batch_size=batch_size)
     results, results_seg = [], []
     for batch in dm.test_dataloader():
-        uid = batch["uid"][0]
-        target = int(batch["target"][0])
         rater_masks = batch.get("rater_masks", [None])[0]
         if args.get_segmentation and rater_masks is None:
             continue  # reference skips cases without multi-rater GT (:235-237)
         source = jnp.asarray(batch["source"])
         mask_kp = batch.get("src_key_padding_mask")
         mask_kp = None if mask_kp is None else jnp.asarray(mask_kp)
-        probs, sal = predict(params, source, mask_kp)
-        probs = np.asarray(probs)[0]
+        probs_b, sal = predict(params, source, mask_kp)
+        probs_b = np.asarray(probs_b)
+        for bi, uid in enumerate(batch["uid"]):
+            probs = probs_b[bi]
+            results.append({"uid": uid, "GT": int(batch["target"][bi]),
+                            "NN": int(probs.argmax()),
+                            "NN_pred": float(probs[1])})
+        # saliency modes run bs=1 (per-case artifacts, like the reference)
+        uid = batch["uid"][0]
+        target = int(batch["target"][0])
+        probs = probs_b[0]
         pred_cls = int(probs.argmax())
-        results.append({"uid": uid, "GT": target, "NN": pred_cls,
-                        "NN_pred": float(probs[1])})
 
         if sal is not None:
             sal_np = np.asarray(sal)[0]  # [D, H, W]

@@ -258,3 +258,23 @@ def test_dinov3_e2e(tmp_path):
         "--run_dir", str(tmp_path)])
     out = predict_main(["--run_folder", str(run_dir)])
     assert (Path(out) / "results.csv").exists()
+
+
+def test_predict_batched(trained_run):
+    """--batch_size > 1 for plain eval: same rows as bs=1, one program per
+    batch (serving throughput mode); remainder batches handled."""
+    import pandas as pd
+
+    from scripts.main_predict import main as predict_main
+
+    run_dir, _ = trained_run
+    out1 = predict_main(["--run_folder", str(run_dir),
+                         "--output_dir", str(Path(run_dir) / "res_bs1")])
+    out5 = predict_main(["--run_folder", str(run_dir), "--batch_size", "5",
+                         "--output_dir", str(Path(run_dir) / "res_bs5")])
+    df1 = pd.read_csv(Path(out1) / "results.csv").sort_values("uid")
+    df5 = pd.read_csv(Path(out5) / "results.csv").sort_values("uid")
+    assert len(df5) == len(df1) == 16
+    np.testing.assert_allclose(df1["NN_pred"].to_numpy(),
+                               df5["NN_pred"].to_numpy(), atol=1e-5)
+    assert (df1["NN"].to_numpy() == df5["NN"].to_numpy()).all()
