@@ -31,6 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free on fully masked rows
 
+# Kernels compute the softmax exponential as exp2((qk * scale * LOG2E) - m2):
+# folding log2(e) into the scale turns every exp into the cheaper exp2 (the
+# VPU lowers exp to exp2 * log2e anyway — folding removes a full [S, S]
+# multiply pass) and the normalising division moves to the [S, D] output
+# (`o * inv`) instead of the [S, S] probability matrix. Saved lse values
+# stay in NATURAL-log units (converted once per row) so residuals remain
+# interchangeable with the XLA reference path.
+LOG2E = math.log2(math.e)
+
 
 # ---------------------------------------------------------------------------
 # Reference XLA attention (used for: small sequences, explainability path,
@@ -102,7 +111,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    s = s * sm_scale
+    s = s * (sm_scale * LOG2E)  # base-2 domain (see LOG2E note at top)
 
     # Static-length key padding: mask columns >= kv_len.
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -111,8 +120,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     m_prev = m_ref[:, 0]                     # [bq]
     m_cur = jnp.max(s, axis=-1)              # [bq]
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new[:, None])          # [bq, bk]
-    alpha = jnp.exp(m_prev - m_new)          # [bq]
+    p = jnp.exp2(s - m_new[:, None])         # [bq, bk]
+    alpha = jnp.exp2(m_prev - m_new)         # [bq]
     l_new = alpha * l_ref[:, 0] + jnp.sum(p, axis=-1)
     acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -126,7 +135,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
         l = l_ref[:, 0]
         inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
         o_ref[0] = (acc_ref[:] * inv[:, None]).astype(o_ref.dtype)
-        lse = m_ref[:, 0] + jnp.log(jnp.maximum(l, 1e-30))
+        # Convert base-2 running stats back to natural-log lse units.
+        lse = (m_ref[:, 0] + jnp.log2(jnp.maximum(l, 1e-30))) / LOG2E
         # lse is replicated along a 128-lane last axis purely to satisfy TPU
         # tiling (same trick as jax's reference TPU flash kernel).
         lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
@@ -142,21 +152,22 @@ def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
     k = k_ref[0]  # [Skp, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
+    ) * (sm_scale * LOG2E)  # base-2 domain (LOG2E note at top)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1)
-    p = jnp.exp(s - m[:, None])
+    p = jnp.exp2(s - m[:, None])
     l = jnp.sum(p, axis=-1)
     inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+    # Normalise the [bq, d] output rather than the [bq, Sk] p matrix.
     o = jax.lax.dot_general(
-        (p * inv[:, None]).astype(v_ref.dtype), v_ref[0],
+        p.astype(v_ref.dtype), v_ref[0],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+    ) * inv[:, None]
     o_ref[0] = o.astype(o_ref.dtype)
     if want_lse:
         lse_ref = refs[0]
-        lse = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse = (m + jnp.log2(jnp.maximum(l, 1e-30))) / LOG2E
         lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
@@ -293,10 +304,10 @@ def _bwd_single_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     do = do_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
+    ) * (sm_scale * LOG2E)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # [Sq, Sk]
+    p = jnp.exp2(s - lse_ref[0][:, :1] * LOG2E)  # [Sq, Sk]
     dv_ref[0] = jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -328,10 +339,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
+    ) * (sm_scale * LOG2E)
     col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+    p = jnp.exp2(s - lse_ref[0][:, :1] * LOG2E)  # [bq, bk]
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -362,11 +373,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]  # [bk, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale  # [bq, bk]
+    ) * (sm_scale * LOG2E)  # [bq, bk]
     kb_idx = pl.program_id(1)
     col = kb_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+    p = jnp.exp2(s - lse_ref[0][:, :1] * LOG2E)  # [bq, bk]
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

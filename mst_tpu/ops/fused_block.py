@@ -102,6 +102,37 @@ def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls):
 # Kernels (grid over the N slice images; whole [S, E] in VMEM)
 # ---------------------------------------------------------------------------
 
+_LOG2E = math.log2(math.e)
+
+
+def _mhsa(qkv, E, hd, num_heads, cd):
+    """Per-head softmax attention over a packed [S, 3E] qkv block.
+
+    Softmax economics (measured, v5e — the attention sublayer ran at 66
+    TFLOP/s vs the MLP's 140 with the naive form): log2(e) folds into the
+    softmax scale so the exponential is a bare exp2 (removes a [S, S]
+    multiply pass), and the normalising division moves to the [S, hd]
+    output instead of the [S, S] probability matrix (~6x fewer divides).
+    """
+    scale = 1.0 / math.sqrt(hd) * _LOG2E
+    outs = []
+    for i in range(num_heads):
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, E + i * hd: E + (i + 1) * hd]
+        v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(cd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        outs.append(o.astype(cd))
+    return jnp.concatenate(outs, axis=-1)  # [S, E]
+
 
 def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                  bproj_ref, ls_ref, o_ref, *, num_heads: int, has_ls: bool):
@@ -118,23 +149,7 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)  # [S, 3E]
-    scale = 1.0 / math.sqrt(hd)
-    outs = []
-    for i in range(num_heads):
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, E + i * hd: E + (i + 1) * hd]
-        v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype))
-    o = jnp.concatenate(outs, axis=-1)  # [S, E]
+    o = _mhsa(qkv, E, hd, num_heads, x.dtype)  # [S, E]
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -187,23 +202,7 @@ def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)
     qkv_ref[0] = qkv
-    scale = 1.0 / math.sqrt(hd)
-    outs = []
-    for i in range(num_heads):
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, E + i * hd: E + (i + 1) * hd]
-        v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype))
-    o = jnp.concatenate(outs, axis=-1)
+    o = _mhsa(qkv, E, hd, num_heads, x.dtype)
     o_ref[0] = o
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
@@ -453,10 +452,13 @@ def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
         do_h = do[:, i * hd:(i + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * _LOG2E)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        # The row normaliser can't fold out of BOTH backward matmuls (it
+        # varies along dv's contraction axis), so normalise p here — but as
+        # a reciprocal multiply, with exp already in exp2 form.
+        p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
         p_c = p.astype(cd)
         dvs.append(jax.lax.dot_general(
             p_c, do_h, (((0,), (0,)), ((), ())),
