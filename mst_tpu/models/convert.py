@@ -33,22 +33,29 @@ def pos_embed_grid_from_sd(sd) -> int:
 
 
 def detect_encoder_layout(sd) -> str:
-    """'hub' (torch.hub DINOv2 / local vit_*) vs 'hf' (HuggingFace
-    Dinov2Model); the reference consumes both (`dino.py:59-66,321-333`)."""
+    """'hub' (torch.hub DINOv2 / local vit_*), 'hf' (HuggingFace
+    Dinov2Model) or 'hf_v3' (HuggingFace DINOv3ViTModel); the reference
+    consumes hub and HF layouts (`dino.py:59-66,321-333`)."""
     if "pos_embed" in sd and "cls_token" in sd:
         return "hub"
     if "embeddings.position_embeddings" in sd:
         return "hf"
+    if "layer.0.attention.q_proj.weight" in sd:
+        return "hf_v3"
     raise ValueError(
-        "unrecognised encoder state_dict layout (neither torch.hub DINOv2 "
-        "nor HuggingFace Dinov2Model keys present)"
+        "unrecognised encoder state_dict layout (neither torch.hub DINOv2, "
+        "HuggingFace Dinov2Model, nor HuggingFace DINOv3ViTModel keys "
+        "present)"
     )
 
 
 def convert_any_dinov2(sd: Dict, depth: int, ffn_layer: str = "mlp") -> Dict:
-    """Dispatch on state_dict layout: torch.hub vs HF."""
-    if detect_encoder_layout(sd) == "hub":
+    """Dispatch on state_dict layout: torch.hub vs HF (v2 or v3)."""
+    layout = detect_encoder_layout(sd)
+    if layout == "hub":
         return convert_dinov2_vit(sd, depth, ffn_layer)
+    if layout == "hf_v3":
+        return convert_hf_dinov3(sd, depth)
     return convert_hf_dinov2(sd, depth)
 
 
@@ -180,6 +187,135 @@ def convert_hf_dinov2(sd: Dict, depth: int) -> Dict:
                         "bias": g(f"{p}.mlp.fc1.bias")},
                 "fc2": {"kernel": _t(g(f"{p}.mlp.fc2.weight")),
                         "bias": g(f"{p}.mlp.fc2.bias")},
+            }
+        params[f"blocks_{i}"] = blk
+    return params
+
+
+def _interleave_heads(w: np.ndarray, num_heads: int) -> np.ndarray:
+    """Permute q/k projection OUTPUT features from HF rotate-half order
+    (pairs (i, i + hd/2) within each head) to our interleaved-pair order
+    (pairs (2i, 2i+1)). q.k^T is invariant under a shared permutation of
+    q and k head dims, so attention itself is unchanged; the permutation
+    makes HF DINOv3's tile(2)+rotate_half RoPE coincide with
+    `ops.rotary.apply_rope`'s interleaved convention (the per-pair angle
+    sequences are identical — see `rope_2d_angles(normalized=True)`)."""
+    w = np.asarray(w)
+    out = w.shape[0]
+    hd = out // num_heads
+    idx = np.empty((num_heads, hd), np.int64)
+    base = np.arange(num_heads)[:, None] * hd
+    idx[:, 0::2] = base + np.arange(hd // 2)
+    idx[:, 1::2] = base + np.arange(hd // 2) + hd // 2
+    return w[idx.reshape(-1)]
+
+
+def dinov3_config_from_sd(sd) -> Dict:
+    """Infer the encoder config carried by an HF DINOv3ViTModel state_dict:
+    patch size (conv kernel), register count, depth, embed width, gated-MLP
+    hidden width. Complements `pos_embed_grid_from_sd` (DINOv3 has no
+    learned pos-embed to infer a grid from)."""
+    conv = np.asarray(sd["embeddings.patch_embeddings.weight"])
+    cfg = {
+        "patch_size": int(conv.shape[-1]),
+        "num_register_tokens":
+            int(np.asarray(sd["embeddings.register_tokens"]).shape[1]),
+        "embed_dim": int(conv.shape[0]),
+    }
+    depth = 0
+    while f"layer.{depth}.norm1.weight" in sd:
+        depth += 1
+    cfg["depth"] = depth
+    if "layer.0.mlp.gate_proj.weight" in sd:
+        cfg["ffn_layer"] = "swiglu"
+        cfg["ffn_hidden"] = int(
+            np.asarray(sd["layer.0.mlp.gate_proj.weight"]).shape[0])
+    else:
+        cfg["ffn_layer"] = "mlp"
+        cfg["ffn_hidden"] = int(
+            np.asarray(sd["layer.0.mlp.up_proj.weight"]).shape[0])
+    return cfg
+
+
+def convert_hf_dinov3(sd: Dict, depth: int,
+                      num_heads: int = None) -> Dict:
+    """HuggingFace `DINOv3ViTModel` state_dict -> our VisionTransformer
+    params (the encoder the reference's DinoV3 classifier actually runs
+    through `AutoModel`, `mst/models/dino.py:321-333`).
+
+    Layout notes:
+    - no learned position embeddings (RoPE-only; build the target model
+      with `use_pos_embed=False, use_rope_2d=True, rope_normalized=True`)
+    - separate q/k/v projections -> fused qkv; DINOv3's `key_bias=False`
+      becomes a zero k-bias segment
+    - q/k output features are permuted rotate-half -> interleaved
+      (`_interleave_heads`) so our RoPE convention reproduces HF exactly
+    - gated MLP (`gate_proj`/`up_proj`/`down_proj`) -> SwiGLU `w12`/`w3`
+      (gate first, matching `jnp.split`'s x1 = silu'd half); plain MLP
+      (`up_proj`/`down_proj`) -> `fc1`/`fc2`
+    - `embeddings.mask_token` is pre-training machinery — dropped.
+
+    `num_heads` defaults to embed_dim/64 (every published DINOv3 ViT uses
+    64-wide heads); pass it explicitly for exotic head widths.
+    """
+    def g(key):
+        return np.asarray(sd[key])
+
+    E = g("embeddings.cls_token").shape[-1]
+    if num_heads is None:
+        num_heads = E // 64
+    params: Dict = {
+        "cls_token": g("embeddings.cls_token"),
+        "register_tokens": g("embeddings.register_tokens"),
+        "patch_embed": {"proj": {
+            "kernel": _conv(g("embeddings.patch_embeddings.weight")),
+            "bias": g("embeddings.patch_embeddings.bias"),
+        }},
+        "norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+    }
+    for i in range(depth):
+        p = f"layer.{i}"
+        q_w = _interleave_heads(g(f"{p}.attention.q_proj.weight"), num_heads)
+        k_w = _interleave_heads(g(f"{p}.attention.k_proj.weight"), num_heads)
+        v_w = g(f"{p}.attention.v_proj.weight")
+        q_b = (g(f"{p}.attention.q_proj.bias")
+               if f"{p}.attention.q_proj.bias" in sd else np.zeros(E, v_w.dtype))
+        q_b = _interleave_heads(q_b[:, None], num_heads)[:, 0]
+        k_b = (g(f"{p}.attention.k_proj.bias")
+               if f"{p}.attention.k_proj.bias" in sd else np.zeros(E, v_w.dtype))
+        k_b = _interleave_heads(k_b[:, None], num_heads)[:, 0]
+        v_b = (g(f"{p}.attention.v_proj.bias")
+               if f"{p}.attention.v_proj.bias" in sd else np.zeros(E, v_w.dtype))
+        blk = {
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "attn": {
+                "qkv": {"kernel": np.concatenate([q_w, k_w, v_w], 0).T,
+                        "bias": np.concatenate([q_b, k_b, v_b], 0)},
+                "proj": {"kernel": _t(g(f"{p}.attention.o_proj.weight")),
+                         "bias": g(f"{p}.attention.o_proj.bias")},
+            },
+            "ls1": {"gamma": g(f"{p}.layer_scale1.lambda1")},
+            "ls2": {"gamma": g(f"{p}.layer_scale2.lambda1")},
+        }
+        if f"{p}.mlp.gate_proj.weight" in sd:  # gated MLP (SwiGLU)
+            w12 = np.concatenate([
+                g(f"{p}.mlp.gate_proj.weight"), g(f"{p}.mlp.up_proj.weight")
+            ], axis=0)
+            b12 = np.concatenate([
+                g(f"{p}.mlp.gate_proj.bias"), g(f"{p}.mlp.up_proj.bias")
+            ], axis=0)
+            blk["mlp"] = {
+                "w12": {"kernel": w12.T, "bias": b12},
+                "w3": {"kernel": _t(g(f"{p}.mlp.down_proj.weight")),
+                       "bias": g(f"{p}.mlp.down_proj.bias")},
+            }
+        else:
+            blk["mlp"] = {
+                "fc1": {"kernel": _t(g(f"{p}.mlp.up_proj.weight")),
+                        "bias": g(f"{p}.mlp.up_proj.bias")},
+                "fc2": {"kernel": _t(g(f"{p}.mlp.down_proj.weight")),
+                        "bias": g(f"{p}.mlp.down_proj.bias")},
             }
         params[f"blocks_{i}"] = blk
     return params

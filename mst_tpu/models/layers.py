@@ -68,15 +68,19 @@ class Mlp(nn.Module):
 
 class SwiGLU(nn.Module):
     """SwiGLU FFN with hidden rounded to a multiple of 8
-    (reference `layers/swiglu_ffn.py:66`)."""
+    (reference `layers/swiglu_ffn.py:66`). `hidden_override` pins the gate
+    width exactly (HF DINOv3 GatedMLP checkpoints carry an explicit
+    `intermediate_size` instead of the 2/3-of-mlp_ratio rule)."""
 
     hidden_features: int
     out_features: int
     dtype: Dtype = jnp.float32
+    hidden_override: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        hidden = (int(self.hidden_features * 2 / 3) + 7) // 8 * 8
+        hidden = (self.hidden_override if self.hidden_override is not None
+                  else (int(self.hidden_features * 2 / 3) + 7) // 8 * 8)
         x12 = nn.Dense(2 * hidden, dtype=self.dtype, name="w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         return nn.Dense(self.out_features, dtype=self.dtype, name="w3")(
@@ -163,6 +167,8 @@ class Block(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     drop_path_rate: float = 0.0
     ffn_layer: str = "mlp"  # "mlp" | "swiglu"
+    ffn_hidden: Optional[int] = None  # exact FFN width (else from mlp_ratio)
+    norm_eps: float = 1e-6  # DINOv2 convention; HF DINOv3 uses 1e-5
     gelu_approximate: bool = True
     dtype: Dtype = jnp.float32
     use_flash: bool = True
@@ -180,7 +186,8 @@ class Block(nn.Module):
         if not deterministic and self.drop_path_rate > 0.0:
             dp_rng = self.make_rng("drop_path")
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm1")(x)
         h = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             dtype=self.dtype, use_flash=self.use_flash, name="attn",
@@ -189,14 +196,16 @@ class Block(nn.Module):
         rng1 = None if dp_rng is None else jax.random.fold_in(dp_rng, 0)
         x = x + drop_path(h, self.drop_path_rate, rng1, deterministic)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         if self.ffn_layer == "swiglu":
-            h = SwiGLU(hidden, self.dim, dtype=self.dtype, name="mlp")(
+            h = SwiGLU(hidden, self.dim, dtype=self.dtype,
+                       hidden_override=self.ffn_hidden, name="mlp")(
                 h, deterministic=deterministic
             )
         else:
-            h = Mlp(hidden, self.dim, dtype=self.dtype,
+            h = Mlp(self.ffn_hidden or hidden, self.dim, dtype=self.dtype,
                     act=functools.partial(nn.gelu,
                                           approximate=self.gelu_approximate),
                     name="mlp")(

@@ -73,8 +73,13 @@ class DinoSliceClassifier(nn.Module):
     freeze: bool = False
     # encoder weight-config knobs (match the source of pretrained weights:
     # hub DINOv2 = grid 37 + LayerScale; the reference's local vit_small =
-    # grid 16, no LayerScale)
+    # grid 16, no LayerScale; HF DINOv3 = no learned pos-embed, normalised
+    # RoPE coords, LN eps 1e-5)
     pos_embed_grid: int = 37
+    use_pos_embed: bool = True
+    rope_normalized: bool = False
+    norm_eps: float = 1e-6
+    ffn_hidden: Optional[int] = None
     layerscale_init: Optional[float] = 1e-5
     gelu_approximate: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -87,6 +92,10 @@ class DinoSliceClassifier(nn.Module):
             num_register_tokens=self.num_register_tokens,
             use_rope_2d=self.use_rope_2d,
             pos_embed_grid=self.pos_embed_grid,
+            use_pos_embed=self.use_pos_embed,
+            rope_normalized=self.rope_normalized,
+            norm_eps=self.norm_eps,
+            ffn_hidden=self.ffn_hidden,
             layerscale_init=self.layerscale_init,
             gelu_approximate=self.gelu_approximate,
             dtype=self.dtype,
@@ -201,10 +210,22 @@ def dino_v2_classifier_slice(**kw) -> DinoSliceClassifier:
 
 
 def dino_v3_classifier_slice(**kw) -> DinoSliceClassifier:
-    """Reference `DinoV3ClassifierSlice` (`dino.py:279-795`): ViT-giant uses
-    patch 16, otherwise 14 (`dino.py:551-556`)."""
-    size = kw.setdefault("model_size", "small")
-    kw.setdefault("patch_size", 16 if size == "giant2" else 14)
+    """Reference `DinoV3ClassifierSlice` (`dino.py:279-795`), configured to
+    the ACTUAL DINOv3 architecture the reference loads through HF
+    `AutoModel` (`dino.py:321-333`): patch 16 and 4 register tokens for
+    EVERY size, no learned pos-embed (RoPE-only, normalised [-1,1]
+    patch-center coords, theta=100), LN eps 1e-5. The reference's
+    patch-grid helper assumes 14x14 for non-giant sizes (`dino.py:551-556`)
+    and then has to truncate 200->196 attention tokens
+    (`main_predict.py:84-98`) — a workaround for the register tokens this
+    module instead carries natively (divergence documented, not
+    replicated). Weight converter: `convert.convert_hf_dinov3`."""
+    kw.setdefault("model_size", "small")
+    kw.setdefault("patch_size", 16)
+    kw.setdefault("num_register_tokens", 4)
     kw.setdefault("slice_fusion", "transformer")
     kw.setdefault("use_rope_2d", True)  # DINOv3 ViTs carry in-plane RoPE
+    kw.setdefault("rope_normalized", True)
+    kw.setdefault("use_pos_embed", False)
+    kw.setdefault("norm_eps", 1e-5)
     return DinoSliceClassifier(**kw)

@@ -110,11 +110,15 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     num_register_tokens: int = 0
     ffn_layer: str = "mlp"
+    ffn_hidden: Optional[int] = None  # exact FFN width (HF DINOv3 gated MLP)
     layerscale_init: Optional[float] = 1e-5
     drop_path_rate: float = 0.0
+    use_pos_embed: bool = True  # False for DINOv3 (RoPE-only, no learned PE)
     pos_embed_grid: int = 37  # pretrained DINOv2 canonical grid (518/14)
     use_rope_2d: bool = False  # DINOv3-style axial RoPE over patch coords
     rope_theta: float = 100.0
+    rope_normalized: bool = False  # HF DINOv3 [-1,1] patch-center coords
+    norm_eps: float = 1e-6  # DINOv2 LN eps; HF DINOv3 uses 1e-5
     gelu_approximate: bool = True  # tanh-GELU (2x cheaper, <=4.3e-4 abs dev)
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
@@ -140,17 +144,23 @@ class VisionTransformer(nn.Module):
             "cls_token", nn.initializers.truncated_normal(0.02),
             (1, 1, self.embed_dim),
         )
-        pos_embed = self.param(
-            "pos_embed", nn.initializers.truncated_normal(0.02),
-            (1, 1 + self.pos_embed_grid**2, self.embed_dim),
-        )
-        pe = interpolate_pos_embed(
-            pos_embed, (gh, gw), (self.pos_embed_grid, self.pos_embed_grid)
-        ).astype(self.dtype)
-        tokens = tokens + pe[:, 1:]
-        cls = jnp.broadcast_to(
-            cls_token.astype(self.dtype) + pe[:, :1], (B, 1, self.embed_dim)
-        )
+        if self.use_pos_embed:
+            pos_embed = self.param(
+                "pos_embed", nn.initializers.truncated_normal(0.02),
+                (1, 1 + self.pos_embed_grid**2, self.embed_dim),
+            )
+            pe = interpolate_pos_embed(
+                pos_embed, (gh, gw), (self.pos_embed_grid, self.pos_embed_grid)
+            ).astype(self.dtype)
+            tokens = tokens + pe[:, 1:]
+            cls = jnp.broadcast_to(
+                cls_token.astype(self.dtype) + pe[:, :1],
+                (B, 1, self.embed_dim)
+            )
+        else:  # DINOv3: position comes from RoPE only (HF DINOv3ViTModel)
+            cls = jnp.broadcast_to(
+                cls_token.astype(self.dtype), (B, 1, self.embed_dim)
+            )
         parts = [cls]
         if self.num_register_tokens:
             reg = self.param(
@@ -176,6 +186,7 @@ class VisionTransformer(nn.Module):
                 (gh, gw), self.embed_dim // self.num_heads,
                 num_prefix=1 + self.num_register_tokens,
                 theta=self.rope_theta,
+                normalized=self.rope_normalized,
             )
         intermediates = []
         for i in range(self.depth):
@@ -185,7 +196,8 @@ class VisionTransformer(nn.Module):
             h = Block(
                 self.embed_dim, self.num_heads, mlp_ratio=self.mlp_ratio,
                 layerscale_init=self.layerscale_init, drop_path_rate=dpr[i],
-                ffn_layer=self.ffn_layer,
+                ffn_layer=self.ffn_layer, ffn_hidden=self.ffn_hidden,
+                norm_eps=self.norm_eps,
                 gelu_approximate=self.gelu_approximate, dtype=self.dtype,
                 use_flash=self.use_flash, name=f"blocks_{i}",
             )(h, deterministic=deterministic, return_weights=want_weights,
@@ -193,7 +205,8 @@ class VisionTransformer(nn.Module):
             if return_layers is not None and i in return_layers:
                 intermediates.append(h)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm")(h)
         n_prefix = 1 + self.num_register_tokens
         out = {
             "cls_token": h[:, 0],

@@ -63,7 +63,8 @@ def apply_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
 
 
 def rope_2d_angles(grid_hw, dim: int, num_prefix: int = 1,
-                   theta: float = 100.0) -> jnp.ndarray:
+                   theta: float = 100.0,
+                   normalized: bool = False) -> jnp.ndarray:
     """Axial 2D RoPE angles for a patch grid (the DINOv3-style in-plane
     rotary encoding; reference `mst/models/dino.py:686-724` plumbs the rope
     kwarg of DINOv3 attention).
@@ -71,12 +72,25 @@ def rope_2d_angles(grid_hw, dim: int, num_prefix: int = 1,
     Half of `dim` rotates with the row coordinate, half with the column.
     Prefix tokens (CLS + registers) get zero angles (identity rotation).
     Returns [num_prefix + gh*gw, dim].
+
+    `normalized=True` reproduces HF `DINOv3ViTRopePositionEmbedding`
+    EXACTLY (pretrained-DINOv3-weight compatible): coordinates are patch
+    CENTERS normalised to [-1, 1] (`2*(i+0.5)/n - 1`) scaled by 2*pi, and
+    the per-pair angle sequence [row-freqs, col-freqs] matches HF's
+    `tile(2)` + rotate-half layout after the q/k head-dim interleave
+    permutation applied by `convert_hf_dinov3` (the frequency exponents
+    `theta**(-4i/head_dim)` are identical in both conventions).
+    `normalized=False` keeps raw integer patch indices (grid-size-dependent
+    angular range; the pre-weight-compat behavior).
     """
     gh, gw = grid_hw
     half = dim // 2
     freqs = rope_frequencies(half, theta)  # [half/2]
     rows = np.repeat(np.arange(gh, dtype=np.float64), gw)
     cols = np.tile(np.arange(gw, dtype=np.float64), gh)
+    if normalized:
+        rows = (2.0 * (rows + 0.5) / gh - 1.0) * (2.0 * np.pi)
+        cols = (2.0 * (cols + 0.5) / gw - 1.0) * (2.0 * np.pi)
     ang_r = np.repeat(np.einsum("s,d->sd", rows, freqs), 2, axis=-1)
     ang_c = np.repeat(np.einsum("s,d->sd", cols, freqs), 2, axis=-1)
     ang = np.concatenate([ang_r, ang_c], axis=-1)  # [gh*gw, dim]

@@ -90,7 +90,8 @@ def main(argv=None):
         if k in ("model_size", "slice_fusion", "rotary", "use_bottleneck",
                  "use_slice_pos_emb", "freeze", "fusion_heads",
                  "num_register_tokens", "pos_embed_grid", "layerscale_init",
-                 "gelu_approximate", "use_rope_2d")
+                 "gelu_approximate", "use_rope_2d", "patch_size",
+                 "use_pos_embed", "rope_normalized", "norm_eps", "ffn_hidden")
     }
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, _ = get_model(model_name, dtype=dtype, **model_kw)

@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--slice_fusion", default="transformer")
     ap.add_argument("--rotary", default=None, choices=[None, "RoPE", "LiRE"])
     ap.add_argument("--use_registers", action="store_true")
+    ap.add_argument("--patch_size", type=int, default=None,
+                    help="override the encoder patch size (model default: "
+                         "14 for DINOv2, 16 for DINOv3; inferred from the "
+                         "state_dict when --pretrained_path is given)")
     ap.add_argument("--use_bottleneck", action="store_true")
     ap.add_argument("--use_slice_pos_emb", action="store_true")
     ap.add_argument("--freeze", action="store_true")
@@ -129,6 +133,8 @@ def main(argv=None):
     )
     if args.use_registers:
         model_kw["num_register_tokens"] = 4
+    if args.patch_size is not None:
+        model_kw["patch_size"] = args.patch_size
     if args.model.startswith("ResNet"):
         model_kw = {"freeze": args.freeze}
 
@@ -142,13 +148,31 @@ def main(argv=None):
         pretrained_sd = load_torch_state_dict(args.pretrained_path)
         if not args.model.startswith("ResNet"):
             # The encoder config must match the weights: canonical pos-embed
-            # grid + register-token count come FROM the state_dict, and are
-            # recorded in hparams so predict reconstructs the same encoder.
-            model_kw["pos_embed_grid"] = pos_embed_grid_from_sd(pretrained_sd)
-            for reg_key in ("register_tokens", "embeddings.register_tokens"):
-                if reg_key in pretrained_sd:
-                    model_kw["num_register_tokens"] = int(
-                        np.asarray(pretrained_sd[reg_key]).shape[1])
+            # grid / patch size / register-token count / FFN width come FROM
+            # the state_dict, and are recorded in hparams so predict
+            # reconstructs the same encoder.
+            from mst_tpu.models.convert import (
+                detect_encoder_layout,
+                dinov3_config_from_sd,
+            )
+
+            if detect_encoder_layout(pretrained_sd) == "hf_v3":
+                v3cfg = dinov3_config_from_sd(pretrained_sd)
+                model_kw["patch_size"] = v3cfg["patch_size"]
+                model_kw["num_register_tokens"] = v3cfg["num_register_tokens"]
+                model_kw["ffn_hidden"] = v3cfg["ffn_hidden"]
+                model_kw.setdefault("use_pos_embed", False)
+                model_kw.setdefault("use_rope_2d", True)
+                model_kw.setdefault("rope_normalized", True)
+                model_kw.setdefault("norm_eps", 1e-5)
+            else:
+                model_kw["pos_embed_grid"] = pos_embed_grid_from_sd(
+                    pretrained_sd)
+                for reg_key in ("register_tokens",
+                                "embeddings.register_tokens"):
+                    if reg_key in pretrained_sd:
+                        model_kw["num_register_tokens"] = int(
+                            np.asarray(pretrained_sd[reg_key]).shape[1])
 
     model, entry = get_model(args.model, dtype=dtype, **model_kw)
 

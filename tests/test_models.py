@@ -143,8 +143,11 @@ def test_dino_v3_rope2d_forward():
     model = dino_v3_classifier_slice(
         out_ch=2, model_size="tiny", fusion_heads=4, use_flash=False
     )
-    assert model.use_rope_2d
-    x = _volume(b=1, d=2)
+    # HF-DINOv3-true defaults (see dino_v3_classifier_slice)
+    assert model.use_rope_2d and model.rope_normalized
+    assert model.patch_size == 16 and model.num_register_tokens == 4
+    assert not model.use_pos_embed and model.norm_eps == 1e-5
+    x = _volume(b=1, d=2, h=32, w=32)
     params = model.init(jax.random.PRNGKey(0), x)
     logits = model.apply(params, x)
     assert jnp.isfinite(logits).all()

@@ -255,6 +255,8 @@ def test_dinov3_e2e(tmp_path):
         "--dataset", "Synthetic", "--model", "DinoV3ClassifierSlice",
         "--model_size", "tiny", "--fusion_heads", "4", "--dtype", "float32",
         "--max_epochs", "1", "--batch_size", "4", "--num_train_samples", "8",
+        # 28px synthetic slices: override the v3-native patch 16
+        "--patch_size", "14",
         "--run_dir", str(tmp_path)])
     out = predict_main(["--run_folder", str(run_dir)])
     assert (Path(out) / "results.csv").exists()
