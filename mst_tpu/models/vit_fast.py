@@ -22,12 +22,14 @@ import jax.numpy as jnp
 from mst_tpu.models.vit import _VIT_CONFIGS, interpolate_pos_embed
 from mst_tpu.ops.fused_block import (
     fused_attention_sublayer,
+    fused_attention_sublayer_rope,
     fused_attention_sublayer_train,
     fused_mlp_sublayer,
     fused_mlp_sublayer_train,
     fused_swiglu_sublayer,
     fused_swiglu_sublayer_train,
 )
+from mst_tpu.ops.rotary import rope_2d_angles
 
 
 # The fused kernels hold the whole [S, E] sequence per program
@@ -36,15 +38,16 @@ from mst_tpu.ops.fused_block import (
 FUSED_MAX_TOKENS = 512
 
 
-def fused_config_supported(model) -> bool:
+def fused_config_supported(model, train: bool = False) -> bool:
     """Model-config conditions shared by every fused-path gate (serving:
     train/predictor.py; training: train/trainer.should_use_fused_train).
-    Rotary / 2D-rope / non-transformer-fusion configs use flax modules the
-    fused kernels do not implement."""
+    Fusion-rotary / non-transformer-fusion configs use flax modules the
+    fused kernels do not implement; 2D-rope (DINOv3) is fused for SERVING
+    only (the residual-sharing train kernels carry no rope plumbing)."""
     return (
         type(model).__name__ == "DinoSliceClassifier"
         and getattr(model, "rotary", 1) is None
-        and not getattr(model, "use_rope_2d", True)
+        and not (train and getattr(model, "use_rope_2d", True))
         and getattr(model, "slice_fusion", "") == "transformer"
         and getattr(model, "fusion_layers", 0) >= 1
     )
@@ -68,7 +71,13 @@ class FastViTConfig:
     num_register_tokens: int = 0
     pos_embed_grid: int = 37
     gelu_approximate: bool = True
-    ffn_layer: str = "mlp"  # "mlp" | "swiglu" (giant2)
+    ffn_layer: str = "mlp"  # "mlp" | "swiglu" (giant2 / DINOv3-gated)
+    ffn_hidden: Optional[int] = None
+    use_pos_embed: bool = True  # False: DINOv3 RoPE-only positions
+    use_rope_2d: bool = False
+    rope_theta: float = 100.0
+    rope_normalized: bool = False
+    norm_eps: float = 1e-6
 
     @classmethod
     def from_model(cls, model) -> "FastViTConfig":
@@ -80,6 +89,11 @@ class FastViTConfig:
             pos_embed_grid=model.pos_embed_grid,
             gelu_approximate=model.gelu_approximate,
             ffn_layer=base.get("ffn_layer", "mlp"),
+            ffn_hidden=getattr(model, "ffn_hidden", None),
+            use_pos_embed=getattr(model, "use_pos_embed", True),
+            use_rope_2d=getattr(model, "use_rope_2d", False),
+            rope_normalized=getattr(model, "rope_normalized", False),
+            norm_eps=getattr(model, "norm_eps", 1e-6),
         )
 
 
@@ -100,13 +114,17 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     w = params["patch_embed"]["proj"]["kernel"].reshape(p * p * C, E)
     tokens = x @ w.astype(dtype) + params["patch_embed"]["proj"]["bias"].astype(dtype)
 
-    pe = interpolate_pos_embed(
-        params["pos_embed"], (gh, gw), (cfg.pos_embed_grid, cfg.pos_embed_grid)
-    ).astype(dtype)
-    tokens = tokens + pe[:, 1:]
-    cls = jnp.broadcast_to(
-        params["cls_token"].astype(dtype) + pe[:, :1], (N, 1, E)
-    )
+    if cfg.use_pos_embed:
+        pe = interpolate_pos_embed(
+            params["pos_embed"], (gh, gw),
+            (cfg.pos_embed_grid, cfg.pos_embed_grid)
+        ).astype(dtype)
+        tokens = tokens + pe[:, 1:]
+        cls = jnp.broadcast_to(
+            params["cls_token"].astype(dtype) + pe[:, :1], (N, 1, E)
+        )
+    else:  # DINOv3: RoPE-only positions
+        cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (N, 1, E))
     parts = [cls]
     if cfg.num_register_tokens:
         parts.append(jnp.broadcast_to(
@@ -114,6 +132,18 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             (N, cfg.num_register_tokens, E)))
     parts.append(tokens)
     h = jnp.concatenate(parts, axis=1)
+
+    rope_cos = rope_sin = None
+    if cfg.use_rope_2d:
+        if train:
+            raise ValueError("fused train kernels carry no rope plumbing; "
+                             "rope configs train through the flax path "
+                             "(see fused_config_supported(train=True))")
+        ang = rope_2d_angles(
+            (gh, gw), E // cfg.num_heads,
+            num_prefix=1 + cfg.num_register_tokens,
+            theta=cfg.rope_theta, normalized=cfg.rope_normalized)
+        rope_cos, rope_sin = jnp.cos(ang), jnp.sin(ang)
 
     attn_fn = fused_attention_sublayer_train if train else \
         fused_attention_sublayer
@@ -123,32 +153,41 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
         blk = params[f"blocks_{i}"]
         ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
         ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
-        h = attn_fn(
+        attn_args = (
             h, blk["norm1"]["scale"], blk["norm1"]["bias"],
             blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
             blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"],
-            ls1, cfg.num_heads,
+            ls1,
         )
+        if rope_cos is not None:
+            h = fused_attention_sublayer_rope(
+                *attn_args, rope_cos, rope_sin, cfg.num_heads, cfg.norm_eps)
+        else:
+            h = attn_fn(*attn_args, cfg.num_heads)
         if cfg.ffn_layer == "swiglu":
-            h = swiglu_fn(
+            swiglu_args = (
                 h, blk["norm2"]["scale"], blk["norm2"]["bias"],
                 blk["mlp"]["w12"]["kernel"], blk["mlp"]["w12"]["bias"],
                 blk["mlp"]["w3"]["kernel"], blk["mlp"]["w3"]["bias"],
                 ls2,
             )
+            h = swiglu_fn(*swiglu_args) if train else \
+                swiglu_fn(*swiglu_args, cfg.norm_eps)
         else:
-            h = mlp_fn(
+            mlp_args = (
                 h, blk["norm2"]["scale"], blk["norm2"]["bias"],
                 blk["mlp"]["fc1"]["kernel"], blk["mlp"]["fc1"]["bias"],
                 blk["mlp"]["fc2"]["kernel"], blk["mlp"]["fc2"]["bias"],
                 ls2, cfg.gelu_approximate,
             )
+            h = mlp_fn(*mlp_args) if train else \
+                mlp_fn(*mlp_args, cfg.norm_eps)
 
     n = params["norm"]
     hf = h.astype(jnp.float32)
     mean = hf.mean(-1, keepdims=True)
     var = ((hf - mean) ** 2).mean(-1, keepdims=True)
-    hf = (hf - mean) * jax.lax.rsqrt(var + 1e-6) * n["scale"] + n["bias"]
+    hf = (hf - mean) * jax.lax.rsqrt(var + cfg.norm_eps) * n["scale"] + n["bias"]
     return hf[:, 0].astype(dtype)
 
 

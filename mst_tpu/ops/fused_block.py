@@ -78,8 +78,39 @@ def _attn_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads):
     return x + y
 
 
-def _mlp_ref(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
-    h = _ln(x, ln_s, ln_b).astype(x.dtype)
+def _attn_rope_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, cos, sin,
+                   num_heads, eps=1e-6):
+    """XLA composition of the RoPE attention sublayer (ground truth for the
+    Pallas kernel + its backward rule). cos/sin: [S, hd] interleaved-pair
+    convention (`ops.rotary.rope_2d_angles`)."""
+    N, S, E = x.shape
+    hd = E // num_heads
+    h = _ln(x, ln_s, ln_b, eps).astype(x.dtype)
+    qkv = h @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
+    qkv = qkv.reshape(N, S, 3, num_heads, hd)
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))
+
+    def rot(t):  # interleaved pairs: (a, b) -> (-b, a)
+        tf = t.astype(jnp.float32).reshape(*t.shape[:-1], hd // 2, 2)
+        tr = jnp.stack([-tf[..., 1], tf[..., 0]], axis=-1)
+        return tr.reshape(*t.shape[:-1], hd)
+
+    q = (q.astype(jnp.float32) * cos + rot(q) * sin).astype(x.dtype)
+    k = (k.astype(jnp.float32) * cos + rot(k) * sin).astype(x.dtype)
+    s = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("nhqk,nhkd->nhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = jnp.moveaxis(o, 1, 2).reshape(N, S, E)
+    y = o @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
+    if ls is not None:
+        y = y * ls.astype(x.dtype)
+    return x + y
+
+
+def _mlp_ref(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate, eps=1e-6):
+    h = _ln(x, ln_s, ln_b, eps).astype(x.dtype)
     h = h @ w1.astype(x.dtype) + b1.astype(x.dtype)
     h = jax.nn.gelu(h, approximate=approximate)
     h = h @ w2.astype(x.dtype) + b2.astype(x.dtype)
@@ -88,8 +119,8 @@ def _mlp_ref(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
     return x + h
 
 
-def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls):
-    h = _ln(x, ln_s, ln_b).astype(x.dtype)
+def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
+    h = _ln(x, ln_s, ln_b, eps).astype(x.dtype)
     h12 = h @ w12.astype(x.dtype) + b12.astype(x.dtype)
     h1, h2 = jnp.split(h12, 2, axis=-1)
     y = (jax.nn.silu(h1) * h2) @ w3.astype(x.dtype) + b3.astype(x.dtype)
@@ -105,7 +136,7 @@ def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls):
 _LOG2E = math.log2(math.e)
 
 
-def _mhsa(qkv, E, hd, num_heads, cd):
+def _mhsa(qkv, E, hd, num_heads, cd, rope=None):
     """Per-head softmax attention over a packed [S, 3E] qkv block.
 
     Softmax economics (measured, v5e — the attention sublayer ran at 66
@@ -113,6 +144,12 @@ def _mhsa(qkv, E, hd, num_heads, cd):
     softmax scale so the exponential is a bare exp2 (removes a [S, S]
     multiply pass), and the normalising division moves to the [S, hd]
     output instead of the [S, S] probability matrix (~6x fewer divides).
+
+    `rope=(cos, sin, pmat)` applies interleaved-pair RoPE to q and k
+    ([S, hd] f32 cos/sin; prefix-token rows carry cos=1/sin=0). The pair
+    swap (x[2j], x[2j+1]) -> (-x[2j+1], x[2j]) runs as a matmul with the
+    constant block-diagonal `pmat` [hd, hd] — an MXU-friendly formulation
+    (a strided lane shuffle would be a VPU worst case).
     """
     scale = 1.0 / math.sqrt(hd) * _LOG2E
     outs = []
@@ -120,6 +157,16 @@ def _mhsa(qkv, E, hd, num_heads, cd):
         q = qkv[:, i * hd:(i + 1) * hd]
         k = qkv[:, E + i * hd: E + (i + 1) * hd]
         v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
+        if rope is not None:
+            cos, sin, pmat = rope
+            qr = jax.lax.dot_general(
+                q, pmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            q = (q.astype(jnp.float32) * cos + qr * sin).astype(cd)
+            kr = jax.lax.dot_general(
+                k, pmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            k = (k.astype(jnp.float32) * cos + kr * sin).astype(cd)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -159,13 +206,43 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = (xf + y).astype(o_ref.dtype)
 
 
+def _attn_rope_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      bproj_ref, ls_ref, cos_ref, sin_ref, pmat_ref, o_ref,
+                      *, num_heads: int, has_ls: bool, eps: float):
+    """`_attn_kernel` + interleaved-pair RoPE on q/k (the DINOv3 encoder
+    sub-layer; angles from `ops.rotary.rope_2d_angles`)."""
+    x = x_ref[0]  # [S, E]
+    S, E = x.shape
+    hd = E // num_heads
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
+         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0]
+    qkv = qkv.astype(x.dtype)  # [S, 3E]
+    o = _mhsa(qkv, E, hd, num_heads, x.dtype,
+              rope=(cos_ref[:], sin_ref[:], pmat_ref[:]))
+    y = jax.lax.dot_general(
+        o, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0]
+    if has_ls:
+        y = y * ls_ref[0]
+    o_ref[0] = (xf + y).astype(o_ref.dtype)
+
+
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                ls_ref, o_ref, *, approximate: bool, has_ls: bool):
+                ls_ref, o_ref, *, approximate: bool, has_ls: bool,
+                eps: float = 1e-6):
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
          * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
     h = jax.lax.dot_general(
         h, w1_ref[:], (((1,), (0,)), ((), ())),
@@ -270,12 +347,12 @@ def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
 
 
 def _swiglu_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref, b3_ref,
-                   ls_ref, o_ref, *, has_ls: bool):
+                   ls_ref, o_ref, *, has_ls: bool, eps: float = 1e-6):
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
          * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
     h12 = jax.lax.dot_general(
         h, w12_ref[:], (((1,), (0,)), ((), ())),
@@ -920,27 +997,30 @@ def _attn_bwd(num_heads, res, g):
 fused_attention_sublayer.defvjp(_attn_fwd, _attn_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def fused_mlp_sublayer(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_mlp_sublayer(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate,
+                       eps=1e-6):
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
     return _call_fused(
-        functools.partial(_mlp_kernel, approximate=approximate, has_ls=has_ls),
+        functools.partial(_mlp_kernel, approximate=approximate,
+                          has_ls=has_ls, eps=eps),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype), _vec(b1),
          jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
     )
 
 
-def _mlp_fwd(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
-    out = fused_mlp_sublayer(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate)
+def _mlp_fwd(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate, eps):
+    out = fused_mlp_sublayer(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate,
+                             eps)
     return out, (x, ln_s, ln_b, w1, b1, w2, b2, ls)
 
 
-def _mlp_bwd(approximate, res, g):
+def _mlp_bwd(approximate, eps, res, g):
     x, ln_s, ln_b, w1, b1, w2, b2, ls = res
     _, vjp = jax.vjp(
-        lambda *a: _mlp_ref(*a, approximate=approximate),
+        lambda *a: _mlp_ref(*a, approximate=approximate, eps=eps),
         x, ln_s, ln_b, w1, b1, w2, b2, ls,
     )
     return vjp(g)
@@ -949,27 +1029,86 @@ def _mlp_bwd(approximate, res, g):
 fused_mlp_sublayer.defvjp(_mlp_fwd, _mlp_bwd)
 
 
-@jax.custom_vjp
-def fused_swiglu_sublayer(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_swiglu_sublayer(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
     return _call_fused(
-        functools.partial(_swiglu_kernel, has_ls=has_ls),
+        functools.partial(_swiglu_kernel, has_ls=has_ls, eps=eps),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w12, x.dtype), _vec(b12),
          jnp.asarray(w3, x.dtype), _vec(b3), ls_arg],
     )
 
 
-def _swiglu_fwd(x, ln_s, ln_b, w12, b12, w3, b3, ls):
-    out = fused_swiglu_sublayer(x, ln_s, ln_b, w12, b12, w3, b3, ls)
+def _swiglu_fwd(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps):
+    out = fused_swiglu_sublayer(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps)
     return out, (x, ln_s, ln_b, w12, b12, w3, b3, ls)
 
 
-def _swiglu_bwd(res, g):
+def _swiglu_bwd(eps, res, g):
     x, ln_s, ln_b, w12, b12, w3, b3, ls = res
-    _, vjp = jax.vjp(_swiglu_ref, x, ln_s, ln_b, w12, b12, w3, b3, ls)
+    _, vjp = jax.vjp(
+        lambda *a: _swiglu_ref(*a, eps=eps),
+        x, ln_s, ln_b, w12, b12, w3, b3, ls,
+    )
     return vjp(g)
 
 
 fused_swiglu_sublayer.defvjp(_swiglu_fwd, _swiglu_bwd)
+
+
+def _pair_swap_matrix(hd: int) -> "np.ndarray":
+    """Constant [hd, hd] matrix M with (x @ M)[2j] = -x[2j+1],
+    (x @ M)[2j+1] = x[2j] — the interleaved rotate-pair as an MXU matmul."""
+    import numpy as np
+
+    m = np.zeros((hd, hd), np.float32)
+    j = np.arange(hd // 2)
+    m[2 * j + 1, 2 * j] = -1.0
+    m[2 * j, 2 * j + 1] = 1.0
+    return m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_attention_sublayer_rope(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                  ls, rope_cos, rope_sin, num_heads,
+                                  eps=1e-6):
+    """y = x + ls * proj(MHSA(RoPE(LN(x)))) — the DINOv3 encoder sub-layer
+    (serving path; training uses the flax composition). rope_cos/rope_sin:
+    [S, hd] in the interleaved-pair convention of
+    `ops.rotary.rope_2d_angles` (prefix rows cos=1/sin=0)."""
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    hd = x.shape[-1] // num_heads
+    pmat = jnp.asarray(_pair_swap_matrix(hd), x.dtype)
+    return _call_fused(
+        functools.partial(_attn_rope_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps),
+        x,
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
+         jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg,
+         jnp.asarray(rope_cos, jnp.float32), jnp.asarray(rope_sin, jnp.float32),
+         pmat],
+    )
+
+
+def _attn_rope_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+                   rope_cos, rope_sin, num_heads, eps):
+    out = fused_attention_sublayer_rope(
+        x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, rope_cos, rope_sin,
+        num_heads, eps)
+    return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+                 rope_cos, rope_sin)
+
+
+def _attn_rope_bwd(num_heads, eps, res, g):
+    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, rope_cos, rope_sin = res
+    _, vjp = jax.vjp(
+        lambda *a: _attn_rope_ref(*a, num_heads=num_heads, eps=eps),
+        x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, rope_cos, rope_sin,
+    )
+    return vjp(g)
+
+
+fused_attention_sublayer_rope.defvjp(_attn_rope_fwd, _attn_rope_bwd)

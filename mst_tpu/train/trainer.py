@@ -111,7 +111,7 @@ def should_use_fused_train(model, has_batch_stats: bool,
     from mst_tpu.models.vit_fast import fused_config_supported
 
     return (
-        fused_config_supported(model)
+        fused_config_supported(model, train=True)
         and not has_batch_stats
         # freeze stop-gradients the encoder: the flax path lets XLA DCE the
         # whole encoder backward, which the fused train kernels cannot.

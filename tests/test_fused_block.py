@@ -339,3 +339,52 @@ def test_train_bwd_xla_fallback_parity(monkeypatch):
     for i, (u, v) in enumerate(zip(gt, gr)):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                    atol=5e-4, rtol=5e-4, err_msg=f"mlp arg {i}")
+
+
+def test_fused_rope_attention_sublayer_matches_reference():
+    """RoPE serve kernel (DINOv3 sub-layer) vs the XLA composition,
+    including the MXU pair-swap-matmul rotate formulation."""
+    from mst_tpu.ops.fused_block import (
+        _attn_rope_ref,
+        fused_attention_sublayer_rope,
+    )
+    from mst_tpu.ops.rotary import rope_2d_angles
+
+    key = jax.random.PRNGKey(0)
+    N, S, E, H = 2, 1 + 2 + 4, 32, 2  # CLS + 2 registers + 2x2 patches
+    hd = E // H
+    x = jax.random.normal(key, (N, S, E))
+    ks = jax.random.split(key, 8)
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[0], (E,))
+    ln_b = 0.1 * jax.random.normal(ks[1], (E,))
+    wqkv = 0.1 * jax.random.normal(ks[2], (E, 3 * E))
+    bqkv = 0.1 * jax.random.normal(ks[3], (3 * E,))
+    wproj = 0.1 * jax.random.normal(ks[4], (E, E))
+    bproj = 0.1 * jax.random.normal(ks[5], (E,))
+    ls = 1.0 + 0.1 * jax.random.normal(ks[6], (E,))
+    ang = rope_2d_angles((2, 2), hd, num_prefix=3, normalized=True)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    for ls_arg in (None, ls):
+        ref = _attn_rope_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                             ls_arg, cos, sin, num_heads=H, eps=1e-5)
+        out = fused_attention_sublayer_rope(x, ln_s, ln_b, wqkv, bqkv,
+                                            wproj, bproj, ls_arg, cos, sin,
+                                            H, 1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_fused_mst_logits_match_flax_dinov3():
+    """The DINOv3 config (RoPE-only positions, normalized coords, eps 1e-5)
+    through the fused serving path == the flax composition."""
+    from mst_tpu.models.mst import dino_v3_classifier_slice
+
+    model = dino_v3_classifier_slice(
+        out_ch=2, model_size="tiny", fusion_heads=4, use_flash=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 32, 32))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    ref = model.apply({"params": params}, x)
+    out = fused_mst_logits(params, x, model, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
