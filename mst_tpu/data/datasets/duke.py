@@ -72,6 +72,16 @@ class DUKE_Dataset3D(Dataset3D):
             return f"{num.zfill(3)}_{rest}"
         return uid.zfill(3)
 
+    def _patient_id(self, index) -> str:
+        item = self.df.loc[self.item_pointers[index]]
+        return f"Breast_MRI_{self.format_uid(item['UID'])}"
+
+    def h5_items(self, index) -> list:
+        """Batch-decode protocol: volume + affine through the native
+        h5lite reader (native/h5lite.cpp) on the prefetch thread pool."""
+        pid = self._patient_id(index)
+        return [(self.path_h5, f"{pid}/sub"), (self.path_h5, f"{pid}/sub_affine")]
+
     def __getitem__(self, index):
         idx = self.item_pointers[index]
         item = self.df.loc[idx]
@@ -80,10 +90,14 @@ class DUKE_Dataset3D(Dataset3D):
         formatted_uid = self.format_uid(uid)
         patient_id = f"Breast_MRI_{formatted_uid}"
 
-        with h5py.File(self.path_h5, "r") as f:
-            grp = f[patient_id]
-            data = grp["sub"][()]
-            affine = grp["sub_affine"][()]
+        # native h5lite fast path (prefetched or direct), h5py fallback
+        data = self._read_h5(self.path_h5, f"{patient_id}/sub")
+        affine = self._read_h5(self.path_h5, f"{patient_id}/sub_affine")
+        if data is None or affine is None:
+            with h5py.File(self.path_h5, "r") as f:
+                grp = f[patient_id]
+                data = grp["sub"][()]
+                affine = grp["sub_affine"][()]
 
         vol = np.asarray(data, np.float32)
         if vol.ndim == 3:

@@ -1,0 +1,882 @@
+// h5lite — minimal native HDF5 reader for the DUKE data path.
+//
+// The reference trains DUKE straight out of one packed HDF5 file
+// (`mst/data/datasets/dataset_3d_duke.py:34,92`:
+// `data_compressed.h5[Breast_MRI_*]['sub']` + `sub_affine`), decoded by
+// libhdf5 through h5py in 24 CPU worker processes. This file gives the
+// mst_tpu loader the same capability natively: a self-contained reader
+// for the HDF5 subset that h5py/libhdf5 writes by default — superblock
+// v0–v3, version 1/2 object headers (incl. continuation blocks),
+// old-style groups (symbol-table B-tree + local heap) and new-style link
+// messages, contiguous and chunked (v3 layout, v1 chunk B-tree) datasets,
+// deflate/shuffle filters — served out of an mmap'd file so the page
+// cache amortises repeated per-sample opens, with a pthread batch API
+// that parallel-decodes a prefetch chunk the way mstio.cpp does for
+// NIfTI. Unsupported features (v4 layouts, v2 B-trees, fractal-heap-only
+// groups) fail with a clear error and the Python caller falls back to
+// h5py, so coverage is additive, never load-bearing for correctness.
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <zlib.h>
+
+#include <atomic>
+#include <cstdarg>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+struct H5Array {
+  void* data;        // malloc'd; element type per `dtype`
+  int64_t shape[8];  // row-major (C order), as stored
+  int32_t rank;
+  int32_t dtype;  // 0 = float32, 1 = float64
+  int32_t ok;     // 1 on success
+  char error[256];
+};
+}  // extern "C"
+
+namespace {
+
+constexpr uint64_t kUndef = ~0ULL;
+
+struct File {
+  const uint8_t* p = nullptr;
+  size_t n = 0;
+  int fd = -1;
+  size_t offsz = 8, lensz = 8;
+  uint64_t base = 0;
+
+  ~File() {
+    if (p) munmap(const_cast<uint8_t*>(p), n);
+    if (fd >= 0) close(fd);
+  }
+};
+
+struct Err {
+  char* buf;
+  size_t len;
+  void set(const char* fmt, ...) {
+    va_list ap;
+    va_start(ap, fmt);
+    vsnprintf(buf, len, fmt, ap);
+    va_end(ap);
+  }
+};
+
+uint64_t rd(const uint8_t* p, size_t nbytes) {
+  uint64_t v = 0;
+  for (size_t i = 0; i < nbytes; ++i) v |= (uint64_t)p[i] << (8 * i);
+  return v;
+}
+
+bool in_file(const File& f, uint64_t off, uint64_t need) {
+  return off != kUndef && off + need >= off && off + need <= f.n;
+}
+
+bool open_file(const char* path, File& f, Err& err) {
+  f.fd = open(path, O_RDONLY);
+  if (f.fd < 0) {
+    err.set("cannot open %s", path);
+    return false;
+  }
+  struct stat st;
+  if (fstat(f.fd, &st) != 0 || st.st_size < 48) {
+    err.set("not an HDF5 file (too small): %s", path);
+    return false;
+  }
+  f.n = (size_t)st.st_size;
+  void* m = mmap(nullptr, f.n, PROT_READ, MAP_SHARED, f.fd, 0);
+  if (m == MAP_FAILED) {
+    err.set("mmap failed: %s", path);
+    return false;
+  }
+  f.p = (const uint8_t*)m;
+  return true;
+}
+
+// Returns the root group's object header address, or kUndef on error.
+// The signature may sit at offset 0, 512, 1024, ... (userblock).
+uint64_t parse_superblock(File& f, Err& err) {
+  static const uint8_t sig[8] = {0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'};
+  size_t off = 0;
+  while (off + 8 <= f.n && memcmp(f.p + off, sig, 8) != 0)
+    off = off == 0 ? 512 : off * 2;
+  if (off + 8 > f.n) {
+    err.set("HDF5 signature not found");
+    return kUndef;
+  }
+  const uint8_t* s = f.p + off;
+  uint8_t ver = s[8];
+  if (ver <= 1) {
+    f.offsz = s[13];
+    f.lensz = s[14];
+    size_t fixed = ver == 0 ? 24 : 28;  // v1 adds 2+2 bytes of btree k
+    const uint8_t* q = s + fixed;
+    f.base = rd(q, f.offsz);
+    // base, freespace, eof, driver-info, then root symbol table entry
+    q += 4 * f.offsz;
+    q += f.offsz;  // link name offset
+    return rd(q, f.offsz);
+  }
+  if (ver == 2 || ver == 3) {
+    f.offsz = s[9];
+    f.lensz = s[10];
+    const uint8_t* q = s + 12;
+    f.base = rd(q, f.offsz);
+    q += 3 * f.offsz;  // base, extension, eof
+    return rd(q, f.offsz);
+  }
+  err.set("unsupported superblock version %d", ver);
+  return kUndef;
+}
+
+// ---------------------------------------------------------------------------
+// Object header messages
+// ---------------------------------------------------------------------------
+
+struct Message {
+  uint16_t type;
+  const uint8_t* data;
+  size_t size;
+};
+
+// Collect the messages of a v1 or v2 object header (following
+// continuation messages). Returns false on parse failure.
+bool read_object_header(const File& f, uint64_t addr,
+                        std::vector<Message>& out, Err& err) {
+  if (!in_file(f, addr, 16)) {
+    err.set("object header address out of file");
+    return false;
+  }
+  const uint8_t* h = f.p + addr;
+  if (h[0] == 1) {  // version 1
+    uint32_t hdr_size = (uint32_t)rd(h + 8, 4);
+    struct Block {
+      uint64_t off;
+      uint64_t len;
+    };
+    std::vector<Block> blocks{{addr + 16, hdr_size}};
+    for (size_t bi = 0; bi < blocks.size(); ++bi) {
+      uint64_t off = blocks[bi].off, end = blocks[bi].off + blocks[bi].len;
+      if (!in_file(f, off, blocks[bi].len)) {
+        err.set("object header block out of file");
+        return false;
+      }
+      while (off + 8 <= end) {
+        uint16_t type = (uint16_t)rd(f.p + off, 2);
+        uint16_t size = (uint16_t)rd(f.p + off + 2, 2);
+        const uint8_t* body = f.p + off + 8;
+        if (off + 8 + size > end) break;
+        if (type == 0x10 && size >= 2 * f.offsz) {  // continuation
+          uint64_t coff = rd(body, f.offsz);
+          uint64_t clen = rd(body + f.offsz, f.lensz);
+          blocks.push_back({coff, clen});
+        } else {
+          out.push_back({type, body, size});
+        }
+        off += 8 + size;
+      }
+    }
+    return true;
+  }
+  if (memcmp(h, "OHDR", 4) == 0) {  // version 2
+    if (h[4] != 2) {
+      err.set("unsupported OHDR version %d", h[4]);
+      return false;
+    }
+    uint8_t flags = h[5];
+    const uint8_t* q = h + 6;
+    if (flags & 0x20) q += 16;  // access/mod/change/birth times (4 x u32)
+    if (flags & 0x10) q += 4;  // max compact / min dense
+    size_t szlen = (size_t)1 << (flags & 0x3);
+    uint64_t chunk0 = rd(q, szlen);
+    q += szlen;
+    struct Block {
+      const uint8_t* start;
+      uint64_t len;
+    };
+    std::vector<Block> blocks{{q, chunk0}};
+    bool track_order = (flags & 0x04) != 0;
+    for (size_t bi = 0; bi < blocks.size(); ++bi) {
+      const uint8_t* m = blocks[bi].start;
+      // each block ends with a 4-byte checksum we don't verify
+      const uint8_t* end = m + blocks[bi].len - 4;
+      if ((const uint8_t*)end > f.p + f.n || m >= end) {
+        err.set("OHDR block out of file");
+        return false;
+      }
+      while (m + 4 <= end) {
+        uint8_t type = m[0];
+        uint16_t size = (uint16_t)rd(m + 1, 2);
+        m += 4;
+        if (track_order) m += 2;
+        if (m + size > end) break;
+        if (type == 0x10 && size >= 2 * f.offsz) {
+          uint64_t coff = rd(m, f.offsz);
+          uint64_t clen = rd(m + f.offsz, f.lensz);
+          if (!in_file(f, coff, clen) || clen < 8 ||
+              memcmp(f.p + coff, "OCHK", 4) != 0) {
+            err.set("bad OCHK continuation block");
+            return false;
+          }
+          blocks.push_back({f.p + coff + 4, clen - 4});
+        } else {
+          out.push_back({type, m, size});
+        }
+        m += size;
+      }
+    }
+    return true;
+  }
+  err.set("unrecognised object header (version byte %d)", h[0]);
+  return false;
+}
+
+// ---------------------------------------------------------------------------
+// Group traversal: name -> child object header address
+// ---------------------------------------------------------------------------
+
+// Search the SNOD entries reachable from a v1 group B-tree for `name`.
+bool search_group_btree(const File& f, uint64_t btree, uint64_t heap_data,
+                        const char* name, uint64_t* child, Err& err) {
+  if (!in_file(f, btree, 24)) {
+    err.set("group B-tree out of file");
+    return false;
+  }
+  const uint8_t* b = f.p + btree;
+  if (memcmp(b, "TREE", 4) != 0 || b[4] != 0) {
+    err.set("bad group B-tree node");
+    return false;
+  }
+  uint8_t level = b[5];
+  uint16_t used = (uint16_t)rd(b + 6, 2);
+  const uint8_t* q = b + 8 + 2 * f.offsz;  // skip siblings
+  // alternating key/child: key0 child0 key1 child1 ... key_used
+  for (uint16_t i = 0; i < used; ++i) {
+    q += f.lensz;  // key: heap offset of first name in child (unused)
+    uint64_t caddr = rd(q, f.offsz);
+    q += f.offsz;
+    if (level > 0) {
+      if (search_group_btree(f, caddr, heap_data, name, child, err))
+        return true;
+      if (err.buf[0]) return false;  // propagate hard errors
+      continue;
+    }
+    if (!in_file(f, caddr, 8) || memcmp(f.p + caddr, "SNOD", 4) != 0) {
+      err.set("bad symbol table node");
+      return false;
+    }
+    uint16_t nsym = (uint16_t)rd(f.p + caddr + 6, 2);
+    const uint8_t* e = f.p + caddr + 8;
+    size_t entlen = 2 * f.offsz + 8 + 16;
+    for (uint16_t s = 0; s < nsym; ++s, e += entlen) {
+      uint64_t name_off = rd(e, f.offsz);
+      uint64_t hdr = rd(e + f.offsz, f.offsz);
+      uint64_t noff = heap_data + name_off;
+      if (!in_file(f, noff, 1)) continue;
+      const char* nm = (const char*)(f.p + noff);
+      size_t maxn = f.n - noff;
+      if (strnlen(nm, maxn) < maxn && strcmp(nm, name) == 0) {
+        *child = hdr;
+        return true;
+      }
+    }
+  }
+  return false;  // not found (no error)
+}
+
+// Resolve one link `name` inside the group whose header is `addr`.
+bool resolve_child(const File& f, uint64_t addr, const char* name,
+                   uint64_t* child, Err& err) {
+  std::vector<Message> msgs;
+  if (!read_object_header(f, addr, msgs, err)) return false;
+  for (const Message& m : msgs) {
+    if (m.type == 0x11 && m.size >= 2 * f.offsz) {  // symbol table
+      uint64_t btree = rd(m.data, f.offsz);
+      uint64_t heap = rd(m.data + f.offsz, f.offsz);
+      if (!in_file(f, heap, 8 + 2 * f.lensz + f.offsz) ||
+          memcmp(f.p + heap, "HEAP", 4) != 0) {
+        err.set("bad local heap");
+        return false;
+      }
+      uint64_t heap_data = rd(f.p + heap + 8 + 2 * f.lensz, f.offsz);
+      err.buf[0] = 0;
+      if (search_group_btree(f, btree, heap_data, name, child, err))
+        return true;
+      if (err.buf[0]) return false;
+    } else if (m.type == 0x06) {  // link message (new-style group)
+      const uint8_t* q = m.data;
+      if (m.size < 4 || q[0] != 1) continue;
+      uint8_t flags = q[1];
+      q += 2;
+      uint8_t ltype = 0;
+      if (flags & 0x08) ltype = *q++;
+      if (flags & 0x04) q += 8;  // creation order
+      if (flags & 0x10) q++;     // charset
+      size_t nlen_sz = (size_t)1 << (flags & 0x3);
+      uint64_t nlen = rd(q, nlen_sz);
+      q += nlen_sz;
+      if (q + nlen > m.data + m.size) continue;
+      if (ltype == 0 && nlen == strlen(name) &&
+          memcmp(q, name, nlen) == 0) {
+        *child = rd(q + nlen, f.offsz);
+        return true;
+      }
+    }
+  }
+  err.set("name not found: %s", name);
+  return false;
+}
+
+// ---------------------------------------------------------------------------
+// Dataset reading
+// ---------------------------------------------------------------------------
+
+struct Dataspace {
+  int rank = -1;
+  uint64_t dims[8] = {0};
+};
+
+struct Datatype {
+  int cls = -1;  // 0 int, 1 float
+  size_t size = 0;
+  bool is_signed = true;
+};
+
+struct Layout {
+  int cls = -1;  // 1 contiguous, 2 chunked
+  uint64_t addr = kUndef;
+  uint64_t size = 0;      // contiguous byte count
+  int chunk_rank = 0;     // dataset rank (element dim dropped)
+  uint32_t chunk[8] = {0};
+  // v4 chunk indexes (v3 always uses the v1 B-tree)
+  int index_type = 0;  // 0 = v1 B-tree, 1 = single chunk, 2 = implicit,
+                       // 3 = fixed array
+  uint64_t single_filtered_size = 0;  // single-chunk w/ filter
+  uint32_t single_filter_mask = 0;
+};
+
+struct Filters {
+  bool deflate = false;
+  bool shuffle = false;
+  bool unsupported = false;
+  char name[64] = {0};
+};
+
+bool parse_dataspace(const Message& m, Dataspace* ds, Err& err) {
+  const uint8_t* q = m.data;
+  uint8_t ver = q[0], rank = q[1], flags = q[2];
+  if (rank > 8) {
+    err.set("dataset rank %d > 8", rank);
+    return false;
+  }
+  q += ver == 1 ? 8 : 4;
+  ds->rank = rank;
+  for (int i = 0; i < rank; ++i, q += 8) ds->dims[i] = rd(q, 8);
+  (void)flags;
+  return true;
+}
+
+bool parse_datatype(const Message& m, Datatype* dt, Err& err) {
+  const uint8_t* q = m.data;
+  dt->cls = q[0] & 0x0F;
+  dt->size = (size_t)rd(q + 4, 4);
+  dt->is_signed = (q[1] & 0x08) != 0;
+  if (dt->cls == 0 && (dt->size == 1 || dt->size == 2 || dt->size == 4 ||
+                       dt->size == 8))
+    return true;
+  if (dt->cls == 1 && (dt->size == 4 || dt->size == 8)) return true;
+  err.set("unsupported datatype class %d size %zu", dt->cls, dt->size);
+  return false;
+}
+
+bool parse_layout(const File& f, const Message& m, Layout* lo, Err& err) {
+  const uint8_t* q = m.data;
+  uint8_t ver = q[0];
+  if (ver != 3 && ver != 4) {
+    err.set("unsupported data layout version %d", ver);
+    return false;
+  }
+  lo->cls = q[1];
+  q += 2;
+  if (lo->cls == 1) {  // contiguous (identical in v3 and v4)
+    lo->addr = rd(q, f.offsz);
+    lo->size = rd(q + f.offsz, f.lensz);
+    return true;
+  }
+  if (lo->cls != 2) {
+    err.set("unsupported layout class %d", lo->cls);
+    return false;
+  }
+  if (ver == 3) {
+    int dim = *q++;  // rank + 1 (trailing element-size dim)
+    lo->addr = rd(q, f.offsz);
+    q += f.offsz;
+    if (dim - 1 > 8) {
+      err.set("chunk rank %d > 8", dim - 1);
+      return false;
+    }
+    lo->chunk_rank = dim - 1;
+    for (int i = 0; i < dim - 1; ++i, q += 4) lo->chunk[i] = (uint32_t)rd(q, 4);
+    return true;  // index_type 0: v1 B-tree
+  }
+  // v4 chunked: flags, dimensionality (rank+1), encoded dim width, dims
+  // (last = element size), index type, index-specific fields, address
+  uint8_t flags = *q++;
+  int dim = *q++;
+  int enc = *q++;
+  if (dim - 1 > 8) {
+    err.set("chunk rank %d > 8", dim - 1);
+    return false;
+  }
+  lo->chunk_rank = dim - 1;
+  for (int i = 0; i < dim - 1; ++i, q += enc) lo->chunk[i] = (uint32_t)rd(q, enc);
+  q += enc;  // element-size dim
+  uint8_t itype = *q++;
+  switch (itype) {
+    case 1:  // single chunk
+      lo->index_type = 1;
+      if (flags & 0x02) {  // filtered single chunk
+        lo->single_filtered_size = rd(q, f.lensz);
+        q += f.lensz;
+        lo->single_filter_mask = (uint32_t)rd(q, 4);
+        q += 4;
+      }
+      break;
+    case 2:  // implicit: unfiltered chunks contiguous in row-major order
+      lo->index_type = 2;
+      break;
+    case 3:  // fixed array
+      lo->index_type = 3;
+      q += 1;  // page bits (re-read from the FAHD header)
+      break;
+    default:
+      err.set("unsupported v4 chunk index type %d", itype);
+      return false;
+  }
+  lo->addr = rd(q, f.offsz);
+  return true;
+}
+
+void parse_filters(const Message& m, Filters* fl) {
+  const uint8_t* q = m.data;
+  const uint8_t* end = m.data + m.size;
+  uint8_t ver = q[0], nf = q[1];
+  q += ver == 1 ? 8 : 2;
+  for (int i = 0; i < nf && q + 8 <= end; ++i) {
+    uint16_t id = (uint16_t)rd(q, 2);
+    uint16_t name_len = 0;
+    if (ver == 1 || id >= 256) {
+      name_len = (uint16_t)rd(q + 2, 2);
+      q += 4;
+    } else {
+      q += 2;
+    }
+    q += 2;  // flags
+    uint16_t ncd = (uint16_t)rd(q, 2);
+    q += 2;
+    q += name_len + 4ULL * ncd;
+    if (ver == 1 && (ncd & 1)) q += 4;
+    if (id == 1)
+      fl->deflate = true;
+    else if (id == 2)
+      fl->shuffle = true;
+    else if (id != 3) {  // fletcher32 checksum is ignorable on read
+      fl->unsupported = true;
+      snprintf(fl->name, sizeof(fl->name), "filter id %u", id);
+    }
+  }
+}
+
+void unshuffle(std::vector<uint8_t>& buf, size_t elem) {
+  if (elem <= 1 || buf.size() % elem) return;
+  size_t cnt = buf.size() / elem;
+  std::vector<uint8_t> out(buf.size());
+  for (size_t j = 0; j < elem; ++j)
+    for (size_t i = 0; i < cnt; ++i) out[i * elem + j] = buf[j * cnt + i];
+  buf.swap(out);
+}
+
+bool inflate_chunk(const uint8_t* src, size_t src_len, size_t dst_len,
+                   std::vector<uint8_t>& dst, Err& err) {
+  dst.resize(dst_len);
+  uLongf out_len = dst_len;
+  int rc = uncompress(dst.data(), &out_len, src, src_len);
+  if (rc != Z_OK) {
+    err.set("zlib uncompress failed (%d)", rc);
+    return false;
+  }
+  dst.resize(out_len);
+  return true;
+}
+
+// Convert `count` stored elements to the output dtype.
+void convert(const uint8_t* src, const Datatype& dt, void* dst, int out_f64,
+             size_t dst_idx, size_t count) {
+  auto emit = [&](size_t i, double v) {
+    if (out_f64)
+      ((double*)dst)[dst_idx + i] = v;
+    else
+      ((float*)dst)[dst_idx + i] = (float)v;
+  };
+  if (dt.cls == 1 && dt.size == 4) {
+    const float* s = (const float*)src;
+    if (!out_f64) {
+      memcpy((float*)dst + dst_idx, s, count * 4);
+      return;
+    }
+    for (size_t i = 0; i < count; ++i) emit(i, s[i]);
+  } else if (dt.cls == 1 && dt.size == 8) {
+    const double* s = (const double*)src;
+    if (out_f64) {
+      memcpy((double*)dst + dst_idx, s, count * 8);
+      return;
+    }
+    for (size_t i = 0; i < count; ++i) emit(i, s[i]);
+  } else if (dt.cls == 0) {
+    for (size_t i = 0; i < count; ++i) {
+      uint64_t u = rd(src + i * dt.size, dt.size);
+      double v;
+      if (dt.is_signed) {
+        int64_t sv = (int64_t)(u << (64 - 8 * dt.size)) >> (64 - 8 * dt.size);
+        v = (double)sv;
+      } else {
+        v = (double)u;
+      }
+      emit(i, v);
+    }
+  }
+}
+
+// Copy one decoded chunk into the output array, clipping at the edges.
+void scatter_chunk(const uint8_t* chunk, const Datatype& dt,
+                   const Dataspace& ds, const Layout& lo,
+                   const uint64_t* corner, void* dst, int out_f64) {
+  int r = ds.rank;
+  // contiguous strides (in elements) of the full array and the chunk
+  uint64_t astride[8], cstride[8];
+  uint64_t acc = 1, cacc = 1;
+  for (int i = r - 1; i >= 0; --i) {
+    astride[i] = acc;
+    acc *= ds.dims[i];
+    cstride[i] = cacc;
+    cacc *= lo.chunk[i];
+  }
+  // extent of this chunk clipped to the dataset
+  uint64_t ext[8];
+  for (int i = 0; i < r; ++i) {
+    if (corner[i] >= ds.dims[i]) return;  // fully out of range
+    uint64_t e = ds.dims[i] - corner[i];
+    ext[i] = e < lo.chunk[i] ? e : lo.chunk[i];
+  }
+  // iterate rows: all dims except the last, copy `ext[r-1]` elements
+  uint64_t rows = 1;
+  for (int i = 0; i + 1 < r; ++i) rows *= ext[i];
+  uint64_t idx[8] = {0};
+  uint64_t rowlen = r ? ext[r - 1] : 1;
+  for (uint64_t row = 0; row < rows; ++row) {
+    uint64_t aoff = 0, coff = 0;
+    for (int i = 0; i + 1 < r; ++i) {
+      aoff += (corner[i] + idx[i]) * astride[i];
+      coff += idx[i] * cstride[i];
+    }
+    aoff += r ? corner[r - 1] * astride[r - 1] : 0;
+    convert(chunk + coff * dt.size, dt, dst, out_f64, aoff, rowlen);
+    // odometer over dims [0, r-2)
+    for (int i = r - 2; i >= 0; --i) {
+      if (++idx[i] < ext[i]) break;
+      idx[i] = 0;
+    }
+  }
+}
+
+// Decode one stored chunk (inflate + unshuffle as flagged) and scatter it
+// into the output array. `raw`/`tmp` are reusable scratch buffers.
+bool decode_chunk(const File& f, uint64_t caddr, uint64_t nbytes,
+                  uint32_t fmask, const uint64_t* corner, const Datatype& dt,
+                  const Dataspace& ds, const Layout& lo, const Filters& fl,
+                  void* dst, int out_f64, std::vector<uint8_t>& raw,
+                  std::vector<uint8_t>& tmp, Err& err) {
+  if (caddr == kUndef) return true;  // unwritten chunk: fill value
+  if (!in_file(f, caddr, nbytes)) {
+    err.set("chunk data out of file");
+    return false;
+  }
+  uint64_t chunk_elems = 1;
+  for (int d = 0; d < lo.chunk_rank; ++d) chunk_elems *= lo.chunk[d];
+  size_t want = (size_t)chunk_elems * dt.size;
+  const uint8_t* data = f.p + caddr;
+  if (fl.deflate && !(fmask & 0x1)) {
+    if (!inflate_chunk(data, nbytes, want, raw, err)) return false;
+    if (fl.shuffle && !(fmask & 0x2)) unshuffle(raw, dt.size);
+    if (raw.size() < want) {
+      err.set("chunk decoded short (%zu < %zu)", raw.size(), want);
+      return false;
+    }
+    scatter_chunk(raw.data(), dt, ds, lo, corner, dst, out_f64);
+    return true;
+  }
+  const uint8_t* src = data;
+  if (fl.shuffle && !(fmask & 0x2)) {
+    tmp.assign(data, data + nbytes);
+    unshuffle(tmp, dt.size);
+    src = tmp.data();
+  }
+  if (nbytes < want) {
+    err.set("raw chunk short (%llu < %zu)", (unsigned long long)nbytes, want);
+    return false;
+  }
+  scatter_chunk(src, dt, ds, lo, corner, dst, out_f64);
+  return true;
+}
+
+// Walk a v1 chunk B-tree, decoding every chunk into `dst`.
+bool read_chunk_btree(const File& f, uint64_t addr, const Datatype& dt,
+                      const Dataspace& ds, const Layout& lo,
+                      const Filters& fl, void* dst, int out_f64, Err& err) {
+  if (addr == kUndef) return true;  // no chunks written (all fill value)
+  if (!in_file(f, addr, 24)) {
+    err.set("chunk B-tree out of file");
+    return false;
+  }
+  const uint8_t* b = f.p + addr;
+  if (memcmp(b, "TREE", 4) != 0 || b[4] != 1) {
+    err.set("bad chunk B-tree node");
+    return false;
+  }
+  uint8_t level = b[5];
+  uint16_t used = (uint16_t)rd(b + 6, 2);
+  size_t keylen = 8 + 8ULL * (lo.chunk_rank + 1);
+  const uint8_t* q = b + 8 + 2 * f.offsz;
+  std::vector<uint8_t> raw, tmp;
+  for (uint16_t i = 0; i < used; ++i) {
+    uint32_t nbytes = (uint32_t)rd(q, 4);
+    uint32_t fmask = (uint32_t)rd(q + 4, 4);
+    uint64_t corner[8];
+    for (int d = 0; d < lo.chunk_rank && d < 8; ++d)
+      corner[d] = rd(q + 8 + 8ULL * d, 8);
+    q += keylen;
+    uint64_t caddr = rd(q, f.offsz);
+    q += f.offsz;
+    if (level > 0) {
+      if (!read_chunk_btree(f, caddr, dt, ds, lo, fl, dst, out_f64, err))
+        return false;
+      continue;
+    }
+    if (!decode_chunk(f, caddr, nbytes, fmask, corner, dt, ds, lo, fl, dst,
+                      out_f64, raw, tmp, err))
+      return false;
+  }
+  return true;
+}
+
+// v4 chunk indexes: single chunk (1), implicit (2), fixed array (3).
+// Chunks are addressed by their linear index in the row-major grid of
+// ceil(dim/chunk) cells — the same order libhdf5 assigns them.
+bool read_chunks_v4(const File& f, const Datatype& dt, const Dataspace& ds,
+                    const Layout& lo, const Filters& fl, void* dst,
+                    int out_f64, Err& err) {
+  int r = ds.rank;
+  uint64_t grid[8], nchunks = 1, chunk_elems = 1;
+  for (int i = 0; i < r; ++i) {
+    if (lo.chunk[i] == 0) {
+      err.set("zero chunk dimension");
+      return false;
+    }
+    grid[i] = (ds.dims[i] + lo.chunk[i] - 1) / lo.chunk[i];
+    nchunks *= grid[i];
+    chunk_elems *= lo.chunk[i];
+  }
+  uint64_t chunk_bytes = chunk_elems * dt.size;
+  auto corner_of = [&](uint64_t idx, uint64_t* corner) {
+    for (int i = r - 1; i >= 0; --i) {
+      corner[i] = (idx % grid[i]) * lo.chunk[i];
+      idx /= grid[i];
+    }
+  };
+  std::vector<uint8_t> raw, tmp;
+  if (lo.index_type == 1) {  // single chunk
+    uint64_t corner[8] = {0};
+    uint64_t nbytes =
+        lo.single_filtered_size ? lo.single_filtered_size : chunk_bytes;
+    return decode_chunk(f, lo.addr, nbytes, lo.single_filter_mask, corner, dt,
+                        ds, lo, fl, dst, out_f64, raw, tmp, err);
+  }
+  if (lo.index_type == 2) {  // implicit: unfiltered, contiguous chunk grid
+    if (lo.addr == kUndef) return true;
+    for (uint64_t i = 0; i < nchunks; ++i) {
+      uint64_t corner[8];
+      corner_of(i, corner);
+      if (!decode_chunk(f, lo.addr + i * chunk_bytes, chunk_bytes, ~0u,
+                        corner, dt, ds, lo, fl, dst, out_f64, raw, tmp, err))
+        return false;
+    }
+    return true;
+  }
+  // fixed array: FAHD header -> FADB data block of per-chunk entries
+  if (lo.addr == kUndef) return true;
+  if (!in_file(f, lo.addr, 12 + f.lensz + f.offsz) ||
+      memcmp(f.p + lo.addr, "FAHD", 4) != 0) {
+    err.set("bad fixed-array header");
+    return false;
+  }
+  const uint8_t* h = f.p + lo.addr;
+  uint8_t client = h[5], entry_size = h[6], page_bits = h[7];
+  uint64_t nelmts = rd(h + 8, f.lensz);
+  uint64_t dblock = rd(h + 8 + f.lensz, f.offsz);
+  if (nelmts > (1ULL << page_bits)) {
+    err.set("paged fixed-array index unsupported (%llu chunks)",
+            (unsigned long long)nelmts);
+    return false;
+  }
+  size_t dhdr = 6 + f.offsz;  // FADB sig + version + client + header addr
+  if (!in_file(f, dblock, dhdr + nelmts * entry_size) ||
+      memcmp(f.p + dblock, "FADB", 4) != 0) {
+    err.set("bad fixed-array data block");
+    return false;
+  }
+  const uint8_t* e = f.p + dblock + dhdr;
+  uint64_t n = nelmts < nchunks ? nelmts : nchunks;
+  for (uint64_t i = 0; i < n; ++i, e += entry_size) {
+    uint64_t caddr = rd(e, f.offsz);
+    uint64_t nbytes = chunk_bytes;
+    uint32_t fmask = ~0u;
+    if (client == 1) {  // filtered: addr + size + mask packed per entry
+      size_t szlen = entry_size - f.offsz - 4;
+      nbytes = rd(e + f.offsz, szlen);
+      fmask = (uint32_t)rd(e + f.offsz + szlen, 4);
+    }
+    uint64_t corner[8];
+    corner_of(i, corner);
+    if (!decode_chunk(f, caddr, nbytes, fmask, corner, dt, ds, lo, fl, dst,
+                      out_f64, raw, tmp, err))
+      return false;
+  }
+  return true;
+}
+
+bool read_dataset(const File& f, uint64_t addr, H5Array* out, Err& err) {
+  std::vector<Message> msgs;
+  if (!read_object_header(f, addr, msgs, err)) return false;
+  Dataspace ds;
+  Datatype dt;
+  Layout lo;
+  Filters fl;
+  for (const Message& m : msgs) {
+    if (m.type == 0x01 && !parse_dataspace(m, &ds, err)) return false;
+    if (m.type == 0x03 && !parse_datatype(m, &dt, err)) return false;
+    if (m.type == 0x08 && !parse_layout(f, m, &lo, err)) return false;
+    if (m.type == 0x0B) parse_filters(m, &fl);
+  }
+  if (ds.rank < 0 || dt.cls < 0 || lo.cls < 0) {
+    err.set("not a dataset (missing dataspace/datatype/layout)");
+    return false;
+  }
+  if (fl.unsupported) {
+    err.set("unsupported %s", fl.name);
+    return false;
+  }
+  int out_f64 = (dt.cls == 1 && dt.size == 8) ? 1 : 0;
+  size_t esize = out_f64 ? 8 : 4;
+  uint64_t count = 1;
+  for (int i = 0; i < ds.rank; ++i) count *= ds.dims[i];
+  if (count == 0 || count > (1ULL << 33)) {
+    err.set("dataset element count %llu out of range",
+            (unsigned long long)count);
+    return false;
+  }
+  void* buf = calloc(count, esize);
+  if (!buf) {
+    err.set("out of memory (%llu elements)", (unsigned long long)count);
+    return false;
+  }
+  bool okread = false;
+  if (lo.cls == 1) {  // contiguous
+    if (!in_file(f, lo.addr, count * dt.size)) {
+      err.set("contiguous data out of file");
+    } else {
+      convert(f.p + lo.addr, dt, buf, out_f64, 0, count);
+      okread = true;
+    }
+  } else {  // chunked
+    if (lo.chunk_rank != ds.rank) {
+      err.set("chunk rank %d != dataset rank %d", lo.chunk_rank, ds.rank);
+    } else if (lo.index_type == 0) {
+      okread = read_chunk_btree(f, lo.addr, dt, ds, lo, fl, buf, out_f64, err);
+    } else {
+      okread = read_chunks_v4(f, dt, ds, lo, fl, buf, out_f64, err);
+    }
+  }
+  if (!okread) {
+    free(buf);
+    return false;
+  }
+  out->data = buf;
+  out->rank = ds.rank;
+  for (int i = 0; i < ds.rank; ++i) out->shape[i] = (int64_t)ds.dims[i];
+  out->dtype = out_f64;
+  out->ok = 1;
+  return true;
+}
+
+void read_impl(const char* path, const char* dataset, H5Array* out) {
+  memset(out, 0, sizeof(*out));
+  Err err{out->error, sizeof(out->error)};
+  File f;
+  if (!open_file(path, f, err)) return;
+  uint64_t addr = parse_superblock(f, err);
+  if (addr == kUndef) return;
+  // walk the /-separated path
+  std::string p(dataset);
+  size_t pos = 0;
+  while (pos < p.size() && p[pos] == '/') ++pos;
+  while (pos < p.size()) {
+    size_t next = p.find('/', pos);
+    std::string name =
+        next == std::string::npos ? p.substr(pos) : p.substr(pos, next - pos);
+    uint64_t child;
+    if (!resolve_child(f, addr, name.c_str(), &child, err)) return;
+    addr = child;
+    pos = next == std::string::npos ? p.size() : next + 1;
+  }
+  read_dataset(f, addr, out, err);
+}
+
+}  // namespace
+
+extern "C" {
+
+void mstio_h5_read(const char* path, const char* dataset, H5Array* out) {
+  read_impl(path, dataset, out);
+}
+
+// Parallel-decode `n` datasets (possibly from the same file — reads are
+// stateless over the shared page cache) with `num_threads` workers.
+void mstio_h5_read_batch(const char** paths, const char** datasets, int32_t n,
+                         H5Array* out, int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+  std::vector<std::thread> workers;
+  std::atomic<int32_t> next(0);
+  for (int t = 0; t < num_threads; ++t)
+    workers.emplace_back([&]() {
+      for (;;) {
+        int32_t i = next.fetch_add(1);
+        if (i >= n) return;
+        read_impl(paths[i], datasets[i], &out[i]);
+      }
+    });
+  for (auto& w : workers) w.join();
+}
+
+void mstio_h5_free(void* p) { free(p); }
+
+}  // extern "C"
