@@ -257,6 +257,18 @@ class DataModule:
             idx = np.resize(idx, n + pad)
         return idx[self.shard_id :: self.num_shards]
 
+    def eval_valid_mask(self, n: int) -> np.ndarray:
+        """Host-local bool mask aligned with `_eval_indices(n)`: True for
+        real samples, False for the wrap-padding duplicates. The trainer
+        passes per-batch slices to `ClassificationMetrics.update` so the
+        gathered epoch metrics dedup the pad exactly (a strict improvement
+        on torch DistributedSampler semantics, which scores duplicates)."""
+        if self.num_shards <= 1:
+            return np.ones(n, bool)
+        pad = (-n) % (self.num_shards * self.batch_size)
+        real_first = np.arange(n + pad) < n
+        return real_first[self.shard_id :: self.num_shards]
+
     def val_dataloader(self) -> Iterator[dict]:
         return self._iter_batches(
             self.ds_val, self._eval_indices(len(self.ds_val)), train=False)

@@ -319,6 +319,7 @@ class Trainer:
             drain()
 
             val_metrics = ClassificationMetrics()
+            val_valid = dm.eval_valid_mask(len(dm.ds_val))
             for bi, batch in enumerate(dm.val_dataloader()):
                 if self.limit_val_batches and bi >= self.limit_val_batches:
                     break
@@ -329,8 +330,10 @@ class Trainer:
                     state.params, state.batch_stats,
                     batch["source"], batch.get("src_key_padding_mask")
                 )
+                lo = bi * dm.batch_size
                 val_metrics.update(host_local_array(logits),
-                                   host_local_array(batch["target"]))
+                                   host_local_array(batch["target"]),
+                                   valid=val_valid[lo:lo + dm.batch_size])
 
             tm, vm = train_metrics.compute(), val_metrics.compute()
             metric = vm[self.monitor]

@@ -113,8 +113,13 @@ class ClassificationMetrics:
         self._scores: List[np.ndarray] = []
         self._preds: List[np.ndarray] = []
         self._labels: List[np.ndarray] = []
+        self._valid: List[np.ndarray] = []
 
-    def update(self, logits, labels):
+    def update(self, logits, labels, valid=None):
+        """`valid`: optional per-sample bool mask — False marks the
+        wrap-padding duplicates multi-host eval adds so every host runs
+        equal batch counts (`DataModule._eval_indices`); they are dropped
+        exactly at compute() instead of skewing the epoch metrics."""
         logits = np.asarray(logits, dtype=np.float32)
         labels = np.asarray(labels)
         probs = np.exp(logits - logits.max(-1, keepdims=True))
@@ -122,6 +127,9 @@ class ClassificationMetrics:
         self._scores.append(probs[:, 1] if probs.shape[-1] > 1 else probs[:, 0])
         self._preds.append(logits.argmax(-1))
         self._labels.append(labels)
+        self._valid.append(
+            np.ones(labels.shape[0], bool) if valid is None
+            else np.asarray(valid, bool))
 
     def compute(self) -> Dict[str, float]:
         if not self._labels:
@@ -129,9 +137,13 @@ class ClassificationMetrics:
         scores = np.concatenate(self._scores)
         preds = np.concatenate(self._preds)
         labels = np.concatenate(self._labels)
+        valid = np.concatenate(self._valid)
         # Multi-host: every host sees the global buffers (sync_dist
         # analogue) so early stopping / best-checkpoint agree everywhere.
-        scores, preds, labels = gather_across_hosts(scores, preds, labels)
+        scores, preds, labels, valid = gather_across_hosts(
+            scores, preds, labels, valid)
+        keep = np.asarray(valid, bool).ravel()
+        scores, preds, labels = scores[keep], preds[keep], labels[keep]
         return {
             "ACC": accuracy(preds, labels),
             "AUC_ROC": binary_auroc(scores, labels),

@@ -204,3 +204,29 @@ def test_multihost_train_indices_raise_on_zero_steps():
                     shard_id=0, num_shards=8)
     with pytest.raises(ValueError, match="0 steps"):
         dm._train_indices()
+
+
+def test_multihost_eval_valid_mask_dedups_exactly():
+    """eval_valid_mask marks exactly one occurrence of every real sample as
+    valid across all shards — metrics computed over valid samples see each
+    sample once, with the wrap-padding duplicates dropped."""
+    from mst_tpu.data.datamodule import DataModule
+
+    for n, shards, bs in [(3, 4, 2), (5, 2, 4), (16, 2, 4), (1, 8, 2), (7, 3, 2)]:
+        dms = [
+            DataModule(ds_val=None, batch_size=bs, shard_id=s, num_shards=shards)
+            for s in range(shards)
+        ]
+        valid_count = 0
+        seen = []
+        for dm in dms:
+            idx = dm._eval_indices(n)
+            mask = dm.eval_valid_mask(n)
+            assert len(idx) == len(mask), (n, shards, bs)
+            valid_count += int(mask.sum())
+            seen.extend(idx[mask].tolist())
+        assert valid_count == n, (n, shards, bs, valid_count)
+        assert sorted(seen) == list(range(n)), (n, shards, bs)
+    # single-shard: everything valid
+    dm = DataModule(ds_val=None, batch_size=4)
+    assert dm.eval_valid_mask(5).all() and len(dm.eval_valid_mask(5)) == 5

@@ -118,3 +118,27 @@ def test_checkpoint_pointer_contract(tmp_path):
     loaded = load_best_checkpoint(tmp_path)
     np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]), np.ones((2, 2)))
     assert load_hparams(tmp_path) == {"model": "tiny"}
+
+
+def test_classification_metrics_valid_mask_drops_duplicates():
+    """Padded-duplicate samples marked valid=False must not shift ACC/AUC:
+    metrics over [real + duplicated pad] with the mask == metrics over the
+    real samples alone."""
+    from mst_tpu.utils.metrics import ClassificationMetrics
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(10, 2)).astype(np.float32)
+    labels = (rng.random(10) > 0.5).astype(np.int32)
+
+    ref = ClassificationMetrics()
+    ref.update(logits, labels)
+    want = ref.compute()
+
+    m = ClassificationMetrics()
+    m.update(logits[:6], labels[:6])  # no mask: all valid
+    # pad batch: 4 real + 4 wrapped duplicates that would skew the metrics
+    m.update(np.concatenate([logits[6:], logits[:4]]),
+             np.concatenate([labels[6:], 1 - labels[:4]]),
+             valid=np.array([True] * 4 + [False] * 4))
+    got = m.compute()
+    assert got == want
