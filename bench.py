@@ -77,6 +77,22 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         jax.block_until_ready(p)
         tta_vps = batch / ((time.perf_counter() - t0) / tta_iters)
 
+    # Explainability serving (--get_attention/--get_segmentation): fused
+    # path with the last-block CLS-row kernel + combined saliency volume.
+    sal_vps = None
+    if on_tpu:
+        from mst_tpu.train.predictor import make_predict_fn as _mpf
+
+        predict_sal = _mpf(model, tta=False, with_saliency=True)
+        ps, sal = predict_sal(params, source, None)
+        float(jnp.sum(ps).astype(jnp.float32))
+        t0 = time.perf_counter()
+        sal_iters = max(iters // 2, 5)
+        for _ in range(sal_iters):
+            ps, sal = predict_sal(params, source, None)
+        float(jnp.sum(ps).astype(jnp.float32))  # forced host sync
+        sal_vps = batch / ((time.perf_counter() - t0) / sal_iters)
+
     # Secondary: full training-step throughput (fwd + CE + bwd + AdamW in
     # one donated program).
     import optax
@@ -145,6 +161,8 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     }
     if tta_vps is not None:
         detail["tta8_volumes_per_sec"] = round(tta_vps, 2)
+    if sal_vps is not None:
+        detail["saliency_volumes_per_sec"] = round(sal_vps, 2)
     if train8_vps is not None:
         detail["train_bs8_volumes_per_sec"] = round(train8_vps, 2)
     if giant2_vps is not None:

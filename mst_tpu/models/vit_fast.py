@@ -24,6 +24,7 @@ from mst_tpu.ops.fused_block import (
     fused_attention_sublayer,
     fused_attention_sublayer_rope,
     fused_attention_sublayer_train,
+    fused_attention_sublayer_with_row,
     fused_mlp_sublayer,
     fused_mlp_sublayer_train,
     fused_swiglu_sublayer,
@@ -98,11 +99,17 @@ class FastViTConfig:
 
 
 def fused_vit_cls(params, x, cfg: FastViTConfig,
-                  dtype=jnp.bfloat16, train: bool = False) -> jax.Array:
+                  dtype=jnp.bfloat16, train: bool = False,
+                  want_last_row: bool = False):
     """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E].
 
     train=True routes through the residual-sharing kernel variants whose
-    backward never re-runs the forward (fused_block.py train section)."""
+    backward never re-runs the forward (fused_block.py train section).
+    want_last_row=True (serving, non-rope) additionally returns the LAST
+    block's per-head CLS softmax row [N, heads, S] f32 — what
+    `ops/saliency.plane_attention` consumes — computed in-kernel so the
+    explainability path never materialises [N, heads, S, S] probabilities;
+    returns (cls, row)."""
     N, H, W, C = x.shape
     p = cfg.patch_size
     gh, gw = H // p, W // p
@@ -135,6 +142,9 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
 
     rope_cos = rope_sin = None
     if cfg.use_rope_2d:
+        if want_last_row:
+            raise ValueError("want_last_row has no rope variant; rope "
+                             "saliency uses the flax path")
         if train:
             raise ValueError("fused train kernels carry no rope plumbing; "
                              "rope configs train through the flax path "
@@ -162,6 +172,11 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
         if rope_cos is not None:
             h = fused_attention_sublayer_rope(
                 *attn_args, rope_cos, rope_sin, cfg.num_heads, cfg.norm_eps)
+        elif want_last_row and i == cfg.depth - 1:
+            if train:
+                raise ValueError("want_last_row is a serving-only path")
+            h, last_row = fused_attention_sublayer_with_row(
+                *attn_args, cfg.num_heads, cfg.norm_eps)
         else:
             h = attn_fn(*attn_args, cfg.num_heads)
         if cfg.ffn_layer == "swiglu":
@@ -188,7 +203,10 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     mean = hf.mean(-1, keepdims=True)
     var = ((hf - mean) ** 2).mean(-1, keepdims=True)
     hf = (hf - mean) * jax.lax.rsqrt(var + cfg.norm_eps) * n["scale"] + n["bias"]
-    return hf[:, 0].astype(dtype)
+    cls = hf[:, 0].astype(dtype)
+    if want_last_row:
+        return cls, last_row
+    return cls
 
 
 def fused_mst_logits(params, source, model, src_key_padding_mask=None,
@@ -201,12 +219,58 @@ def fused_mst_logits(params, source, model, src_key_padding_mask=None,
     forward recompute); valid when all dropout rates are 0 (the reference's
     defaults) since the fused path has no rng plumbing.
     """
+    logits, _, _ = _fused_mst(params, source, model, src_key_padding_mask,
+                              dtype, train=train)
+    return logits
+
+
+def fused_mst_saliency(params, source, model, src_key_padding_mask=None,
+                       dtype=jnp.bfloat16):
+    """(probs, saliency [B, D, H, W]) on the fused serving path — the
+    explainability contract of `train/predictor._forward_with_saliency`
+    (reference `dino.py:169-202` + `main_predict.py:55-106`, plane mode
+    "last") without ever materialising full attention matrices: the last
+    encoder block's kernel emits the per-head CLS row in-VMEM, and the
+    tiny fusion layer's probs come from its XLA softmax."""
+    from mst_tpu.ops.saliency import (
+        combined_saliency,
+        plane_attention_from_row,
+        slice_attention,
+        upsample_saliency,
+    )
+
+    B, C, D, H, W = source.shape
+    p = model.patch_size
+    logits, last_row, fusion_probs = _fused_mst(
+        params, source, model, src_key_padding_mask, dtype,
+        want_saliency=True)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+    if fusion_probs is None:  # single possible only with fusion_layers >= 1
+        sw = jnp.full((B, D), 1.0 / D, jnp.float32)
+    else:
+        sw = slice_attention(fusion_probs)
+    n_prefix = 1 + model.num_register_tokens
+    pw = plane_attention_from_row(last_row, n_prefix, (H // p, W // p))
+    sal = combined_saliency(sw, pw)
+    return probs, upsample_saliency(sal, (D, H, W))
+
+
+def _fused_mst(params, source, model, src_key_padding_mask=None,
+               dtype=jnp.bfloat16, train: bool = False,
+               want_saliency: bool = False):
+    """Shared fused MST forward -> (logits, last_row | None,
+    fusion_probs | None)."""
     cfg = FastViTConfig.from_model(model)
     B, C, D, H, W = source.shape
     x = jnp.transpose(source, (0, 2, 3, 4, 1)).reshape(B * D, H, W, C)
     if C == 1:
         x = jnp.repeat(x, 3, axis=-1)
-    feats = fused_vit_cls(params["encoder"], x, cfg, dtype, train=train)  # [B*D, E]
+    last_row = fusion_probs = None
+    if want_saliency:
+        feats, last_row = fused_vit_cls(params["encoder"], x, cfg, dtype,
+                                        want_last_row=True)
+    else:
+        feats = fused_vit_cls(params["encoder"], x, cfg, dtype, train=train)
     E = feats.shape[-1]
     if "bottleneck" in params:
         bp = params["bottleneck"]
@@ -246,6 +310,8 @@ def fused_mst_logits(params, source, model, src_key_padding_mask=None,
                 [jnp.zeros((B, 1), bool), src_key_padding_mask], axis=1)
             s = jnp.where(pad[:, None, None, :], -1e30, s)
         p = jax.nn.softmax(s, -1)
+        if want_saliency and i == model.fusion_layers - 1:
+            fusion_probs = p  # [B, heads, 1+D, 1+D] f32
         o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(dtype), v,
                        preferred_element_type=jnp.float32).astype(dtype)
         o = jnp.moveaxis(o, 1, 2).reshape(B, -1, E)
@@ -259,4 +325,5 @@ def fused_mst_logits(params, source, model, src_key_padding_mask=None,
     if "fusion_norm" in params:
         h = ln(h, params["fusion_norm"])
     pooled = h[:, 0].astype(jnp.float32)
-    return pooled @ params["head"]["kernel"] + params["head"]["bias"]
+    logits = pooled @ params["head"]["kernel"] + params["head"]["bias"]
+    return logits, last_row, fusion_probs

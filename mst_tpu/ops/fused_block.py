@@ -136,8 +136,12 @@ def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
 _LOG2E = math.log2(math.e)
 
 
-def _mhsa(qkv, E, hd, num_heads, cd, rope=None):
+def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False):
     """Per-head softmax attention over a packed [S, 3E] qkv block.
+    `want_row=True` additionally returns the CLS (query 0) softmax row per
+    head, [heads, S] f32 — the only attention the saliency maps consume
+    (`ops/saliency.plane_attention`), so the fused serving path never
+    materialises the [S, S] probability matrices.
 
     Softmax economics (measured, v5e — the attention sublayer ran at 66
     TFLOP/s vs the MLP's 140 with the naive form): log2(e) folds into the
@@ -152,7 +156,7 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None):
     (a strided lane shuffle would be a VPU worst case).
     """
     scale = 1.0 / math.sqrt(hd) * _LOG2E
-    outs = []
+    outs, rows = [], []
     for i in range(num_heads):
         q = qkv[:, i * hd:(i + 1) * hd]
         k = qkv[:, E + i * hd: E + (i + 1) * hd]
@@ -178,7 +182,12 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None):
             preferred_element_type=jnp.float32,
         ) / l
         outs.append(o.astype(cd))
-    return jnp.concatenate(outs, axis=-1)  # [S, E]
+        if want_row:
+            rows.append(p[:1] / l[:1])  # CLS softmax row [1, S], f32
+    out = jnp.concatenate(outs, axis=-1)  # [S, E]
+    if want_row:
+        return out, jnp.concatenate(rows, axis=0)  # [heads, S]
+    return out
 
 
 def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -405,11 +414,12 @@ def _call_fused(kernel, x, operands, **kw):
     )(*args)
 
 
-def _call_fused_multi(kernel, x, operands, out_shapes, **kw):
+def _call_fused_multi(kernel, x, operands, out_shapes, out_dtypes=None, **kw):
     """Like `_call_fused` but with multiple grid-mapped outputs.
 
     out_shapes: list of per-program shapes (without the leading grid dim);
-    output i has global shape (N, *out_shapes[i]) and block (1, *shape)."""
+    output i has global shape (N, *out_shapes[i]) and block (1, *shape).
+    out_dtypes: optional per-output dtypes (default: x.dtype)."""
     N = x.shape[0]
     in_specs = [pl.BlockSpec((1, *x.shape[1:]),
                              lambda n: (n,) + (0,) * (x.ndim - 1),
@@ -419,13 +429,15 @@ def _call_fused_multi(kernel, x, operands, out_shapes, **kw):
         in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(item)
+    if out_dtypes is None:
+        out_dtypes = [x.dtype] * len(out_shapes)
     out_specs, out_shape = [], []
-    for shp in out_shapes:
+    for shp, dt in zip(out_shapes, out_dtypes):
         nd = len(shp)
         out_specs.append(pl.BlockSpec(
             (1, *shp), (lambda n, _nd=nd: (n,) + (0,) * _nd),
             memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((N, *shp), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((N, *shp), dt))
     return pl.pallas_call(
         kernel,
         grid=(N,),
@@ -1112,3 +1124,55 @@ def _attn_rope_bwd(num_heads, eps, res, g):
 
 
 fused_attention_sublayer_rope.defvjp(_attn_rope_fwd, _attn_rope_bwd)
+
+
+def _attn_cls_row_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                         wproj_ref, bproj_ref, ls_ref, o_ref, row_ref, *,
+                         num_heads: int, has_ls: bool, eps: float):
+    """`_attn_kernel` that additionally writes the per-head CLS softmax
+    row [heads, S] (f32) — the attention the saliency maps consume. Used
+    for the LAST encoder block on the fused explainability serving path so
+    the [S, S] probability matrices are never materialised in HBM
+    (the flax path sows [N, heads, S, S]: ~100 MB for a 4-volume LIDC
+    batch; the rows are ~0.4 MB)."""
+    x = x_ref[0]  # [S, E]
+    S, E = x.shape
+    hd = E // num_heads
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
+         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0]
+    qkv = qkv.astype(x.dtype)  # [S, 3E]
+    o, rows = _mhsa(qkv, E, hd, num_heads, x.dtype, want_row=True)
+    y = jax.lax.dot_general(
+        o, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0]
+    if has_ls:
+        y = y * ls_ref[0]
+    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    row_ref[0] = rows
+
+
+def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                      bproj, ls, num_heads, eps=1e-6):
+    """(y, cls_row): the fused attention sub-layer plus the per-head CLS
+    softmax row [N, heads, S] f32. Serving only (no VJP) — the saliency
+    extraction path (`train/predictor._forward_with_saliency`)."""
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    N, S, E = x.shape
+    return _call_fused_multi(
+        functools.partial(_attn_cls_row_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps),
+        x,
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
+         jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
+        out_shapes=[(S, E), (num_heads, S)],
+        out_dtypes=[x.dtype, jnp.float32],
+    )

@@ -55,8 +55,21 @@ def plane_attention(
     (`dino.py:189-195` returns per-head maps; `main_predict.py:73-74`
     head-means the combined map).
     """
-    cls_row = vit_probs[:, :, 0, num_prefix_tokens:]  # [BD, heads, N]
-    w = cls_row.at[:, :, 0].set(0.0)
+    return plane_attention_from_row(vit_probs[:, :, 0], num_prefix_tokens,
+                                    grid_hw)
+
+
+def plane_attention_from_row(
+    cls_row: jax.Array,  # [BD, heads, T] CLS softmax row of the last block
+    num_prefix_tokens: int,
+    grid_hw: tuple[int, int],
+) -> jax.Array:
+    """`plane_attention` from the CLS row alone — what the fused serving
+    path's last-block kernel emits (`ops/fused_block.
+    fused_attention_sublayer_with_row`), so the [T, T] probability
+    matrices never exist."""
+    w = cls_row[:, :, num_prefix_tokens:]  # [BD, heads, N]
+    w = w.at[:, :, 0].set(0.0)
     w = w / jnp.clip(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
     w = jnp.mean(w, axis=1)
     gh, gw = grid_hw

@@ -66,6 +66,26 @@ def _forward_with_saliency(model, variables, source, mask,
     reference behavior).
     """
     B, C, D, H, W = source.shape
+    from mst_tpu.models.vit_fast import (
+        fused_config_supported,
+        fused_seq_len_ok,
+    )
+
+    if (plane_mode == "last"
+            and fused_config_supported(model)
+            and not getattr(model, "use_rope_2d", False)
+            and fused_seq_len_ok(model, H, W)
+            and "batch_stats" not in variables
+            and jax.default_backend() == "tpu"):
+        # Fused explainability serving: the last encoder block's kernel
+        # emits the CLS attention row in-VMEM instead of sowing full
+        # [B*D, heads, T, T] probabilities (~100 MB HBM round trip for a
+        # 4-volume LIDC batch on the flax path).
+        from mst_tpu.models.vit_fast import fused_mst_saliency
+
+        return fused_mst_saliency(variables["params"], source, model,
+                                  src_key_padding_mask=mask,
+                                  dtype=model.dtype)
     logits, aux = model.apply(
         variables, source, mask,
         deterministic=True,

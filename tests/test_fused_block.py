@@ -388,3 +388,45 @@ def test_fused_mst_logits_match_flax_dinov3():
     out = fused_mst_logits(params, x, model, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_saliency_matches_flax_path():
+    """fused_mst_saliency (CLS-row kernel + fusion probs) == the flax
+    explainability path (sowed full probability matrices) — probs AND the
+    combined upsampled saliency volume."""
+    from mst_tpu.models.vit_fast import fused_mst_saliency
+    from mst_tpu.train.predictor import _forward_with_saliency
+
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+
+    probs_ref, sal_ref = _forward_with_saliency(
+        model, {"params": params}, x, None)
+    probs, sal = fused_mst_saliency(params, x, model, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sal), np.asarray(sal_ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_fused_saliency_respects_padding_mask():
+    """The key-padding mask must flow into the fused fusion softmax: a
+    masked slice gets (near-)zero slice attention."""
+    from mst_tpu.models.vit_fast import fused_mst_saliency
+    from mst_tpu.train.predictor import _forward_with_saliency
+
+    model = DinoSliceClassifier(out_ch=2, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    mask = jnp.array([[False, False, True, True]])  # last 2 slices padded
+
+    probs_ref, sal_ref = _forward_with_saliency(
+        model, {"params": params}, x, mask)
+    probs, sal = fused_mst_saliency(params, x, model,
+                                    src_key_padding_mask=mask,
+                                    dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sal), np.asarray(sal_ref),
+                               atol=1e-5, rtol=1e-4)
