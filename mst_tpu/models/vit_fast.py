@@ -23,6 +23,7 @@ from mst_tpu.models.vit import _VIT_CONFIGS, interpolate_pos_embed
 from mst_tpu.ops.fused_block import (
     fused_attention_sublayer,
     fused_attention_sublayer_rope,
+    fused_attention_sublayer_rope_with_row,
     fused_attention_sublayer_train,
     fused_attention_sublayer_with_row,
     fused_mlp_sublayer,
@@ -105,7 +106,7 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
 
     train=True routes through the residual-sharing kernel variants whose
     backward never re-runs the forward (fused_block.py train section).
-    want_last_row=True (serving, non-rope) additionally returns the LAST
+    want_last_row=True (serving) additionally returns the LAST
     block's per-head CLS softmax row [N, heads, S] f32 — what
     `ops/saliency.plane_attention` consumes — computed in-kernel so the
     explainability path never materialises [N, heads, S, S] probabilities;
@@ -142,9 +143,6 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
 
     rope_cos = rope_sin = None
     if cfg.use_rope_2d:
-        if want_last_row:
-            raise ValueError("want_last_row has no rope variant; rope "
-                             "saliency uses the flax path")
         if train:
             raise ValueError("fused train kernels carry no rope plumbing; "
                              "rope configs train through the flax path "
@@ -169,12 +167,19 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"],
             ls1,
         )
+        want_row_here = want_last_row and i == cfg.depth - 1
+        if want_row_here and train:
+            raise ValueError("want_last_row is a serving-only path")
         if rope_cos is not None:
-            h = fused_attention_sublayer_rope(
-                *attn_args, rope_cos, rope_sin, cfg.num_heads, cfg.norm_eps)
-        elif want_last_row and i == cfg.depth - 1:
-            if train:
-                raise ValueError("want_last_row is a serving-only path")
+            if want_row_here:
+                h, last_row = fused_attention_sublayer_rope_with_row(
+                    *attn_args, rope_cos, rope_sin, cfg.num_heads,
+                    cfg.norm_eps)
+            else:
+                h = fused_attention_sublayer_rope(
+                    *attn_args, rope_cos, rope_sin, cfg.num_heads,
+                    cfg.norm_eps)
+        elif want_row_here:
             h, last_row = fused_attention_sublayer_with_row(
                 *attn_args, cfg.num_heads, cfg.norm_eps)
         else:

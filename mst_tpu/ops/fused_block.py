@@ -1176,3 +1176,56 @@ def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
         out_shapes=[(S, E), (num_heads, S)],
         out_dtypes=[x.dtype, jnp.float32],
     )
+
+
+def _attn_rope_cls_row_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                              wproj_ref, bproj_ref, ls_ref, cos_ref, sin_ref,
+                              pmat_ref, o_ref, row_ref, *, num_heads: int,
+                              has_ls: bool, eps: float):
+    """`_attn_rope_kernel` + the per-head CLS softmax row output — the
+    DINOv3 explainability serving sub-layer."""
+    x = x_ref[0]  # [S, E]
+    S, E = x.shape
+    hd = E // num_heads
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
+         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0]
+    qkv = qkv.astype(x.dtype)  # [S, 3E]
+    o, rows = _mhsa(qkv, E, hd, num_heads, x.dtype,
+                    rope=(cos_ref[:], sin_ref[:], pmat_ref[:]), want_row=True)
+    y = jax.lax.dot_general(
+        o, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0]
+    if has_ls:
+        y = y * ls_ref[0]
+    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    row_ref[0] = rows
+
+
+def fused_attention_sublayer_rope_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                           bproj, ls, rope_cos, rope_sin,
+                                           num_heads, eps=1e-6):
+    """(y, cls_row) for the RoPE sub-layer — serving only (no VJP)."""
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    N, S, E = x.shape
+    hd = E // num_heads
+    pmat = jnp.asarray(_pair_swap_matrix(hd), x.dtype)
+    return _call_fused_multi(
+        functools.partial(_attn_rope_cls_row_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps),
+        x,
+        [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
+         jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg,
+         jnp.asarray(rope_cos, jnp.float32),
+         jnp.asarray(rope_sin, jnp.float32), pmat],
+        out_shapes=[(S, E), (num_heads, S)],
+        out_dtypes=[x.dtype, jnp.float32],
+    )

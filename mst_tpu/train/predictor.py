@@ -73,7 +73,6 @@ def _forward_with_saliency(model, variables, source, mask,
 
     if (plane_mode == "last"
             and fused_config_supported(model)
-            and not getattr(model, "use_rope_2d", False)
             and fused_seq_len_ok(model, H, W)
             and "batch_stats" not in variables
             and jax.default_backend() == "tpu"):

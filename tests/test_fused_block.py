@@ -430,3 +430,24 @@ def test_fused_saliency_respects_padding_mask():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(sal), np.asarray(sal_ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_fused_saliency_matches_flax_dinov3():
+    """DINOv3 config (2D RoPE, no learned pos-embed, registers, eps 1e-5):
+    the rope+CLS-row kernel saliency == the flax explainability path."""
+    from mst_tpu.models.mst import dino_v3_classifier_slice
+    from mst_tpu.models.vit_fast import fused_mst_saliency
+    from mst_tpu.train.predictor import _forward_with_saliency
+
+    model = dino_v3_classifier_slice(
+        out_ch=2, model_size="tiny", fusion_heads=4, use_flash=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 32, 32))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+
+    probs_ref, sal_ref = _forward_with_saliency(
+        model, {"params": params}, x, None)
+    probs, sal = fused_mst_saliency(params, x, model, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sal), np.asarray(sal_ref),
+                               atol=1e-5, rtol=1e-4)
