@@ -120,7 +120,14 @@ def should_use_fused_train(model, has_batch_stats: bool,
     )
 
 
-def make_train_step(model, has_batch_stats: bool = False):
+def _is_pure_data_mesh(mesh) -> bool:
+    """True when every non-'data' mesh axis has size 1 (pure DP)."""
+    return all(size == 1 for name, size in mesh.shape.items()
+               if name != "data")
+
+
+def make_train_step(model, has_batch_stats: bool = False, mesh=None,
+                    spmd: str = "auto"):
     # TPU training path: the residual-sharing fused kernels
     # (fused_block.py `*_train` variants — the forward saves qkv/probs/
     # hidden, the backward is pure XLA matmul math, no forward recompute).
@@ -130,43 +137,113 @@ def make_train_step(model, has_batch_stats: bool = False):
     # inside) remains the path for rotary / rope / frozen /
     # non-transformer-fusion configs and for CPU (interpreted Pallas is
     # slower than XLA there).
+    #
+    # Multi-chip: a Mosaic pallas_call is an opaque custom call to XLA's
+    # automatic partitioner, so on a >1-device pure-data mesh the
+    # grad computation runs under shard_map — each shard runs the fused
+    # kernels on its LOCAL slice images and gradients/loss pmean over the
+    # data axis (the explicit-SPMD recipe; identical math because CE is a
+    # mean over equal-size shards). Non-pure-DP meshes (tensor/slice axes
+    # > 1) keep the flax path, which XLA partitions automatically.
+    # `spmd`: "auto" (shard_map exactly when the fused multi-chip case
+    # applies) | "shard_map" (force, used by tests/dryrun to validate the
+    # plumbing with the flax loss on the CPU mesh) | "jit" (force off).
     use_fused = should_use_fused_train(model, has_batch_stats,
                                        jax.default_backend())
+    multi_device = mesh is not None and int(
+        np.prod(list(mesh.shape.values()))) > 1
+    if spmd == "auto":
+        use_shard_map = (use_fused and multi_device
+                         and _is_pure_data_mesh(mesh))
+    elif spmd == "shard_map":
+        use_shard_map = True
+        assert multi_device and _is_pure_data_mesh(mesh), (
+            "spmd='shard_map' needs a multi-device pure-data mesh")
+    elif spmd == "jit":
+        use_shard_map = False
+    else:
+        raise ValueError(f"spmd={spmd!r}: expected 'auto'|'shard_map'|'jit'")
+    if use_fused and multi_device and not _is_pure_data_mesh(mesh):
+        # The fused kernels assume replicated params; under a tensor/slice
+        # mesh the flax path is the partitionable program.
+        use_fused = False
+
+    def loss_and_logits(params, batch_stats, source, target, mask, rngs):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+            logits, updates = model.apply(
+                variables, source, mask, deterministic=False,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+            return cross_entropy_loss(logits, target), (logits, updates)
+        from mst_tpu.models.vit_fast import fused_seq_len_ok
+
+        # seq-length part of the gate is shape-dependent, so it lives
+        # inside the trace (static per compiled shape)
+        if use_fused and fused_seq_len_ok(model, *source.shape[-2:]):
+            from mst_tpu.models.vit_fast import fused_mst_logits
+
+            # rngs unused: the model has no dropout knobs (all rates 0,
+            # matching the reference defaults), so the deterministic
+            # fused program is the training program.
+            logits = fused_mst_logits(params, source, model,
+                                      src_key_padding_mask=mask,
+                                      dtype=model.dtype, train=True)
+        else:
+            logits = model.apply(variables, source, mask,
+                                 deterministic=False, rngs=rngs)
+        return cross_entropy_loss(logits, target), (logits, None)
+
+    def grads_of(params, batch_stats, source, target, mask, rngs):
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            loss_and_logits, has_aux=True
+        )(params, batch_stats, source, target, mask, rngs)
+        return loss, logits, updates, grads
+
+    if use_shard_map:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def grads_spmd(params, batch_stats, source, target, mask, rngs):
+            # decorrelate per-shard randomness (dropout/drop_path masks
+            # must differ across data shards like they do across a full
+            # single-program batch)
+            shard = jax.lax.axis_index("data")
+            rngs = {k: jax.random.fold_in(v, shard) for k, v in rngs.items()}
+            loss, logits, updates, grads = grads_of(
+                params, batch_stats, source, target, mask, rngs)
+            # equal shards => pmean of per-shard CE means == global mean
+            loss = jax.lax.pmean(loss, "data")
+            grads = jax.lax.pmean(grads, "data")
+            if updates is not None:
+                updates = jax.lax.pmean(updates, "data")
+            return loss, logits, updates, grads
+
+        def run_grads(params, batch_stats, source, target, mask, rngs):
+            if source.shape[0] % mesh.shape["data"] != 0:
+                # indivisible batch (shard_batch commits these replicated —
+                # tiny remainders): run the single-program step, matching
+                # the pre-shard_map behavior
+                return grads_of(params, batch_stats, source, target, mask,
+                                rngs)
+            batch = P("data")
+            in_specs = (P(), P(), batch, batch,
+                        P() if mask is None else batch, P())
+            out_specs = (P(), batch, P(), P())
+            return shard_map(
+                grads_spmd, mesh=mesh,
+                in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )(params, batch_stats, source, target, mask, rngs)
+    else:
+        run_grads = grads_of
 
     def step(state: TrainState, source, target, mask):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
         rngs = {"dropout": rng, "drop_path": jax.random.fold_in(rng, 1)}
-
-        def loss_fn(params):
-            variables = {"params": params}
-            if has_batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                logits, updates = model.apply(
-                    variables, source, mask, deterministic=False,
-                    rngs=rngs, mutable=["batch_stats"],
-                )
-                return cross_entropy_loss(logits, target), (logits, updates)
-            from mst_tpu.models.vit_fast import fused_seq_len_ok
-
-            # seq-length part of the gate is shape-dependent, so it lives
-            # inside the trace (static per compiled shape)
-            if use_fused and fused_seq_len_ok(model, *source.shape[-2:]):
-                from mst_tpu.models.vit_fast import fused_mst_logits
-
-                # rngs unused: the model has no dropout knobs (all rates 0,
-                # matching the reference defaults), so the deterministic
-                # fused program is the training program.
-                logits = fused_mst_logits(params, source, model,
-                                          src_key_padding_mask=mask,
-                                          dtype=model.dtype, train=True)
-            else:
-                logits = model.apply(variables, source, mask,
-                                     deterministic=False, rngs=rngs)
-            return cross_entropy_loss(logits, target), (logits, None)
-
-        (loss, (logits, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        loss, logits, updates, grads = run_grads(
+            state.params, state.batch_stats, source, target, mask, rngs)
         state = state.apply_gradients(grads=grads)
         if has_batch_stats:
             state = state.replace(batch_stats=updates["batch_stats"])
@@ -239,7 +316,8 @@ class Trainer:
             hparams: Optional[Dict] = None, start_epoch: int = 0,
             resume_meta: Optional[Dict] = None) -> tuple:
         has_bs = state.batch_stats is not None
-        train_step = make_train_step(model, has_batch_stats=has_bs)
+        train_step = make_train_step(model, has_batch_stats=has_bs,
+                                     mesh=self.mesh)
         eval_step = make_eval_step(model)
         best, best_epoch, stale = -np.inf, -1, 0
         if resume_meta:  # continue the early-stop bookkeeping exactly

@@ -230,3 +230,42 @@ def test_multihost_eval_valid_mask_dedups_exactly():
     # single-shard: everything valid
     dm = DataModule(ds_val=None, batch_size=4)
     assert dm.eval_valid_mask(5).all() and len(dm.eval_valid_mask(5)) == 5
+
+
+def test_duke_datamodule_end_to_end(tmp_path):
+    """DUKE through the full DataModule loop: H5 pack -> prefetch batch
+    decode (native h5lite pool when built, h5py otherwise) -> collate ->
+    device augmentation (percentile ZNorm) -> train batches."""
+    import h5py
+    import pandas as pd
+
+    from mst_tpu.data.datasets.duke import DUKE_Dataset3D
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "duke"
+    (root / "splits").mkdir(parents=True)
+    with h5py.File(root / "data_compressed.h5", "w") as f:
+        for i in range(1, 5):
+            g = f.create_group(f"Breast_MRI_{i:03d}")
+            g.create_dataset(
+                "sub", data=rng.normal(500, 100, (1, 24, 20, 6))
+                .astype(np.float32), compression="gzip")
+            g.create_dataset("sub_affine", data=np.diag([0.7, 0.8, 3.0, 1.0]))
+    pd.DataFrame({
+        "UID": [1, 2, 3, 4], "PatientID": [1, 2, 3, 4],
+        "Malignant": [0, 1, 0, 1], "Fold": [0] * 4, "Split": ["train"] * 4,
+    }).to_csv(root / "splits" / "split.csv", index=False)
+
+    ds = DUKE_Dataset3D(root, split="train", image_crop=(16, 16, 4),
+                        flip=True, noise=True)
+    dm = DataModule(ds_train=ds, batch_size=2, num_train_samples=4, seed=0)
+    batches = list(dm.train_dataloader())
+    assert len(batches) == 2
+    for b in batches:
+        assert b["source"].shape == (2, 1, 4, 16, 16)
+        src = np.asarray(b["source"], np.float32)
+        assert np.isfinite(src).all()
+        # percentile ZNorm ran on device: per-volume stats near (0, 1)
+        assert abs(float(src.mean())) < 0.5
+        assert 0.3 < float(src.std()) < 2.0
+        assert set(np.asarray(b["target"]).tolist()) <= {0, 1}

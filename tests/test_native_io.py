@@ -209,3 +209,40 @@ def test_h5_batch_and_duke_dataset(tmp_path):
     np.testing.assert_array_equal(native_sample["source"], h5py_sample["source"])
     np.testing.assert_array_equal(native_sample["affine"], h5py_sample["affine"])
     assert native_sample["target"] == h5py_sample["target"]
+
+
+@needs_native
+def test_h5_reader_corruption_fuzz(tmp_path):
+    """Randomly corrupted HDF5 files must produce Python IOErrors (or,
+    when the corruption leaves metadata self-consistent, wrong-but-bounded
+    data) — never a native crash. Guards the mmap bounds checks."""
+    h5py = pytest.importorskip("h5py")
+    rng = np.random.default_rng(0)
+    base = tmp_path / "base.h5"
+    with h5py.File(base, "w") as f:
+        g = f.create_group("Breast_MRI_001")
+        g.create_dataset("sub", data=rng.normal(size=(1, 16, 12, 8))
+                         .astype(np.float32), compression="gzip")
+        g.create_dataset("sub_affine", data=np.eye(4))
+    blob = bytearray(base.read_bytes())
+
+    for trial in range(60):
+        data = bytearray(blob)
+        r = np.random.default_rng(trial)
+        if trial % 3 == 0:  # truncate
+            data = data[: int(r.integers(8, len(data)))]
+        elif trial % 3 == 1:  # flip random bytes in the metadata region
+            for _ in range(8):
+                pos = int(r.integers(0, min(4096, len(data))))
+                data[pos] = int(r.integers(0, 256))
+        else:  # flip random bytes anywhere
+            for _ in range(16):
+                pos = int(r.integers(0, len(data)))
+                data[pos] = int(r.integers(0, 256))
+        p = tmp_path / f"fuzz_{trial}.h5"
+        p.write_bytes(bytes(data))
+        try:
+            native_io.h5_read(p, "Breast_MRI_001/sub")
+            native_io.h5_read(p, "Breast_MRI_001/sub_affine")
+        except IOError:
+            pass  # expected for most corruptions

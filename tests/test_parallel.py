@@ -101,3 +101,143 @@ def test_slice_axis_sharding_executes():
         )(src_s)
     ref = model.apply({"params": params}, src)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """TP-sharded params (giant2 multi-chip layout) save through orbax and
+    restore topology-free: the restored host arrays equal the sharded
+    originals, and a fresh single-device state can consume them — the
+    pod-train -> single-chip-predict path (ROADMAP 'sharded checkpointing')."""
+    from mst_tpu.models.vit import build_vit
+    from mst_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    vit = build_vit("tiny", patch_size=14, use_flash=False)
+    x = jnp.ones((1, 28, 28, 3))
+    params = vit.init(jax.random.PRNGKey(0), x)["params"]
+    mesh = make_mesh((("data", 2), ("slice", 2), ("tensor", 2)))
+    sharded = jax.device_put(params, param_shardings(params, mesh))
+    # sanity: the qkv kernel really is distributed over the tensor axis
+    qkv = sharded["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "tensor")
+    assert not qkv.sharding.is_fully_replicated
+
+    save_checkpoint(tmp_path, "sharded", {"params": sharded},
+                    hparams={"model_size": "tiny"})
+    restored = load_checkpoint(tmp_path, "sharded")["params"]
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        assert isinstance(vb, np.ndarray)  # topology-free host arrays
+        np.testing.assert_array_equal(np.asarray(va), vb)
+    # restored tree is directly consumable by an unsharded apply
+    out_ref = vit.apply({"params": params}, x)
+    out_restored = vit.apply({"params": restored}, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                                rtol=1e-6),
+        out_ref, out_restored)
+
+
+def test_shard_map_train_step_matches_jit():
+    """The explicit-SPMD (shard_map) train step — the multi-chip path for
+    the fused Pallas kernels, which XLA's automatic partitioner cannot
+    split — must produce the same loss/params as the auto-partitioned jit
+    step on a pure-data mesh."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train.trainer import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                fusion_heads=4, use_flash=False)
+    src = jax.random.normal(jax.random.PRNGKey(0), (8, 1, 2, 28, 28))
+    tgt = jnp.array([0, 1] * 4, jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), src[:1])["params"]
+
+    import optax
+
+    def fresh_state():
+        # SGD, not AdamW: the parity check compares post-update params, and
+        # Adam's sign(g)*lr first step turns ~1e-8 grad reassociation
+        # differences (per-shard sum + pmean vs full-batch mean) into full
+        # +-lr flips on near-zero grads. SGD keeps deltas linear in grads.
+        return TrainState.create(
+            apply_fn=model.apply, params=jax.tree.map(jnp.copy, params),
+            tx=optax.sgd(1e-2), dropout_rng=jax.random.PRNGKey(2))
+
+    mesh = make_mesh()  # 8 virtual CPU devices on 'data'
+    step_ref = make_train_step(model)  # plain jit, single-program
+    step_spmd = make_train_step(model, mesh=mesh, spmd="shard_map")
+
+    s_ref, loss_ref, logits_ref = step_ref(fresh_state(), src, tgt, None)
+    sharded = shard_batch({"source": np.asarray(src),
+                           "target": np.asarray(tgt)}, mesh)
+    s_spmd, loss_spmd, logits_spmd = step_spmd(
+        fresh_state(), sharded["source"], sharded["target"], None)
+
+    np.testing.assert_allclose(float(loss_spmd), float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logits_spmd),
+                               np.asarray(logits_ref), rtol=1e-4, atol=1e-5)
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            jax.tree_util.tree_leaves_with_path(s_spmd.params)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(pa))
+
+    # masked variant exercises the mask in_spec
+    mask = jnp.zeros((8, 2), bool).at[:, 1].set(True)
+    s2, loss2, _ = step_spmd(fresh_state(), sharded["source"],
+                             sharded["target"],
+                             jax.device_put(mask, NamedSharding(mesh, P("data"))))
+    s2r, loss2r, _ = step_ref(fresh_state(), src, tgt, mask)
+    np.testing.assert_allclose(float(loss2), float(loss2r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_kernels_inside_shard_map(monkeypatch):
+    """The fused Pallas train path under shard_map (the real multi-chip
+    configuration; interpret-mode kernels on the CPU mesh) must match the
+    flax jit step — proves the pallas_call/custom-VJP plumbing composes
+    with manual SPMD end to end."""
+    import optax
+
+    import mst_tpu.train.trainer as trainer_mod
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train.trainer import TrainState, make_train_step
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                fusion_heads=4, use_flash=False)
+    src = jax.random.normal(jax.random.PRNGKey(0), (8, 1, 2, 28, 28))
+    tgt = jnp.array([0, 1] * 4, jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), src[:1])["params"]
+
+    def fresh_state():
+        return TrainState.create(
+            apply_fn=model.apply, params=jax.tree.map(jnp.copy, params),
+            tx=optax.sgd(1e-2), dropout_rng=jax.random.PRNGKey(2))
+
+    step_ref = make_train_step(model)  # flax path (CPU gate)
+    s_ref, loss_ref, _ = step_ref(fresh_state(), src, tgt, None)
+
+    monkeypatch.setattr(trainer_mod, "should_use_fused_train",
+                        lambda *a, **k: True)
+    mesh = make_mesh()
+    step_fused_spmd = make_train_step(model, mesh=mesh, spmd="shard_map")
+    sharded = shard_batch({"source": np.asarray(src),
+                           "target": np.asarray(tgt)}, mesh)
+    s_f, loss_f, _ = step_fused_spmd(
+        fresh_state(), sharded["source"], sharded["target"], None)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            jax.tree_util.tree_leaves_with_path(s_f.params)):
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                   rtol=1e-4, atol=2e-6, err_msg=str(pa))
