@@ -252,12 +252,50 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(model):
-    def step(params, batch_stats, source, mask):
+def make_eval_step(model, mesh=None):
+    """Validation forward. On TPU the standard Dino configs ride the fused
+    serving kernels (same gate as the predictor's plain path); on a
+    multi-device pure-DP mesh the fused forward runs under shard_map for
+    the same partitioning reason as the train step. Everything else uses
+    the flax composition."""
+    from mst_tpu.models.vit_fast import fused_config_supported
+
+    fused_ok = (fused_config_supported(model)
+                and jax.default_backend() == "tpu")
+    multi_device = mesh is not None and int(
+        np.prod(list(mesh.shape.values()))) > 1
+    if fused_ok and multi_device and not _is_pure_data_mesh(mesh):
+        fused_ok = False  # flax path partitions under tensor/slice meshes
+
+    def forward(params, batch_stats, source, mask):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+        from mst_tpu.models.vit_fast import fused_seq_len_ok
+
+        if (fused_ok and batch_stats is None
+                and fused_seq_len_ok(model, *source.shape[-2:])):
+            from mst_tpu.models.vit_fast import fused_mst_logits
+
+            return fused_mst_logits(params, source, model,
+                                    src_key_padding_mask=mask,
+                                    dtype=model.dtype)
         return model.apply(variables, source, mask, deterministic=True)
+
+    def step(params, batch_stats, source, mask):
+        if (fused_ok and multi_device and batch_stats is None
+                and source.shape[0] % mesh.shape["data"] == 0):
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            batch = P("data")
+            return shard_map(
+                forward, mesh=mesh,
+                in_specs=(P(), P(), batch,
+                          P() if mask is None else batch),
+                out_specs=batch, check_vma=False,
+            )(params, batch_stats, source, mask)
+        return forward(params, batch_stats, source, mask)
 
     return jax.jit(step)
 
@@ -318,7 +356,7 @@ class Trainer:
         has_bs = state.batch_stats is not None
         train_step = make_train_step(model, has_batch_stats=has_bs,
                                      mesh=self.mesh)
-        eval_step = make_eval_step(model)
+        eval_step = make_eval_step(model, mesh=self.mesh)
         best, best_epoch, stale = -np.inf, -1, 0
         if resume_meta:  # continue the early-stop bookkeeping exactly
             best = float(resume_meta.get("best", best))
