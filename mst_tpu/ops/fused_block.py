@@ -29,8 +29,11 @@ above `_PALLAS_BWD_MAX_E` use an equivalent XLA backward instead (the
 accumulators outgrow VMEM). LN statistics are recomputed in the backward
 from x (two cheap VPU reductions) rather than saved.
 
-Constraints: S <= 512 (whole sequence per program), no attention bias, no
-attention-prob output (the explainability path uses the unfused modules).
+Constraints: S <= 512 (whole sequence per program), no attention bias.
+Explainability rides `fused_attention_sublayer[_rope]_with_row` — the
+last block emits the per-head CLS softmax row in-VMEM, so saliency never
+materialises [S, S] probability matrices (full-matrix rollout modes use
+the unfused flax modules).
 """
 
 from __future__ import annotations

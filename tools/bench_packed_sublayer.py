@@ -69,3 +69,11 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# RESULT (v5e, 2026-08-17): isolated MLP-sublayer packing measures +10% at
+# P=4, but wired into fused_vit_cls (free contiguous reshape around the
+# FFN kernels) the END-TO-END forward is a wash: 15.53 ms packed vs
+# 15.52 ms unpacked (A/B in one process, 3 reps each). The isolated gain
+# is an artifact of the chained-microbench memory pattern; the full model
+# overlaps inter-kernel latency anyway. Packing was reverted — this note
+# is the record so the avenue is not re-tried.
