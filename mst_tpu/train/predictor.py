@@ -55,7 +55,8 @@ def _find_sowed(tree, name):
 
 
 def _forward_with_saliency(model, variables, source, mask,
-                           plane_mode: str = "last"):
+                           plane_mode: str = "last",
+                           force_flax: bool = False):
     """Dino path: source [B,C,D,H,W] -> (probs, saliency [B,D,H,W]).
 
     plane_mode="last": CLS->patch row of the last ViT block (the
@@ -71,7 +72,8 @@ def _forward_with_saliency(model, variables, source, mask,
         fused_seq_len_ok,
     )
 
-    if (plane_mode == "last"
+    if (not force_flax
+            and plane_mode == "last"
             and fused_config_supported(model)
             and fused_seq_len_ok(model, H, W)
             and "batch_stats" not in variables

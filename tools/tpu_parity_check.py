@@ -68,7 +68,51 @@ def main():
     ok_bwd = worst < 1e-2
     print(f"training grads  max rel diff={worst:.2e} ({worst_key})  "
           f"{'PASS' if ok_bwd else 'FAIL'}")
-    return 0 if (ok_fwd and ok_bwd) else 1
+
+    # Fused explainability (the CLS-row Mosaic kernel) vs the flax hooks.
+    from mst_tpu.models.vit_fast import fused_mst_saliency
+    from mst_tpu.train.predictor import _forward_with_saliency
+
+    probs_ref, sal_ref = _forward_with_saliency(
+        model, {"params": params}, x, None, force_flax=True)
+    probs_f, sal_f = jax.jit(
+        lambda p, s: fused_mst_saliency(p, s, model, dtype=jnp.float32)
+    )(params, x)
+    err_p = float(np.abs(np.asarray(probs_f) - np.asarray(probs_ref)).max())
+    err_s = float(np.abs(np.asarray(sal_f) - np.asarray(sal_ref)).max())
+    sal_scale = max(float(np.abs(np.asarray(sal_ref)).max()), 1e-9)
+    ok_sal = err_p < 1e-3 and err_s / sal_scale < 1e-2
+    print(f"saliency        max|dprobs|={err_p:.2e} "
+          f"rel|dmap|={err_s / sal_scale:.2e}  "
+          f"{'PASS' if ok_sal else 'FAIL'}")
+
+    # DINOv3 config: RoPE Mosaic kernels (serve + CLS-row) vs flax.
+    from mst_tpu.models.mst import dino_v3_classifier_slice
+
+    v3 = dino_v3_classifier_slice(out_ch=2, model_size="small",
+                                  dtype=jnp.float32, use_flash=False)
+    x3 = jax.random.normal(key, (1, 1, 4, 224, 224), jnp.float32)
+    p3 = v3.init(key, x3)["params"]
+    ref3 = np.asarray(v3.apply({"params": p3}, x3, deterministic=True))
+    fused3 = np.asarray(jax.jit(
+        lambda p, s: fused_mst_logits(p, s, v3, dtype=jnp.float32)
+    )(p3, x3))
+    err3 = float(np.abs(fused3 - ref3).max())
+    ok_v3 = err3 < 1e-3
+    print(f"DINOv3 serving  max|diff|={err3:.2e}  "
+          f"{'PASS' if ok_v3 else 'FAIL'}")
+    _, sal3_ref = _forward_with_saliency(v3, {"params": p3}, x3, None,
+                                        force_flax=True)
+    _, sal3_f = jax.jit(
+        lambda p, s: fused_mst_saliency(p, s, v3, dtype=jnp.float32)
+    )(p3, x3)
+    s3_scale = max(float(np.abs(np.asarray(sal3_ref)).max()), 1e-9)
+    err3s = float(np.abs(np.asarray(sal3_f) - np.asarray(sal3_ref)).max())
+    ok_v3s = err3s / s3_scale < 1e-2
+    print(f"DINOv3 saliency rel|dmap|={err3s / s3_scale:.2e}  "
+          f"{'PASS' if ok_v3s else 'FAIL'}")
+
+    return 0 if (ok_fwd and ok_bwd and ok_sal and ok_v3 and ok_v3s) else 1
 
 
 if __name__ == "__main__":
