@@ -97,3 +97,89 @@ def test_two_process_cpu_cluster(tmp_path):
 
     ck = load_best_checkpoint(results[0]["run"])
     assert "params" in ck
+
+
+WORKER_SPMD = r'''
+import os, sys, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid, port = int(sys.argv[1]), sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize("localhost:" + port, num_processes=2,
+                           process_id=pid)
+sys.path.insert(0, %r)
+import jax.numpy as jnp, numpy as np, optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from mst_tpu.models.mst import DinoSliceClassifier
+from mst_tpu.parallel.mesh import make_mesh
+from mst_tpu.train.trainer import TrainState, make_train_step
+
+model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                            fusion_heads=4, use_flash=False)
+rng = np.random.default_rng(0)
+full_src = rng.normal(size=(8, 1, 2, 28, 28)).astype(np.float32)
+full_tgt = np.array([0, 1] * 4, np.int32)
+params = model.init(jax.random.PRNGKey(1),
+                    jnp.asarray(full_src[:1]))["params"]
+state = TrainState.create(apply_fn=model.apply, params=params,
+                          tx=optax.sgd(1e-2),
+                          dropout_rng=jax.random.PRNGKey(2))
+mesh = make_mesh()  # all 4 devices (2 procs x 2) on 'data'
+step = make_train_step(model, mesh=mesh, spmd="shard_map")
+sh = NamedSharding(mesh, P("data"))
+# each process contributes its contiguous half of the global batch
+lo, hi = pid * 4, (pid + 1) * 4
+src = jax.make_array_from_process_local_data(sh, full_src[lo:hi])
+tgt = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), full_tgt[lo:hi])
+state, loss, logits = step(state, src, tgt, None)
+print("RESULT " + json.dumps({"pid": pid, "loss": float(loss)}), flush=True)
+''' % str(REPO)
+
+
+@pytest.mark.slow
+def test_shard_map_step_across_processes(tmp_path):
+    """The explicit-SPMD (shard_map) train step on a PROCESS-SPANNING
+    pure-data mesh — the fused-kernel pod-training configuration — runs on
+    a live 2-process gloo cluster and reproduces the single-process loss."""
+    port = "23461"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_SPMD, str(pid), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    losses = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, out[-3000:]
+        r = json.loads(line[-1][len("RESULT "):])
+        losses[r["pid"]] = r["loss"]
+    assert np.isclose(losses[0], losses[1])
+
+    # single-process reference on the same data/params
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train.trainer import TrainState, make_train_step
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                fusion_heads=4, use_flash=False)
+    rng = np.random.default_rng(0)
+    full_src = rng.normal(size=(8, 1, 2, 28, 28)).astype(np.float32)
+    full_tgt = np.array([0, 1] * 4, np.int32)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.asarray(full_src[:1]))["params"]
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=optax.sgd(1e-2),
+                              dropout_rng=jax.random.PRNGKey(2))
+    _, loss_ref, _ = make_train_step(model)(
+        state, jnp.asarray(full_src), jnp.asarray(full_tgt), None)
+    np.testing.assert_allclose(losses[0], float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
