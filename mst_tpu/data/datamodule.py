@@ -241,21 +241,25 @@ class DataModule:
         self._epoch += 1
         return self._iter_batches(self.ds_train, idx, train=True)
 
-    def _eval_indices(self, n: int) -> np.ndarray:
+    def _padded_eval_stream(self, n: int) -> np.ndarray:
+        """Global eval index stream, wrap-padded for multi-host equality.
+
+        Multi-host eval runs SPMD collectives per batch and all-gathers
+        equal-length metric buffers per epoch, so every host must see the
+        same number of equally-sized batches: pad the global index list to
+        a multiple of num_shards * batch_size by wrapping (np.resize tiles,
+        so the pad is covered even when the split is smaller than one
+        global batch). Positions >= n are the duplicates; both
+        `_eval_indices` and `eval_valid_mask` derive from THIS stream so
+        they cannot misalign."""
         idx = np.arange(n)
-        if self.num_shards > 1:
-            # Multi-host eval runs SPMD collectives per batch and all-gathers
-            # equal-length metric buffers per epoch, so every host must see
-            # the same number of equally-sized batches: pad the global index
-            # list to a multiple of num_shards * batch_size by wrapping
-            # (the few duplicated samples shift epoch AUC/ACC negligibly and
-            # deterministically; torch's DistributedSampler pads the same way).
-            quantum = self.num_shards * self.batch_size
-            pad = (-n) % quantum
-            # np.resize tiles the index list, so the pad is covered even
-            # when the split is smaller than one global batch (n < pad).
-            idx = np.resize(idx, n + pad)
-        return idx[self.shard_id :: self.num_shards]
+        if self.num_shards <= 1:
+            return idx
+        pad = (-n) % (self.num_shards * self.batch_size)
+        return np.resize(idx, n + pad)
+
+    def _eval_indices(self, n: int) -> np.ndarray:
+        return self._padded_eval_stream(n)[self.shard_id :: self.num_shards]
 
     def eval_valid_mask(self, n: int) -> np.ndarray:
         """Host-local bool mask aligned with `_eval_indices(n)`: True for
@@ -263,10 +267,8 @@ class DataModule:
         passes per-batch slices to `ClassificationMetrics.update` so the
         gathered epoch metrics dedup the pad exactly (a strict improvement
         on torch DistributedSampler semantics, which scores duplicates)."""
-        if self.num_shards <= 1:
-            return np.ones(n, bool)
-        pad = (-n) % (self.num_shards * self.batch_size)
-        real_first = np.arange(n + pad) < n
+        stream = self._padded_eval_stream(n)
+        real_first = np.arange(len(stream)) < n
         return real_first[self.shard_id :: self.num_shards]
 
     def val_dataloader(self) -> Iterator[dict]:

@@ -87,8 +87,7 @@ class DUKE_Dataset3D(Dataset3D):
         item = self.df.loc[idx]
         target = int(item[self.LABEL])
         uid = item["UID"]
-        formatted_uid = self.format_uid(uid)
-        patient_id = f"Breast_MRI_{formatted_uid}"
+        patient_id = self._patient_id(index)  # == the prefetch cache key
 
         # native h5lite fast path (prefetched or direct), h5py fallback
         data = self._read_h5(self.path_h5, f"{patient_id}/sub")

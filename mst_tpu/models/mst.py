@@ -77,6 +77,7 @@ class DinoSliceClassifier(nn.Module):
     # RoPE coords, LN eps 1e-5)
     pos_embed_grid: int = 37
     use_pos_embed: bool = True
+    rope_theta: float = 100.0
     rope_normalized: bool = False
     norm_eps: float = 1e-6
     ffn_hidden: Optional[int] = None
@@ -93,6 +94,7 @@ class DinoSliceClassifier(nn.Module):
             use_rope_2d=self.use_rope_2d,
             pos_embed_grid=self.pos_embed_grid,
             use_pos_embed=self.use_pos_embed,
+            rope_theta=self.rope_theta,
             rope_normalized=self.rope_normalized,
             norm_eps=self.norm_eps,
             ffn_hidden=self.ffn_hidden,

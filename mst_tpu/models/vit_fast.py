@@ -50,6 +50,9 @@ def fused_config_supported(model, train: bool = False) -> bool:
         type(model).__name__ == "DinoSliceClassifier"
         and getattr(model, "rotary", 1) is None
         and not (train and getattr(model, "use_rope_2d", True))
+        # the residual-sharing train kernels hardcode LN eps=1e-6 (the
+        # DINOv2 value); serving kernels take eps from the config
+        and not (train and getattr(model, "norm_eps", 1e-6) != 1e-6)
         and getattr(model, "slice_fusion", "") == "transformer"
         and getattr(model, "fusion_layers", 0) >= 1
     )
@@ -94,6 +97,7 @@ class FastViTConfig:
             ffn_hidden=getattr(model, "ffn_hidden", None),
             use_pos_embed=getattr(model, "use_pos_embed", True),
             use_rope_2d=getattr(model, "use_rope_2d", False),
+            rope_theta=getattr(model, "rope_theta", 100.0),
             rope_normalized=getattr(model, "rope_normalized", False),
             norm_eps=getattr(model, "norm_eps", 1e-6),
         )
@@ -183,7 +187,10 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             h, last_row = fused_attention_sublayer_with_row(
                 *attn_args, cfg.num_heads, cfg.norm_eps)
         else:
-            h = attn_fn(*attn_args, cfg.num_heads)
+            # the train variant hardcodes eps=1e-6 (gated by
+            # should_use_fused_train on norm_eps == 1e-6)
+            h = attn_fn(*attn_args, cfg.num_heads) if train else \
+                attn_fn(*attn_args, cfg.num_heads, cfg.norm_eps)
         if cfg.ffn_layer == "swiglu":
             swiglu_args = (
                 h, blk["norm2"]["scale"], blk["norm2"]["bias"],

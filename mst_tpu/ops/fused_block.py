@@ -62,10 +62,11 @@ def _ln(x, scale, bias, eps=1e-6):
     return ((xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias)
 
 
-def _attn_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads):
+def _attn_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads,
+              eps=1e-6):
     N, S, E = x.shape
     hd = E // num_heads
-    h = _ln(x, ln_s, ln_b).astype(x.dtype)
+    h = _ln(x, ln_s, ln_b, eps).astype(x.dtype)
     qkv = h @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
     qkv = qkv.reshape(N, S, 3, num_heads, hd)
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))
@@ -193,36 +194,23 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False):
     return out
 
 
-def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                 bproj_ref, ls_ref, o_ref, *, num_heads: int, has_ls: bool):
-    x = x_ref[0]  # [S, E]
-    S, E = x.shape
-    hd = E // num_heads
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
-         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0]
-    qkv = qkv.astype(x.dtype)  # [S, 3E]
-    o = _mhsa(qkv, E, hd, num_heads, x.dtype)  # [S, E]
-    y = jax.lax.dot_general(
-        o, wproj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bproj_ref[0]
-    if has_ls:
-        y = y * ls_ref[0]
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
-
-
-def _attn_rope_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                      bproj_ref, ls_ref, cos_ref, sin_ref, pmat_ref, o_ref,
-                      *, num_heads: int, has_ls: bool, eps: float):
-    """`_attn_kernel` + interleaved-pair RoPE on q/k (the DINOv3 encoder
-    sub-layer; angles from `ops.rotary.rope_2d_angles`)."""
+def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
+                     has_rope: bool, want_row: bool):
+    """The serving attention sub-layer kernel, one body for all four
+    variants (plain / RoPE / CLS-row / RoPE+CLS-row — static flags pick
+    the ref layout and outputs): y = x + ls * proj(MHSA([RoPE](LN(x)))),
+    optionally emitting the per-head CLS softmax row [heads, S] (f32) for
+    the explainability path. RoPE angles from `ops.rotary.rope_2d_angles`;
+    the pair swap runs as a matmul with the constant block-diagonal `pmat`
+    (see `_mhsa`)."""
+    if has_rope:
+        (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         ls_ref, cos_ref, sin_ref, pmat_ref, *out_refs) = refs
+        rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
+    else:
+        (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         ls_ref, *out_refs) = refs
+        rope = None
     x = x_ref[0]  # [S, E]
     S, E = x.shape
     hd = E // num_heads
@@ -236,15 +224,21 @@ def _attn_rope_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)  # [S, 3E]
-    o = _mhsa(qkv, E, hd, num_heads, x.dtype,
-              rope=(cos_ref[:], sin_ref[:], pmat_ref[:]))
+    out = _mhsa(qkv, E, hd, num_heads, x.dtype, rope=rope, want_row=want_row)
+    o, rows = out if want_row else (out, None)
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[0]
     if has_ls:
         y = y * ls_ref[0]
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    out_refs[0][0] = (xf + y).astype(out_refs[0].dtype)
+    if want_row:
+        out_refs[1][0] = rows
+
+
+_attn_rope_kernel = functools.partial(_attn_any_kernel, has_rope=True,
+                                      want_row=False)
 
 
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -981,29 +975,31 @@ def _swiglu_train_bwd(res, g):
 fused_swiglu_sublayer_train.defvjp(_swiglu_train_fwd, _swiglu_train_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_attention_sublayer(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
-                             num_heads):
+                             num_heads, eps=1e-6):
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
     return _call_fused(
-        functools.partial(_attn_kernel, num_heads=num_heads, has_ls=has_ls),
+        functools.partial(_attn_any_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps, has_rope=False,
+                          want_row=False),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
     )
 
 
-def _attn_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads):
+def _attn_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads, eps):
     out = fused_attention_sublayer(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
-                                   ls, num_heads)
+                                   ls, num_heads, eps)
     return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
 
 
-def _attn_bwd(num_heads, res, g):
+def _attn_bwd(num_heads, eps, res, g):
     x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
     _, vjp = jax.vjp(
-        lambda *a: _attn_ref(*a, num_heads=num_heads),
+        lambda *a: _attn_ref(*a, num_heads=num_heads, eps=eps),
         x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
     )
     return vjp(g)
@@ -1129,50 +1125,21 @@ def _attn_rope_bwd(num_heads, eps, res, g):
 fused_attention_sublayer_rope.defvjp(_attn_rope_fwd, _attn_rope_bwd)
 
 
-def _attn_cls_row_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                         wproj_ref, bproj_ref, ls_ref, o_ref, row_ref, *,
-                         num_heads: int, has_ls: bool, eps: float):
-    """`_attn_kernel` that additionally writes the per-head CLS softmax
-    row [heads, S] (f32) — the attention the saliency maps consume. Used
-    for the LAST encoder block on the fused explainability serving path so
-    the [S, S] probability matrices are never materialised in HBM
-    (the flax path sows [N, heads, S, S]: ~100 MB for a 4-volume LIDC
-    batch; the rows are ~0.4 MB)."""
-    x = x_ref[0]  # [S, E]
-    S, E = x.shape
-    hd = E // num_heads
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
-         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0]
-    qkv = qkv.astype(x.dtype)  # [S, 3E]
-    o, rows = _mhsa(qkv, E, hd, num_heads, x.dtype, want_row=True)
-    y = jax.lax.dot_general(
-        o, wproj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bproj_ref[0]
-    if has_ls:
-        y = y * ls_ref[0]
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
-    row_ref[0] = rows
-
-
 def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
                                       bproj, ls, num_heads, eps=1e-6):
     """(y, cls_row): the fused attention sub-layer plus the per-head CLS
-    softmax row [N, heads, S] f32. Serving only (no VJP) — the saliency
-    extraction path (`train/predictor._forward_with_saliency`)."""
+    softmax row [N, heads, S] f32 — the attention the saliency maps
+    consume, emitted in-VMEM so the [S, S] probability matrices never
+    reach HBM (the flax path sows [N, heads, S, S]: ~100 MB for a
+    4-volume LIDC batch; the rows are ~0.4 MB). Serving only (no VJP) —
+    the saliency path (`train/predictor._forward_with_saliency`)."""
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
     N, S, E = x.shape
     return _call_fused_multi(
-        functools.partial(_attn_cls_row_kernel, num_heads=num_heads,
-                          has_ls=has_ls, eps=eps),
+        functools.partial(_attn_any_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps, has_rope=False,
+                          want_row=True),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
@@ -1181,49 +1148,20 @@ def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
     )
 
 
-def _attn_rope_cls_row_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                              wproj_ref, bproj_ref, ls_ref, cos_ref, sin_ref,
-                              pmat_ref, o_ref, row_ref, *, num_heads: int,
-                              has_ls: bool, eps: float):
-    """`_attn_rope_kernel` + the per-head CLS softmax row output — the
-    DINOv3 explainability serving sub-layer."""
-    x = x_ref[0]  # [S, E]
-    S, E = x.shape
-    hd = E // num_heads
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
-         * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0]
-    qkv = qkv.astype(x.dtype)  # [S, 3E]
-    o, rows = _mhsa(qkv, E, hd, num_heads, x.dtype,
-                    rope=(cos_ref[:], sin_ref[:], pmat_ref[:]), want_row=True)
-    y = jax.lax.dot_general(
-        o, wproj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bproj_ref[0]
-    if has_ls:
-        y = y * ls_ref[0]
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
-    row_ref[0] = rows
-
-
 def fused_attention_sublayer_rope_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
                                            bproj, ls, rope_cos, rope_sin,
                                            num_heads, eps=1e-6):
-    """(y, cls_row) for the RoPE sub-layer — serving only (no VJP)."""
+    """(y, cls_row) for the RoPE sub-layer (the DINOv3 explainability
+    serving sub-layer) — serving only (no VJP)."""
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
     N, S, E = x.shape
     hd = E // num_heads
     pmat = jnp.asarray(_pair_swap_matrix(hd), x.dtype)
     return _call_fused_multi(
-        functools.partial(_attn_rope_cls_row_kernel, num_heads=num_heads,
-                          has_ls=has_ls, eps=eps),
+        functools.partial(_attn_any_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps, has_rope=True,
+                          want_row=True),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg,

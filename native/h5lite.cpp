@@ -165,6 +165,10 @@ bool read_object_header(const File& f, uint64_t addr,
     };
     std::vector<Block> blocks{{addr + 16, hdr_size}};
     for (size_t bi = 0; bi < blocks.size(); ++bi) {
+      if (blocks.size() > 1024) {  // cyclic continuation guard
+        err.set("object header continuation chain too long");
+        return false;
+      }
       uint64_t off = blocks[bi].off, end = blocks[bi].off + blocks[bi].len;
       if (!in_file(f, off, blocks[bi].len)) {
         err.set("object header block out of file");
@@ -206,6 +210,10 @@ bool read_object_header(const File& f, uint64_t addr,
     std::vector<Block> blocks{{q, chunk0}};
     bool track_order = (flags & 0x04) != 0;
     for (size_t bi = 0; bi < blocks.size(); ++bi) {
+      if (blocks.size() > 1024) {  // cyclic continuation guard
+        err.set("object header continuation chain too long");
+        return false;
+      }
       const uint8_t* m = blocks[bi].start;
       // each block ends with a 4-byte checksum we don't verify
       const uint8_t* end = m + blocks[bi].len - 4;
@@ -246,7 +254,12 @@ bool read_object_header(const File& f, uint64_t addr,
 
 // Search the SNOD entries reachable from a v1 group B-tree for `name`.
 bool search_group_btree(const File& f, uint64_t btree, uint64_t heap_data,
-                        const char* name, uint64_t* child, Err& err) {
+                        const char* name, uint64_t* child, Err& err,
+                        int depth = 0) {
+  if (depth > 64) {  // cyclic/corrupt B-tree guard
+    err.set("group B-tree too deep");
+    return false;
+  }
   if (!in_file(f, btree, 24)) {
     err.set("group B-tree out of file");
     return false;
@@ -265,7 +278,8 @@ bool search_group_btree(const File& f, uint64_t btree, uint64_t heap_data,
     uint64_t caddr = rd(q, f.offsz);
     q += f.offsz;
     if (level > 0) {
-      if (search_group_btree(f, caddr, heap_data, name, child, err))
+      if (search_group_btree(f, caddr, heap_data, name, child, err,
+                             depth + 1))
         return true;
       if (err.buf[0]) return false;  // propagate hard errors
       continue;
@@ -367,6 +381,8 @@ struct Layout {
 struct Filters {
   bool deflate = false;
   bool shuffle = false;
+  int deflate_pos = -1;  // pipeline position (the chunk filter mask is
+  int shuffle_pos = -1;  // indexed by position, not by filter id)
   bool unsupported = false;
   char name[64] = {0};
 };
@@ -390,6 +406,10 @@ bool parse_datatype(const Message& m, Datatype* dt, Err& err) {
   dt->cls = q[0] & 0x0F;
   dt->size = (size_t)rd(q + 4, 4);
   dt->is_signed = (q[1] & 0x08) != 0;
+  if ((q[1] & 0x01) != 0) {  // byte-order bit: big-endian
+    err.set("big-endian datatype unsupported");
+    return false;  // caller falls back to h5py
+  }
   if (dt->cls == 0 && (dt->size == 1 || dt->size == 2 || dt->size == 4 ||
                        dt->size == 8))
     return true;
@@ -485,11 +505,13 @@ void parse_filters(const Message& m, Filters* fl) {
     q += 2;
     q += name_len + 4ULL * ncd;
     if (ver == 1 && (ncd & 1)) q += 4;
-    if (id == 1)
+    if (id == 1) {
       fl->deflate = true;
-    else if (id == 2)
+      fl->deflate_pos = i;
+    } else if (id == 2) {
       fl->shuffle = true;
-    else if (id != 3) {  // fletcher32 checksum is ignorable on read
+      fl->shuffle_pos = i;
+    } else if (id != 3) {  // fletcher32 checksum is ignorable on read
       fl->unsupported = true;
       snprintf(fl->name, sizeof(fl->name), "filter id %u", id);
     }
@@ -614,9 +636,11 @@ bool decode_chunk(const File& f, uint64_t caddr, uint64_t nbytes,
   for (int d = 0; d < lo.chunk_rank; ++d) chunk_elems *= lo.chunk[d];
   size_t want = (size_t)chunk_elems * dt.size;
   const uint8_t* data = f.p + caddr;
-  if (fl.deflate && !(fmask & 0x1)) {
+  bool do_deflate = fl.deflate && !(fmask & (1u << fl.deflate_pos));
+  bool do_shuffle = fl.shuffle && !(fmask & (1u << fl.shuffle_pos));
+  if (do_deflate) {
     if (!inflate_chunk(data, nbytes, want, raw, err)) return false;
-    if (fl.shuffle && !(fmask & 0x2)) unshuffle(raw, dt.size);
+    if (do_shuffle) unshuffle(raw, dt.size);
     if (raw.size() < want) {
       err.set("chunk decoded short (%zu < %zu)", raw.size(), want);
       return false;
@@ -625,7 +649,7 @@ bool decode_chunk(const File& f, uint64_t caddr, uint64_t nbytes,
     return true;
   }
   const uint8_t* src = data;
-  if (fl.shuffle && !(fmask & 0x2)) {
+  if (do_shuffle) {
     tmp.assign(data, data + nbytes);
     unshuffle(tmp, dt.size);
     src = tmp.data();
@@ -641,7 +665,12 @@ bool decode_chunk(const File& f, uint64_t caddr, uint64_t nbytes,
 // Walk a v1 chunk B-tree, decoding every chunk into `dst`.
 bool read_chunk_btree(const File& f, uint64_t addr, const Datatype& dt,
                       const Dataspace& ds, const Layout& lo,
-                      const Filters& fl, void* dst, int out_f64, Err& err) {
+                      const Filters& fl, void* dst, int out_f64, Err& err,
+                      int depth = 0) {
+  if (depth > 64) {  // cyclic/corrupt B-tree guard
+    err.set("chunk B-tree too deep");
+    return false;
+  }
   if (addr == kUndef) return true;  // no chunks written (all fill value)
   if (!in_file(f, addr, 24)) {
     err.set("chunk B-tree out of file");
@@ -667,7 +696,8 @@ bool read_chunk_btree(const File& f, uint64_t addr, const Datatype& dt,
     uint64_t caddr = rd(q, f.offsz);
     q += f.offsz;
     if (level > 0) {
-      if (!read_chunk_btree(f, caddr, dt, ds, lo, fl, dst, out_f64, err))
+      if (!read_chunk_btree(f, caddr, dt, ds, lo, fl, dst, out_f64, err,
+                            depth + 1))
         return false;
       continue;
     }

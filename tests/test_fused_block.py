@@ -451,3 +451,36 @@ def test_fused_saliency_matches_flax_dinov3():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(sal), np.asarray(sal_ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_fused_paths_honor_nondefault_eps_and_theta():
+    """Config knobs must reach the kernels: a non-rope model with LN eps
+    1e-5 and a rope model with non-default rope_theta both match their
+    flax compositions through the fused serving path (regression for
+    hardcoded eps/theta drift)."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+
+    # non-rope, eps 1e-5 (constructible by overriding the v3 factory)
+    m1 = DinoSliceClassifier(out_ch=2, norm_eps=1e-5, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 3, 28, 28))
+    p1 = m1.init(jax.random.PRNGKey(1), x)["params"]
+    ref1 = m1.apply({"params": p1}, x)
+    out1 = fused_mst_logits(p1, x, m1, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               atol=1e-4, rtol=1e-4)
+
+    # rope with non-default theta
+    m2 = DinoSliceClassifier(
+        out_ch=2, model_size="tiny", patch_size=14, fusion_heads=4,
+        use_flash=False, use_rope_2d=True, use_pos_embed=False,
+        rope_theta=37.0, rope_normalized=True)
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 3, 28, 28))
+    p2 = m2.init(jax.random.PRNGKey(3), x2)["params"]
+    ref2 = m2.apply({"params": p2}, x2)
+    out2 = fused_mst_logits(p2, x2, m2, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-4, rtol=1e-4)
+    # the train gate must exclude the eps-1e-5 model (train kernels pin 1e-6)
+    from mst_tpu.train.trainer import should_use_fused_train
+
+    assert not should_use_fused_train(m1, False, "tpu")

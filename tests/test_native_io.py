@@ -246,3 +246,24 @@ def test_h5_reader_corruption_fuzz(tmp_path):
             native_io.h5_read(p, "Breast_MRI_001/sub_affine")
         except IOError:
             pass  # expected for most corruptions
+
+
+@needs_native
+def test_h5_reader_big_endian_falls_back(tmp_path):
+    """Big-endian datasets must raise IOError (the h5py-fallback trigger),
+    never decode as byte-swapped garbage."""
+    h5py = pytest.importorskip("h5py")
+    p = tmp_path / "be.h5"
+    data = np.arange(6, dtype=">f4").reshape(2, 3)
+    with h5py.File(p, "w") as f:
+        f.create_dataset("x", data=data)
+    with pytest.raises(IOError):
+        native_io.h5_read(p, "x")
+    # the dataset-level fallback path returns None -> caller uses h5py
+    from mst_tpu.data.datasets.base import Dataset3D
+
+    class DS(Dataset3D):
+        def __init__(self):
+            super().__init__(tmp_path)
+
+    assert DS()._read_h5(p, "x") is None
