@@ -80,6 +80,10 @@ class DinoSliceClassifier(nn.Module):
     rope_theta: float = 100.0
     rope_normalized: bool = False
     norm_eps: float = 1e-6
+    # None: the model_size default (_VIT_CONFIGS); "mlp" | "swiglu" to
+    # match a pretrained checkpoint whose FFN family differs from the size
+    # default (e.g. a gated-MLP DINOv3 small).
+    ffn_layer: Optional[str] = None
     ffn_hidden: Optional[int] = None
     layerscale_init: Optional[float] = 1e-5
     gelu_approximate: bool = True
@@ -87,11 +91,13 @@ class DinoSliceClassifier(nn.Module):
     use_flash: bool = True
 
     def setup(self):
+        ffn_kw = {} if self.ffn_layer is None else {"ffn_layer": self.ffn_layer}
         self.encoder = build_vit(
             self.model_size,
             patch_size=self.patch_size,
             num_register_tokens=self.num_register_tokens,
             use_rope_2d=self.use_rope_2d,
+            **ffn_kw,
             pos_embed_grid=self.pos_embed_grid,
             use_pos_embed=self.use_pos_embed,
             rope_theta=self.rope_theta,

@@ -93,7 +93,8 @@ class FastViTConfig:
             num_register_tokens=model.num_register_tokens,
             pos_embed_grid=model.pos_embed_grid,
             gelu_approximate=model.gelu_approximate,
-            ffn_layer=base.get("ffn_layer", "mlp"),
+            ffn_layer=(getattr(model, "ffn_layer", None)
+                       or base.get("ffn_layer", "mlp")),
             ffn_hidden=getattr(model, "ffn_hidden", None),
             use_pos_embed=getattr(model, "use_pos_embed", True),
             use_rope_2d=getattr(model, "use_rope_2d", False),

@@ -140,10 +140,33 @@ def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
 _LOG2E = math.log2(math.e)
 
 
-def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False):
-    """Per-head softmax attention over a packed [S, 3E] qkv block.
+def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000) -> int:
+    """Slices per program for the multi-slice ("weight-stationary") fused
+    kernels: the largest k in {8,4,2,1} dividing N whose [k*S, E] activation
+    block stays within a VMEM-friendly element budget. Packing k slices
+    flattens the token-wise matmuls to M = k*S rows, retiring the
+    257->272 sublane padding (bf16 tiles are 16 rows) and amortising
+    per-program launch/pipeline overhead — measured +~7% on the ViT-S
+    serving chain (round 3). k=1 reproduces the single-slice kernels
+    bit-for-bit."""
+    import os
+
+    force = os.environ.get("MST_FUSED_BLOCK_N")  # perf A/B override
+    if force:
+        k = int(force)
+        if N % k == 0:
+            return k
+    for k in (8, 4, 2, 1):
+        if N % k == 0 and k * S * E <= max_elems:
+            return k
+    return 1
+
+
+def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None):
+    """Per-head softmax attention over a packed [K*S, 3E] qkv block of K
+    independent slice images (`S` tokens each; S=None means one slice).
     `want_row=True` additionally returns the CLS (query 0) softmax row per
-    head, [heads, S] f32 — the only attention the saliency maps consume
+    head, [K, heads, S] f32 — the only attention the saliency maps consume
     (`ops/saliency.plane_attention`), so the fused serving path never
     materialises the [S, S] probability matrices.
 
@@ -160,37 +183,47 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False):
     (a strided lane shuffle would be a VPU worst case).
     """
     scale = 1.0 / math.sqrt(hd) * _LOG2E
+    T = qkv.shape[0]
+    S = T if S is None else S
+    K = T // S
     outs, rows = [], []
-    for i in range(num_heads):
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, E + i * hd: E + (i + 1) * hd]
-        v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
-        if rope is not None:
-            cos, sin, pmat = rope
-            qr = jax.lax.dot_general(
-                q, pmat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            q = (q.astype(jnp.float32) * cos + qr * sin).astype(cd)
-            kr = jax.lax.dot_general(
-                k, pmat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            k = (k.astype(jnp.float32) * cos + kr * sin).astype(cd)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(cd), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / l
-        outs.append(o.astype(cd))
+    for sl in range(K):
+        lo = sl * S
+        souts, srows = [], []
+        for i in range(num_heads):
+            q = qkv[lo:lo + S, i * hd:(i + 1) * hd]
+            k = qkv[lo:lo + S, E + i * hd: E + (i + 1) * hd]
+            v = qkv[lo:lo + S, 2 * E + i * hd: 2 * E + (i + 1) * hd]
+            if rope is not None:
+                cos, sin, pmat = rope
+                qr = jax.lax.dot_general(
+                    q, pmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                q = (q.astype(jnp.float32) * cos + qr * sin).astype(cd)
+                kr = jax.lax.dot_general(
+                    k, pmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                k = (k.astype(jnp.float32) * cos + kr * sin).astype(cd)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(cd), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
+            souts.append(o.astype(cd))
+            if want_row:
+                srows.append(p[:1] / l[:1])  # CLS softmax row [1, S], f32
+        outs.append(jnp.concatenate(souts, axis=-1))  # [S, E]
         if want_row:
-            rows.append(p[:1] / l[:1])  # CLS softmax row [1, S], f32
-    out = jnp.concatenate(outs, axis=-1)  # [S, E]
+            rows.append(jnp.concatenate(srows, axis=0))  # [heads, S]
+    out = jnp.concatenate(outs, axis=0)  # [K*S, E]
     if want_row:
-        return out, jnp.concatenate(rows, axis=0)  # [heads, S]
+        return out, jnp.stack(rows, axis=0)  # [K, heads, S]
     return out
 
 
@@ -211,8 +244,8 @@ def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
         (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
          ls_ref, *out_refs) = refs
         rope = None
-    x = x_ref[0]  # [S, E]
-    S, E = x.shape
+    K, S, E = x_ref.shape  # K slice images per program (_pick_block)
+    x = x_ref[:].reshape(K * S, E)
     hd = E // num_heads
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
@@ -223,8 +256,9 @@ def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
         h, wqkv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[0]
-    qkv = qkv.astype(x.dtype)  # [S, 3E]
-    out = _mhsa(qkv, E, hd, num_heads, x.dtype, rope=rope, want_row=want_row)
+    qkv = qkv.astype(x.dtype)  # [K*S, 3E]
+    out = _mhsa(qkv, E, hd, num_heads, x.dtype, rope=rope, want_row=want_row,
+                S=S)
     o, rows = out if want_row else (out, None)
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
@@ -232,9 +266,9 @@ def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
     ) + bproj_ref[0]
     if has_ls:
         y = y * ls_ref[0]
-    out_refs[0][0] = (xf + y).astype(out_refs[0].dtype)
+    out_refs[0][:] = (xf + y).astype(out_refs[0].dtype).reshape(K, S, E)
     if want_row:
-        out_refs[1][0] = rows
+        out_refs[1][:] = rows  # [K, heads, S]
 
 
 _attn_rope_kernel = functools.partial(_attn_any_kernel, has_rope=True,
@@ -244,7 +278,8 @@ _attn_rope_kernel = functools.partial(_attn_any_kernel, has_rope=True,
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 ls_ref, o_ref, *, approximate: bool, has_ls: bool,
                 eps: float = 1e-6):
-    x = x_ref[0]
+    K, S, E = x_ref.shape
+    x = x_ref[:].reshape(K * S, E)  # token-wise op: flatten the K slices
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
@@ -261,7 +296,7 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     ) + b2_ref[0]
     if has_ls:
         y = y * ls_ref[0]
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    o_ref[:] = (xf + y).astype(o_ref.dtype).reshape(K, S, E)
 
 
 def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
@@ -271,8 +306,8 @@ def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     qkv [S,3E] and the pre-proj concat o [S,E]. Attention probs are NOT
     saved — the backward kernel recomputes the softmax in VMEM from qkv
     (flash-style), avoiding an [H,S,S] HBM round trip per layer."""
-    x = x_ref[0]
-    S, E = x.shape
+    K, S, E = x_ref.shape
+    x = x_ref[:].reshape(K * S, E)
     hd = E // num_heads
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
@@ -284,16 +319,16 @@ def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)
-    qkv_ref[0] = qkv
-    o = _mhsa(qkv, E, hd, num_heads, x.dtype)
-    o_ref[0] = o
+    qkv_ref[:] = qkv.reshape(K, S, 3 * E)
+    o = _mhsa(qkv, E, hd, num_heads, x.dtype, S=S)
+    o_ref[:] = o.reshape(K, S, E)
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[0]
     if has_ls:
         y = y * ls_ref[0]
-    y_ref[0] = (xf + y).astype(y_ref.dtype)
+    y_ref[:] = (xf + y).astype(y_ref.dtype).reshape(K, S, E)
 
 
 def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
@@ -301,7 +336,8 @@ def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                       has_ls: bool):
     """Forward + residual output for the MLP backward: pre-activation
     hidden a [S, F]."""
-    x = x_ref[0]
+    K, S, E = x_ref.shape
+    x = x_ref[:].reshape(K * S, E)
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
@@ -312,7 +348,7 @@ def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         preferred_element_type=jnp.float32,
     ) + b1_ref[0]
     a = a.astype(x.dtype)
-    a_ref[0] = a
+    a_ref[:] = a.reshape(K, S, -1)
     u = jax.nn.gelu(a, approximate=approximate).astype(x.dtype)
     y = jax.lax.dot_general(
         u, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -320,14 +356,15 @@ def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     ) + b2_ref[0]
     if has_ls:
         y = y * ls_ref[0]
-    y_ref[0] = (xf + y).astype(y_ref.dtype)
+    y_ref[:] = (xf + y).astype(y_ref.dtype).reshape(K, S, E)
 
 
 def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
                          b3_ref, ls_ref, y_ref, h12_ref, *, has_ls: bool):
     """Forward + residual output for the SwiGLU backward: pre-gate hidden
     h12 [S, 2F]."""
-    x = x_ref[0]
+    K, S, E = x_ref.shape
+    x = x_ref[:].reshape(K * S, E)
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
@@ -338,7 +375,7 @@ def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
         preferred_element_type=jnp.float32,
     ) + b12_ref[0]
     h12 = h12.astype(x.dtype)
-    h12_ref[0] = h12
+    h12_ref[:] = h12.reshape(K, S, -1)
     hidden = h12.shape[-1] // 2
     h1 = h12[:, :hidden]
     h2 = h12[:, hidden:]
@@ -349,12 +386,13 @@ def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
     ) + b3_ref[0]
     if has_ls:
         y = y * ls_ref[0]
-    y_ref[0] = (xf + y).astype(y_ref.dtype)
+    y_ref[:] = (xf + y).astype(y_ref.dtype).reshape(K, S, E)
 
 
 def _swiglu_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref, b3_ref,
                    ls_ref, o_ref, *, has_ls: bool, eps: float = 1e-6):
-    x = x_ref[0]
+    K, S, E = x_ref.shape
+    x = x_ref[:].reshape(K * S, E)  # token-wise op: flatten the K slices
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
@@ -374,7 +412,7 @@ def _swiglu_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref, b3_ref,
     ) + b3_ref[0]
     if has_ls:
         y = y * ls_ref[0]
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    o_ref[:] = (xf + y).astype(o_ref.dtype).reshape(K, S, E)
 
 
 def _vec(x):
@@ -387,11 +425,13 @@ def _vec(x):
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _call_fused(kernel, x, operands, **kw):
+def _call_fused(kernel, x, operands, block_n: int = 1, **kw):
     """Common pallas_call plumbing: x [N,S,E]; operands are grid-invariant
-    VMEM-resident params ([1,dim] fp32 vectors or full weight matrices)."""
+    VMEM-resident params ([1,dim] fp32 vectors or full weight matrices).
+    `block_n` slices feed each program (see `_pick_block`); kernels see
+    (block_n, S, E) blocks."""
     N, S, E = x.shape
-    in_specs = [pl.BlockSpec((1, S, E), lambda n: (n, 0, 0),
+    in_specs = [pl.BlockSpec((block_n, S, E), lambda n: (n, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [x]
     for item in operands:
@@ -400,9 +440,9 @@ def _call_fused(kernel, x, operands, **kw):
         args.append(item)
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // block_n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, S, E), lambda n: (n, 0, 0),
+        out_specs=pl.BlockSpec((block_n, S, E), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, S, E), x.dtype),
         interpret=not _on_tpu(),
@@ -411,14 +451,16 @@ def _call_fused(kernel, x, operands, **kw):
     )(*args)
 
 
-def _call_fused_multi(kernel, x, operands, out_shapes, out_dtypes=None, **kw):
+def _call_fused_multi(kernel, x, operands, out_shapes, out_dtypes=None,
+                      block_n: int = 1, **kw):
     """Like `_call_fused` but with multiple grid-mapped outputs.
 
-    out_shapes: list of per-program shapes (without the leading grid dim);
-    output i has global shape (N, *out_shapes[i]) and block (1, *shape).
-    out_dtypes: optional per-output dtypes (default: x.dtype)."""
+    out_shapes: list of per-slice shapes (without the leading grid dim);
+    output i has global shape (N, *out_shapes[i]) and block
+    (block_n, *shape). out_dtypes: optional per-output dtypes (default:
+    x.dtype)."""
     N = x.shape[0]
-    in_specs = [pl.BlockSpec((1, *x.shape[1:]),
+    in_specs = [pl.BlockSpec((block_n, *x.shape[1:]),
                              lambda n: (n,) + (0,) * (x.ndim - 1),
                              memory_space=pltpu.VMEM)]
     args = [x]
@@ -432,12 +474,12 @@ def _call_fused_multi(kernel, x, operands, out_shapes, out_dtypes=None, **kw):
     for shp, dt in zip(out_shapes, out_dtypes):
         nd = len(shp)
         out_specs.append(pl.BlockSpec(
-            (1, *shp), (lambda n, _nd=nd: (n,) + (0,) * _nd),
+            (block_n, *shp), (lambda n, _nd=nd: (n,) + (0,) * _nd),
             memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((N, *shp), dt))
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // block_n,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -502,11 +544,11 @@ def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
         dls_ref[:] = jnp.zeros_like(dls_ref)
 
-    g = g_ref[0]
-    x = x_ref[0]
-    qkv = qkv_ref[0]
-    o = o_ref[0]
-    S, E = x.shape
+    K, S, E = x_ref.shape
+    g = g_ref[:].reshape(K * S, E)
+    x = x_ref[:].reshape(K * S, E)
+    qkv = qkv_ref[:].reshape(K * S, 3 * E)
+    o = o_ref[:].reshape(K * S, E)
     hd = E // num_heads
     scale = 1.0 / math.sqrt(hd)
     cd = x.dtype
@@ -530,37 +572,42 @@ def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
         preferred_element_type=jnp.float32,
     ).astype(cd)  # [S, E]
 
-    dqs, dks, dvs = [], [], []
-    for i in range(num_heads):
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, E + i * hd: E + (i + 1) * hd]
-        v = qkv[:, 2 * E + i * hd: 2 * E + (i + 1) * hd]
-        do_h = do[:, i * hd:(i + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * _LOG2E)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        # The row normaliser can't fold out of BOTH backward matmuls (it
-        # varies along dv's contraction axis), so normalise p here — but as
-        # a reciprocal multiply, with exp already in exp2 form.
-        p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
-        p_c = p.astype(cd)
-        dvs.append(jax.lax.dot_general(
-            p_c, do_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cd))
-        dp = jax.lax.dot_general(
-            do_h, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = ((dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
-              * scale).astype(cd)
-        dqs.append(jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cd))
-        dks.append(jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cd))
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [S, 3E]
+    slice_dqkv = []
+    for sl in range(K):
+        lo = sl * S
+        dqs, dks, dvs = [], [], []
+        for i in range(num_heads):
+            q = qkv[lo:lo + S, i * hd:(i + 1) * hd]
+            k = qkv[lo:lo + S, E + i * hd: E + (i + 1) * hd]
+            v = qkv[lo:lo + S, 2 * E + i * hd: 2 * E + (i + 1) * hd]
+            do_h = do[lo:lo + S, i * hd:(i + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * (scale * _LOG2E)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            # The row normaliser can't fold out of BOTH backward matmuls (it
+            # varies along dv's contraction axis), so normalise p here — but
+            # as a reciprocal multiply, with exp already in exp2 form.
+            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+            p_c = p.astype(cd)
+            dvs.append(jax.lax.dot_general(
+                p_c, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cd))
+            dp = jax.lax.dot_general(
+                do_h, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = ((dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+                  * scale).astype(cd)
+            dqs.append(jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cd))
+            dks.append(jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cd))
+        slice_dqkv.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
+    dqkv = jnp.concatenate(slice_dqkv, axis=0)  # [K*S, 3E]
     dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
 
     xf = x.astype(jnp.float32)
@@ -579,7 +626,8 @@ def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
     dxhat = dh * lns_ref[0]
     m1 = dxhat.mean(-1, keepdims=True)
     m2 = (dxhat * xhat).mean(-1, keepdims=True)
-    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2) + gf).astype(dx_ref.dtype)
+    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)
+                 + gf).astype(dx_ref.dtype).reshape(K, S, E)
 
 
 def _mlp_bwd_kernel(g_ref, x_ref, a_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
@@ -599,9 +647,10 @@ def _mlp_bwd_kernel(g_ref, x_ref, a_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
         dls_ref[:] = jnp.zeros_like(dls_ref)
 
-    g = g_ref[0]
-    x = x_ref[0]
-    a = a_ref[0].astype(jnp.float32)
+    K, S, E = x_ref.shape
+    g = g_ref[:].reshape(K * S, E)
+    x = x_ref[:].reshape(K * S, E)
+    a = a_ref[:].reshape(K * S, -1).astype(jnp.float32)
     cd = x.dtype
     gf = g.astype(jnp.float32)
 
@@ -643,17 +692,20 @@ def _mlp_bwd_kernel(g_ref, x_ref, a_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
     dxhat = dh * lns_ref[0]
     m1 = dxhat.mean(-1, keepdims=True)
     m2 = (dxhat * xhat).mean(-1, keepdims=True)
-    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2) + gf).astype(dx_ref.dtype)
+    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)
+                 + gf).astype(dx_ref.dtype).reshape(K, S, E)
 
 
-def _call_fused_bwd(kernel, g, grid_inputs, operands, accum_shapes):
-    """Backward pallas_call: g + grid_inputs are [N, S, *]-blocked; operands
-    are grid-invariant; outputs are (dx [like g's block],
-    *accumulators [shape, f32, constant index])."""
+def _call_fused_bwd(kernel, g, grid_inputs, operands, accum_shapes,
+                    block_n: int = 1):
+    """Backward pallas_call: g + grid_inputs are [N, S, *]-blocked (block_n
+    slices per program — see `_pick_block`); operands are grid-invariant;
+    outputs are (dx [like g's block], *accumulators [shape, f32, constant
+    index])."""
     N = g.shape[0]
     args, in_specs = [], []
     for t in (g, *grid_inputs):
-        in_specs.append(pl.BlockSpec((1, *t.shape[1:]),
+        in_specs.append(pl.BlockSpec((block_n, *t.shape[1:]),
                                      lambda n, _nd=t.ndim - 1: (n,) + (0,) * _nd,
                                      memory_space=pltpu.VMEM))
         args.append(t)
@@ -661,7 +713,7 @@ def _call_fused_bwd(kernel, g, grid_inputs, operands, accum_shapes):
         in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(item)
-    out_specs = [pl.BlockSpec((1, *g.shape[1:]),
+    out_specs = [pl.BlockSpec((block_n, *g.shape[1:]),
                               lambda n: (n,) + (0,) * (g.ndim - 1),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct(g.shape, g.dtype)]
@@ -672,7 +724,7 @@ def _call_fused_bwd(kernel, g, grid_inputs, operands, accum_shapes):
         out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // block_n,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -708,6 +760,7 @@ def _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
         out_shapes=[(S, E), (S, 3 * E), (S, E)],
+        block_n=_pick_block(N, S, E),
     )
     return y, qkv, o
 
@@ -749,6 +802,9 @@ def _attn_train_bwd_pallas(num_heads, res, g):
                   jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
         accum_shapes=[(E, 3 * E), (1, 3 * E), (E, E), (1, E),
                       (1, E), (1, E), (1, E)],
+        # backward holds more live intermediates per program (dqkv, do,
+        # grad accumulators) — cap the packed block smaller than forward
+        block_n=_pick_block(N, S, E, max_elems=600_000),
     )
     return (dx, _cast_like(dlns, ln_s), _cast_like(dlnb, ln_b),
             _cast_like(dwqkv, wqkv), _cast_like(dbqkv, bqkv),
@@ -833,6 +889,7 @@ def _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype), _vec(b1),
          jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
         out_shapes=[(S, E), (S, F)],
+        block_n=_pick_block(N, S, E),
     )
     return y, a
 
@@ -863,6 +920,7 @@ def _mlp_train_bwd_pallas(approximate, res, g):
         operands=[_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype),
                   jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
         accum_shapes=[(E, F), (1, F), (F, E), (1, E), (1, E), (1, E), (1, E)],
+        block_n=_pick_block(N, S, E, max_elems=600_000),
     )
     return (dx, _cast_like(dlns, ln_s), _cast_like(dlnb, ln_b),
             _cast_like(dw1, w1), _cast_like(db1, b1),
@@ -925,6 +983,7 @@ def _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls):
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w12, x.dtype), _vec(b12),
          jnp.asarray(w3, x.dtype), _vec(b3), ls_arg],
         out_shapes=[(S, E), (S, F2)],
+        block_n=_pick_block(N, S, E),
     )
     return y, h12
 
@@ -987,6 +1046,7 @@ def fused_attention_sublayer(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
+        block_n=_pick_block(*x.shape),
     )
 
 
@@ -1019,6 +1079,7 @@ def fused_mlp_sublayer(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate,
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype), _vec(b1),
          jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
+        block_n=_pick_block(*x.shape),
     )
 
 
@@ -1049,6 +1110,7 @@ def fused_swiglu_sublayer(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w12, x.dtype), _vec(b12),
          jnp.asarray(w3, x.dtype), _vec(b3), ls_arg],
+        block_n=_pick_block(*x.shape),
     )
 
 
@@ -1101,6 +1163,7 @@ def fused_attention_sublayer_rope(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg,
          jnp.asarray(rope_cos, jnp.float32), jnp.asarray(rope_sin, jnp.float32),
          pmat],
+        block_n=_pick_block(*x.shape),
     )
 
 
@@ -1145,6 +1208,7 @@ def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
         out_shapes=[(S, E), (num_heads, S)],
         out_dtypes=[x.dtype, jnp.float32],
+        block_n=_pick_block(N, S, E),
     )
 
 
@@ -1169,4 +1233,5 @@ def fused_attention_sublayer_rope_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
          jnp.asarray(rope_sin, jnp.float32), pmat],
         out_shapes=[(S, E), (num_heads, S)],
         out_dtypes=[x.dtype, jnp.float32],
+        block_n=_pick_block(N, S, E),
     )

@@ -86,6 +86,27 @@ def load_checkpoint(run_dir, name: str) -> Any:
     return ckptr.restore(path, restore_args=restore_args)
 
 
+def load_checkpoint_sharded(run_dir, name: str, shardings: Any) -> Any:
+    """Pod-scale restore: every leaf comes back as a jax.Array already laid
+    out by `shardings` (a pytree of `jax.sharding.Sharding` congruent with
+    the saved tree; `None` leaves restore as host numpy). Orbax reads only
+    the byte ranges each host's addressable shards need, so no host ever
+    materialises the full tree — restoring a giant2 TrainState (~13 GB of
+    params+moments) per host would otherwise OOM pod hosts (the
+    `load_checkpoint` path is for topology-free single-host predict).
+    TPU-equivalent of SURVEY §5.4's resume contract at pod scale."""
+    import numpy as np
+
+    wait_for_async_saves()
+    path = (Path(run_dir) / name).resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    restore_args = jax.tree.map(
+        lambda s: (ocp.RestoreArgs(restore_type=np.ndarray) if s is None
+                   else ocp.ArrayRestoreArgs(sharding=s)),
+        shardings, is_leaf=lambda s: s is None or hasattr(s, "device_set"))
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def save_train_state(run_dir, name: str, state: Any,
                      meta: Optional[Dict] = None,
                      hparams: Optional[Dict] = None,
@@ -113,14 +134,21 @@ def save_train_state(run_dir, name: str, state: Any,
     return path
 
 
-def restore_train_state(run_dir, name: str, template_state: Any):
+def restore_train_state(run_dir, name: str, template_state: Any,
+                        shardings: Any = None):
     """Restore a full TrainState saved by `save_train_state`.
 
     Waits for any in-flight async save first.
 
     `template_state` (a freshly-initialised TrainState) supplies the pytree
     structure — optax states are NamedTuples that orbax cannot reconstruct
-    from the serialized dicts alone. Returns (state, meta_dict)."""
+    from the serialized dicts alone. Returns (state, meta_dict).
+
+    `shardings`: optional pytree of `jax.sharding.Sharding` congruent with
+    `template_state.params` — when given, params AND the optimizer moments
+    (which mirror the param tree inside optax states) restore directly into
+    sharded jax.Arrays (per-host reads, no full-tree materialisation; see
+    `load_checkpoint_sharded`). Scalars/rng restore as host values."""
     tree = {
         "params": template_state.params,
         "opt_state": template_state.opt_state,
@@ -131,7 +159,37 @@ def restore_train_state(run_dir, name: str, template_state: Any):
         tree["batch_stats"] = template_state.batch_stats
     wait_for_async_saves()
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore((Path(run_dir) / name).resolve(), item=tree)
+    if shardings is not None:
+        import numpy as np
+
+        flat_sh = [
+            (jax.tree_util.keystr(kp), s)
+            for kp, s in jax.tree_util.tree_flatten_with_path(
+                shardings,
+                is_leaf=lambda s: s is None or hasattr(s, "device_set"))[0]
+        ]
+        flat_shapes = {
+            jax.tree_util.keystr(kp): getattr(v, "shape", None)
+            for kp, v in jax.tree_util.tree_flatten_with_path(
+                template_state.params)[0]
+        }
+
+        def _args_for(path, leaf):
+            # param-shaped leaves (params + each moment tree inside
+            # opt_state) share the tail of their keystr with a params entry
+            ks = jax.tree_util.keystr(path)
+            for pkey, sh in flat_sh:
+                if (sh is not None and ks.endswith(pkey)
+                        and getattr(leaf, "shape", None)
+                        == flat_shapes.get(pkey)):
+                    return ocp.ArrayRestoreArgs(sharding=sh)
+            return ocp.RestoreArgs(restore_type=np.ndarray)
+
+        restore_args = jax.tree_util.tree_map_with_path(_args_for, tree)
+        restored = ckptr.restore((Path(run_dir) / name).resolve(), item=tree,
+                                 restore_args=restore_args)
+    else:
+        restored = ckptr.restore((Path(run_dir) / name).resolve(), item=tree)
     state = template_state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],

@@ -115,6 +115,7 @@ uint64_t parse_superblock(File& f, Err& err) {
   }
   const uint8_t* s = f.p + off;
   uint8_t ver = s[8];
+  uint64_t root = kUndef;
   if (ver <= 1) {
     f.offsz = s[13];
     f.lensz = s[14];
@@ -124,18 +125,32 @@ uint64_t parse_superblock(File& f, Err& err) {
     // base, freespace, eof, driver-info, then root symbol table entry
     q += 4 * f.offsz;
     q += f.offsz;  // link name offset
-    return rd(q, f.offsz);
-  }
-  if (ver == 2 || ver == 3) {
+    root = rd(q, f.offsz);
+  } else if (ver == 2 || ver == 3) {
     f.offsz = s[9];
     f.lensz = s[10];
     const uint8_t* q = s + 12;
     f.base = rd(q, f.offsz);
     q += 3 * f.offsz;  // base, extension, eof
-    return rd(q, f.offsz);
+    root = rd(q, f.offsz);
+  } else {
+    err.set("unsupported superblock version %d", ver);
+    return kUndef;
   }
-  err.set("unsupported superblock version %d", ver);
-  return kUndef;
+  // The parser resolves all addresses relative to offset 0 and reads
+  // dataspace dims / heap lengths as 8-byte fields; files with a nonzero
+  // base (userblock) or non-8-byte lengths would silently misresolve.
+  // Reject them explicitly so the h5py fallback is deliberate.
+  if (f.base != 0) {
+    err.set("nonzero base address %llu (userblock) unsupported",
+            (unsigned long long)f.base);
+    return kUndef;
+  }
+  if (f.lensz != 8) {
+    err.set("length size %zu != 8 unsupported", f.lensz);
+    return kUndef;
+  }
+  return root;
 }
 
 // ---------------------------------------------------------------------------
@@ -271,6 +286,13 @@ bool search_group_btree(const File& f, uint64_t btree, uint64_t heap_data,
   }
   uint8_t level = b[5];
   uint16_t used = (uint16_t)rd(b + 6, 2);
+  // Validate the whole alternating key/child entry array up front — a
+  // truncated/corrupt file must fail with an error, not read past the mmap.
+  if (!in_file(f, btree + 8 + 2 * f.offsz,
+               (uint64_t)used * (f.lensz + f.offsz))) {
+    err.set("group B-tree entries out of file");
+    return false;
+  }
   const uint8_t* q = b + 8 + 2 * f.offsz;  // skip siblings
   // alternating key/child: key0 child0 key1 child1 ... key_used
   for (uint16_t i = 0; i < used; ++i) {
@@ -289,8 +311,12 @@ bool search_group_btree(const File& f, uint64_t btree, uint64_t heap_data,
       return false;
     }
     uint16_t nsym = (uint16_t)rd(f.p + caddr + 6, 2);
-    const uint8_t* e = f.p + caddr + 8;
     size_t entlen = 2 * f.offsz + 8 + 16;
+    if (!in_file(f, caddr + 8, (uint64_t)nsym * entlen)) {
+      err.set("symbol table entries out of file");
+      return false;
+    }
+    const uint8_t* e = f.p + caddr + 8;
     for (uint16_t s = 0; s < nsym; ++s, e += entlen) {
       uint64_t name_off = rd(e, f.offsz);
       uint64_t hdr = rd(e + f.offsz, f.offsz);
@@ -684,6 +710,11 @@ bool read_chunk_btree(const File& f, uint64_t addr, const Datatype& dt,
   uint8_t level = b[5];
   uint16_t used = (uint16_t)rd(b + 6, 2);
   size_t keylen = 8 + 8ULL * (lo.chunk_rank + 1);
+  if (!in_file(f, addr + 8 + 2 * f.offsz,
+               (uint64_t)used * (keylen + f.offsz))) {
+    err.set("chunk B-tree entries out of file");
+    return false;
+  }
   const uint8_t* q = b + 8 + 2 * f.offsz;
   std::vector<uint8_t> raw, tmp;
   for (uint16_t i = 0; i < used; ++i) {

@@ -91,7 +91,8 @@ def main(argv=None):
                  "use_slice_pos_emb", "freeze", "fusion_heads",
                  "num_register_tokens", "pos_embed_grid", "layerscale_init",
                  "gelu_approximate", "use_rope_2d", "patch_size",
-                 "use_pos_embed", "rope_normalized", "norm_eps", "ffn_hidden")
+                 "use_pos_embed", "rope_normalized", "norm_eps",
+                 "ffn_layer", "ffn_hidden")
     }
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, _ = get_model(model_name, dtype=dtype, **model_kw)
@@ -113,8 +114,16 @@ def main(argv=None):
 
     batch_size = 1 if want_sal else max(1, args.batch_size)
     dm = DataModule(ds_test=ds_test, batch_size=batch_size)
+    # Multi-host runs wrap-pad the eval stream so every host sees equal
+    # batches; drop the duplicate rows exactly like the trainer's val loop
+    # (DataModule.eval_valid_mask) so scored metrics match single-host.
+    test_valid = dm.eval_valid_mask(len(ds_test))
+    row_lo = 0
     results, results_seg = [], []
     for batch in dm.test_dataloader():
+        n_in_batch = len(batch["uid"])
+        bvalid = test_valid[row_lo:row_lo + n_in_batch]
+        row_lo += n_in_batch
         rater_masks = batch.get("rater_masks", [None])[0]
         if args.get_segmentation and rater_masks is None:
             continue  # reference skips cases without multi-rater GT (:235-237)
@@ -124,6 +133,8 @@ def main(argv=None):
         probs_b, sal = predict(params, source, mask_kp)
         probs_b = np.asarray(probs_b)
         for bi, uid in enumerate(batch["uid"]):
+            if not bvalid[bi]:
+                continue  # multi-host wrap-padding duplicate
             probs = probs_b[bi]
             results.append({"uid": uid, "GT": int(batch["target"][bi]),
                             "NN": int(probs.argmax()),
@@ -137,7 +148,7 @@ def main(argv=None):
         if sal is not None:
             sal_np = np.asarray(sal)[0]  # [D, H, W]
 
-        if args.get_segmentation and rater_masks is not None:
+        if args.get_segmentation and rater_masks is not None and bvalid[0]:
             # >=2 raters agree -> GT mask (reference :243-250)
             gt = (np.asarray(rater_masks)[:, 0].sum(0) >= 2)
             seg = saliency_to_mask(sal_np, 0.999)

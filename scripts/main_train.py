@@ -160,6 +160,7 @@ def main(argv=None):
                 v3cfg = dinov3_config_from_sd(pretrained_sd)
                 model_kw["patch_size"] = v3cfg["patch_size"]
                 model_kw["num_register_tokens"] = v3cfg["num_register_tokens"]
+                model_kw["ffn_layer"] = v3cfg["ffn_layer"]
                 model_kw["ffn_hidden"] = v3cfg["ffn_hidden"]
                 model_kw.setdefault("use_pos_embed", False)
                 model_kw.setdefault("use_rope_2d", True)
@@ -226,9 +227,12 @@ def main(argv=None):
             from mst_tpu.models.vit import _VIT_CONFIGS
 
             cfg = _VIT_CONFIGS[args.model_size]
+            # the checkpoint's FFN family (e.g. gated-MLP DINOv3) wins over
+            # the model_size default — model_kw carries it when inferred
+            # from the state_dict above
+            ffn_layer = model_kw.get("ffn_layer") or cfg.get("ffn_layer", "mlp")
             state = state.replace(params=load_pretrained_encoder(
-                state.params, pretrained_sd, cfg["depth"],
-                cfg.get("ffn_layer", "mlp")))
+                state.params, pretrained_sd, cfg["depth"], ffn_layer))
         print(f"loaded pretrained encoder from {args.pretrained_path}")
 
     start_epoch, resume_meta = 0, None

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mst_tpu.models.mst import DinoSliceClassifier
 from mst_tpu.models.vit_fast import FastViTConfig, fused_mst_logits, fused_vit_cls
@@ -192,6 +193,7 @@ def test_swiglu_variants_match_reference_and_grads():
                                        err_msg=f"arg {i} ls={with_ls}")
 
 
+@pytest.mark.slow
 def test_fused_train_path_gradients_match_flax():
     """fused_mst_logits(train=True) end-to-end gradient parity vs the flax
     model — the exact program make_train_step runs on TPU."""
@@ -375,6 +377,7 @@ def test_fused_rope_attention_sublayer_matches_reference():
                                    atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_mst_logits_match_flax_dinov3():
     """The DINOv3 config (RoPE-only positions, normalized coords, eps 1e-5)
     through the fused serving path == the flax composition."""
@@ -453,6 +456,7 @@ def test_fused_saliency_matches_flax_dinov3():
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_paths_honor_nondefault_eps_and_theta():
     """Config knobs must reach the kernels: a non-rope model with LN eps
     1e-5 and a rope model with non-default rope_theta both match their
@@ -484,3 +488,57 @@ def test_fused_paths_honor_nondefault_eps_and_theta():
     from mst_tpu.train.trainer import should_use_fused_train
 
     assert not should_use_fused_train(m1, False, "tpu")
+
+
+def test_multislice_packing_k8_parity():
+    """N=8 picks block_n=8 (`_pick_block`): the multi-slice
+    weight-stationary program must match the reference composition exactly —
+    serve fwd, CLS rows, and the residual-sharing train backward."""
+    from mst_tpu.ops.fused_block import (
+        _pick_block,
+        fused_attention_sublayer_with_row,
+    )
+
+    key = jax.random.PRNGKey(11)
+    N, S, E, H = 8, 9, 32, 4
+    assert _pick_block(N, S, E) == 8
+    x = jax.random.normal(key, (N, S, E))
+    ks = jax.random.split(key, 8)
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[0], (E,))
+    ln_b = 0.1 * jax.random.normal(ks[1], (E,))
+    wqkv = 0.1 * jax.random.normal(ks[2], (E, 3 * E))
+    bqkv = 0.1 * jax.random.normal(ks[3], (3 * E,))
+    wproj = 0.1 * jax.random.normal(ks[4], (E, E))
+    bproj = 0.1 * jax.random.normal(ks[5], (E,))
+    ls = 1.0 + 0.1 * jax.random.normal(ks[6], (E,))
+
+    ref = _attn_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, H)
+    out = fused_attention_sublayer(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                   ls, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # CLS-row output keeps its [N, heads, S] layout under packing
+    out_r, rows = fused_attention_sublayer_with_row(
+        x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, H)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    assert rows.shape == (N, H, S)
+    np.testing.assert_allclose(np.asarray(rows.sum(-1)), 1.0, atol=1e-5)
+    # per-slice rows must differ (would be equal if slices were mixed up)
+    assert np.abs(np.asarray(rows[0]) - np.asarray(rows[7])).max() > 1e-4
+
+    # train variant: fwd + full grad parity at block_n=8
+    def loss_t(*a):
+        return jnp.sum(fused_attention_sublayer_train(*a, H) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(_attn_ref(*a, num_heads=H) ** 2)
+
+    diff_args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
+    argnums = tuple(range(len(diff_args)))
+    gt = jax.grad(loss_t, argnums)(*diff_args)
+    gr = jax.grad(loss_r, argnums)(*diff_args)
+    for i, (a, b) in enumerate(zip(gt, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"arg {i}")

@@ -118,6 +118,7 @@ def test_attention_rollout_normalised():
     np.testing.assert_allclose(np.asarray(r.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_freeze_blocks_encoder_gradients():
     model = DinoSliceClassifier(out_ch=2, freeze=True, **TINY)
     x = _volume(b=1, d=2)
@@ -175,3 +176,18 @@ def test_vit_swiglu_ffn_forward():
     out = vit.apply(params, x)
     assert out["cls_token"].shape == (1, 32)
     assert "w12" in params["params"]["blocks_0"]["mlp"]
+
+
+def test_classifier_ffn_layer_override():
+    """`ffn_layer` on DinoSliceClassifier overrides the model_size default
+    (a gated-MLP DINOv3 checkpoint loaded with model_size='small' must build
+    w12/w3 params, not fc1/fc2 — ADVICE r2 main_train.py:160)."""
+    model = DinoSliceClassifier(out_ch=2, ffn_layer="swiglu", ffn_hidden=24,
+                                **TINY)
+    x = _volume(b=1, d=2)
+    params = model.init(jax.random.PRNGKey(0), x)
+    blk = params["params"]["encoder"]["blocks_0"]["mlp"]
+    assert "w12" in blk and "w3" in blk
+    assert blk["w12"]["kernel"].shape[-1] == 2 * 24
+    logits = model.apply(params, x)
+    assert logits.shape == (1, 2)

@@ -50,6 +50,7 @@ def test_param_partition_rules_megatron_layout():
     assert specs["cls_token"] == P()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """One train step under dp x tp sharding must equal the unsharded step."""
     from mst_tpu.models.mst import DinoSliceClassifier
@@ -140,6 +141,7 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         out_ref, out_restored)
 
 
+@pytest.mark.slow
 def test_shard_map_train_step_matches_jit():
     """The explicit-SPMD (shard_map) train step — the multi-chip path for
     the fused Pallas kernels, which XLA's automatic partitioner cannot
@@ -200,6 +202,7 @@ def test_shard_map_train_step_matches_jit():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_kernels_inside_shard_map(monkeypatch):
     """The fused Pallas train path under shard_map (the real multi-chip
     configuration; interpret-mode kernels on the CPU mesh) must match the
@@ -241,3 +244,63 @@ def test_fused_kernels_inside_shard_map(monkeypatch):
             jax.tree_util.tree_leaves_with_path(s_f.params)):
         np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
                                    rtol=1e-4, atol=2e-6, err_msg=str(pa))
+
+
+def test_sharded_pod_restore_no_full_materialisation(tmp_path):
+    """VERDICT r2 #7: restoring `last` on a pod must NOT materialise the
+    full tree per host — `restore_train_state(shardings=...)` restores
+    params AND optimizer moments directly into mesh-sharded jax.Arrays
+    (orbax per-shard reads), with scalars/rng as host values."""
+    import optax
+
+    from mst_tpu.models.vit import build_vit
+    from mst_tpu.train.trainer import TrainState, make_optimizer
+    from mst_tpu.utils.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    vit = build_vit("tiny", patch_size=14, use_flash=False)
+    x = jnp.ones((1, 28, 28, 3))
+    params = vit.init(jax.random.PRNGKey(0), x)["params"]
+    state = TrainState.create(
+        apply_fn=vit.apply, params=params, tx=make_optimizer(1e-4),
+        dropout_rng=jax.random.PRNGKey(1))
+    # one opt step so the moments are nonzero (worth checking)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = state.apply_gradients(grads=grads)
+    save_train_state(tmp_path, "last", state, meta={"epoch": 3})
+
+    mesh = make_mesh((("data", 2), ("slice", 2), ("tensor", 2)))
+    shardings = param_shardings(params, mesh)
+    template = TrainState.create(
+        apply_fn=vit.apply, params=jax.tree.map(jnp.zeros_like, params),
+        tx=make_optimizer(1e-4), dropout_rng=jax.random.PRNGKey(1))
+    restored, meta = restore_train_state(tmp_path, "last", template,
+                                         shardings=shardings)
+    assert meta["epoch"] == 3
+
+    qkv = restored.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert isinstance(qkv, jax.Array)
+    assert qkv.sharding.spec == P(None, "tensor")
+    assert not qkv.sharding.is_fully_replicated
+    # each addressable shard holds only its slice of the tensor axis
+    full = np.asarray(state.params["blocks_0"]["attn"]["qkv"]["kernel"])
+    for shard in qkv.addressable_shards:
+        assert shard.data.shape == (full.shape[0], full.shape[1] // 2)
+    np.testing.assert_array_equal(np.asarray(qkv), full)
+
+    # optimizer moments mirror the param sharding (adam mu for qkv)
+    mus = [s.mu for s in jax.tree_util.tree_leaves(
+        restored.opt_state,
+        is_leaf=lambda s: hasattr(s, "mu")) if hasattr(s, "mu")]
+    assert mus, "no adam state found in restored opt_state"
+    mu_qkv = mus[0]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert mu_qkv.sharding.spec == P(None, "tensor")
+    ref_mu = [s.mu for s in jax.tree_util.tree_leaves(
+        state.opt_state, is_leaf=lambda s: hasattr(s, "mu"))
+        if hasattr(s, "mu")][0]
+    np.testing.assert_allclose(
+        np.asarray(mu_qkv),
+        np.asarray(ref_mu["blocks_0"]["attn"]["qkv"]["kernel"]))
+    assert int(restored.step) == 1

@@ -24,6 +24,7 @@ def test_backbone_2d_shapes():
     assert "batch_stats" in vars_
 
 
+@pytest.mark.slow
 def test_resnet3d_classifier_forward_and_variants():
     m = ResNet3DClassifier(out_ch=2, variant=18)
     x = jnp.ones((1, 1, 8, 32, 32))
@@ -34,6 +35,7 @@ def test_resnet3d_classifier_forward_and_variants():
     assert resnet_out_channels(34) == 512
 
 
+@pytest.mark.slow
 def test_resnet3d_train_step_updates_batch_stats():
     from mst_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
@@ -54,6 +56,7 @@ def test_resnet3d_train_step_updates_batch_stats():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+@pytest.mark.slow
 def test_resnet_slice_trans_forward_with_mask():
     m = ResNetSliceTrans(out_ch=2, variant=18, fusion_heads=8)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 4, 32, 32)),

@@ -80,6 +80,7 @@ def test_predict_segmentation(trained_run):
     assert df["Dice"].between(0, 1).all() or df["Dice"].isna().any()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 
@@ -100,6 +101,7 @@ def _leaves(tree):
             jax.tree_util.tree_flatten_with_path(tree)[0]}
 
 
+@pytest.mark.slow
 def test_true_resume_bit_identical(tmp_path):
     """--resume restores the FULL TrainState (optimizer moments, step,
     dropout rng, epoch counters): 1 epoch + resume + 1 epoch must equal an
@@ -161,6 +163,7 @@ def _random_hub_state_dict(rng, embed=32, depth=2, grid=16, patch=14):
     return {k: v.astype(np.float32) for k, v in sd.items()}
 
 
+@pytest.mark.slow
 def test_pretrained_path_e2e(tmp_path):
     """--pretrained_path: torch-layout weights on disk reach the encoder
     through the train CLI (VERDICT r1 #4; reference loads hub weights at

@@ -7,6 +7,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from mst_tpu.data.datamodule import DataModule
@@ -28,6 +29,7 @@ def _fit(tmp_path, max_epochs=4, patience=1, lr=0.0):
     return trainer.fit(model, state, dm, hparams={"m": "tiny"})
 
 
+@pytest.mark.slow
 def test_early_stopping_with_zero_lr(tmp_path):
     """lr=0 means the metric never improves after epoch 0 -> stop at
     1 + patience epochs."""
@@ -38,6 +40,7 @@ def test_early_stopping_with_zero_lr(tmp_path):
     assert (Path(tmp_path) / "last").exists()
 
 
+@pytest.mark.slow
 def test_top1_checkpoint_policy_deletes_superseded(tmp_path):
     ds = Synthetic_Dataset3D(num_samples=8, shape_cdhw=(1, 2, 28, 28))
     dm = DataModule(ds_train=ds, ds_val=ds, batch_size=4, num_train_samples=8)
@@ -68,6 +71,7 @@ def test_make_optimizer_schedules_and_freeze():
     assert float(np.abs(np.asarray(updates["head"]["w"])).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_history_contains_perf_stats(tmp_path):
     _fit(tmp_path, max_epochs=2, patience=5, lr=1e-3)
     rows = [json.loads(l) for l in (Path(tmp_path) / "history.jsonl").open()]
