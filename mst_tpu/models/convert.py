@@ -330,9 +330,20 @@ def _bn(sd, prefix) -> Tuple[Dict, Dict]:
 
 
 def convert_torch_resnet(sd: Dict, variant: int) -> Tuple[Dict, Dict]:
-    """torchvision resnet{18,34,50,...} state_dict -> (params, batch_stats)
-    for our ResNetBackbone."""
+    """torchvision OR MONAI/MedicalNet resnet{18,34,50,...} state_dict ->
+    (params, batch_stats) for our ResNetBackbone.
+
+    MONAI's `ResNet`/`ResNetFeatures` (the reference's `pretrained=True`
+    3D path, `mst/models/resnet.py:33-41`) uses torchvision-compatible
+    module names (conv1/bn1/layerX.i.convN/bnN/downsample.0/1), with 5-D
+    conv kernels — `_conv` transposes any rank. MedicalNet checkpoints
+    (monai.networks.nets.ResNetFeatures pretrained source) wrap keys in
+    DataParallel's "module." prefix, stripped here."""
     from mst_tpu.models.resnet import _RESNET_LAYERS
+
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()
+              if k.startswith("module.")}
 
     block_cls, counts = _RESNET_LAYERS[variant]
     bottleneck = block_cls.__name__ == "Bottleneck"
@@ -380,24 +391,51 @@ def convert_reference_mst(sd: Dict, depth: int = 12,
         params["slice_pos_emb"] = {
             "embedding": np.asarray(sd["slice_pos_emb.weight"])}
     for i in range(fusion_layers):
-        p = f"slice_fusion.layers.{i}"
-        params[f"fusion_{i}"] = {
-            "self_attn": {
-                "in_proj": {"kernel": _t(sd[f"{p}.self_attn.in_proj_weight"]),
-                            "bias": np.asarray(sd[f"{p}.self_attn.in_proj_bias"])},
-                "out_proj": {"kernel": _t(sd[f"{p}.self_attn.out_proj.weight"]),
-                             "bias": np.asarray(sd[f"{p}.self_attn.out_proj.bias"])},
-            },
-            "linear1": {"kernel": _t(sd[f"{p}.linear1.weight"]),
-                        "bias": np.asarray(sd[f"{p}.linear1.bias"])},
-            "linear2": {"kernel": _t(sd[f"{p}.linear2.weight"]),
-                        "bias": np.asarray(sd[f"{p}.linear2.bias"])},
-            "norm1": _ln(sd, f"{p}.norm1"),
-            "norm2": _ln(sd, f"{p}.norm2"),
-        }
+        params[f"fusion_{i}"] = _convert_fusion_layer(
+            sd, f"slice_fusion.layers.{i}")
     if "slice_fusion.norm.weight" in sd:
         params["fusion_norm"] = _ln(sd, "slice_fusion.norm")
     return params
+
+
+def _convert_fusion_layer(sd: Dict, p: str) -> Dict:
+    """One torch `TransformerEncoderLayer` (reference
+    `transformer_blocks.py:447-587`) -> our flax layer params."""
+    return {
+        "self_attn": {
+            "in_proj": {"kernel": _t(sd[f"{p}.self_attn.in_proj_weight"]),
+                        "bias": np.asarray(sd[f"{p}.self_attn.in_proj_bias"])},
+            "out_proj": {"kernel": _t(sd[f"{p}.self_attn.out_proj.weight"]),
+                         "bias": np.asarray(sd[f"{p}.self_attn.out_proj.bias"])},
+        },
+        "linear1": {"kernel": _t(sd[f"{p}.linear1.weight"]),
+                    "bias": np.asarray(sd[f"{p}.linear1.bias"])},
+        "linear2": {"kernel": _t(sd[f"{p}.linear2.weight"]),
+                    "bias": np.asarray(sd[f"{p}.linear2.bias"])},
+        "norm1": _ln(sd, f"{p}.norm1"),
+        "norm2": _ln(sd, f"{p}.norm2"),
+    }
+
+
+def convert_reference_resnet_slice(sd: Dict, variant: int = 34,
+                                   fusion_layers: int = 1
+                                   ) -> Tuple[Dict, Dict]:
+    """Reference `ResNetSliceTrans` state_dict (2D torchvision-style slice
+    backbone under `model.`, `mst/models/resnet.py:127-244`) -> (params,
+    batch_stats) for our `ResNetSliceTrans` — full-model conversion:
+    backbone + slice fusion + CLS + final norm + linear head."""
+    bb_sd = {k[len("model."):]: v for k, v in sd.items()
+             if k.startswith("model.")}
+    bb_params, bb_stats = convert_torch_resnet(bb_sd, variant)
+    params: Dict = {"backbone": bb_params,
+                    "cls_token": np.asarray(sd["cls_token"]),
+                    "linear": {"kernel": _t(sd["linear.weight"]),
+                               "bias": np.asarray(sd["linear.bias"])}}
+    for i in range(fusion_layers):
+        params[f"fusion_{i}"] = _convert_fusion_layer(
+            sd, f"slice_fusion.layers.{i}")
+    params["fusion_norm"] = _ln(sd, "slice_fusion.norm")
+    return params, {"backbone": bb_stats}
 
 
 def load_torch_state_dict(path) -> Dict:

@@ -186,7 +186,10 @@ class ResNetSliceTrans(nn.Module):
             )
             for i in range(self.fusion_layers)
         ]
-        self.fusion_norm = nn.LayerNorm(dtype=self.dtype, name="fusion_norm")
+        # torch nn.LayerNorm eps (1e-5), not flax's 1e-6 default — the
+        # reference's TransformerEncoder final norm (`resnet.py:163`)
+        self.fusion_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                        name="fusion_norm")
         self.linear = nn.Dense(self.out_ch, name="linear")
 
     def slice_features(self, source: jax.Array, *, train: bool = False):

@@ -22,9 +22,11 @@ import jax.numpy as jnp
 from mst_tpu.models.vit import _VIT_CONFIGS, interpolate_pos_embed
 from mst_tpu.ops.fused_block import (
     fused_attention_sublayer,
+    fused_attention_sublayer_rollout,
     fused_attention_sublayer_rope,
     fused_attention_sublayer_rope_with_row,
     fused_attention_sublayer_train,
+    fused_attention_sublayer_train_rope,
     fused_attention_sublayer_with_row,
     fused_mlp_sublayer,
     fused_mlp_sublayer_train,
@@ -44,15 +46,13 @@ def fused_config_supported(model, train: bool = False) -> bool:
     """Model-config conditions shared by every fused-path gate (serving:
     train/predictor.py; training: train/trainer.should_use_fused_train).
     Fusion-rotary / non-transformer-fusion configs use flax modules the
-    fused kernels do not implement; 2D-rope (DINOv3) is fused for SERVING
-    only (the residual-sharing train kernels carry no rope plumbing)."""
+    fused kernels do not implement. Since round 3 the residual-sharing
+    train kernels carry rope (DINOv3) and runtime-eps plumbing, so the
+    train gate equals the serving gate."""
+    del train  # train/serve support parity since round 3
     return (
         type(model).__name__ == "DinoSliceClassifier"
         and getattr(model, "rotary", 1) is None
-        and not (train and getattr(model, "use_rope_2d", True))
-        # the residual-sharing train kernels hardcode LN eps=1e-6 (the
-        # DINOv2 value); serving kernels take eps from the config
-        and not (train and getattr(model, "norm_eps", 1e-6) != 1e-6)
         and getattr(model, "slice_fusion", "") == "transformer"
         and getattr(model, "fusion_layers", 0) >= 1
     )
@@ -106,7 +106,8 @@ class FastViTConfig:
 
 def fused_vit_cls(params, x, cfg: FastViTConfig,
                   dtype=jnp.bfloat16, train: bool = False,
-                  want_last_row: bool = False):
+                  want_last_row: bool = False,
+                  want_rollout: bool = False):
     """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E].
 
     train=True routes through the residual-sharing kernel variants whose
@@ -115,7 +116,12 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     block's per-head CLS softmax row [N, heads, S] f32 — what
     `ops/saliency.plane_attention` consumes — computed in-kernel so the
     explainability path never materialises [N, heads, S, S] probabilities;
-    returns (cls, row)."""
+    returns (cls, row).
+    want_rollout=True (serving) instead threads the attention-rollout
+    chain's CLS row through every block in-VMEM
+    (`fused_attention_sublayer_rollout`) and returns (cls, chain_row) —
+    the reference `get_attention_cls` chain without the 12 sowed
+    [N, heads, S, S] tensors."""
     N, H, W, C = x.shape
     p = cfg.patch_size
     gh, gw = H // p, W // p
@@ -148,10 +154,6 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
 
     rope_cos = rope_sin = None
     if cfg.use_rope_2d:
-        if train:
-            raise ValueError("fused train kernels carry no rope plumbing; "
-                             "rope configs train through the flax path "
-                             "(see fused_config_supported(train=True))")
         ang = rope_2d_angles(
             (gh, gw), E // cfg.num_heads,
             num_prefix=1 + cfg.num_register_tokens,
@@ -162,22 +164,65 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
         fused_attention_sublayer
     mlp_fn = fused_mlp_sublayer_train if train else fused_mlp_sublayer
     swiglu_fn = fused_swiglu_sublayer_train if train else fused_swiglu_sublayer
+    carry = None
+    if want_rollout:
+        if train:
+            raise ValueError("want_rollout is a serving-only path")
+        S_tot = h.shape[1]
+        carry = jnp.zeros((N, cfg.num_heads, S_tot), jnp.float32
+                          ).at[:, :, 0].set(1.0)  # e_0: chain starts empty
     for i in range(cfg.depth):
         blk = params[f"blocks_{i}"]
         ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
         ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
+        want_row_here = want_last_row and i == cfg.depth - 1
+        if want_row_here and train:
+            raise ValueError("want_last_row is a serving-only path")
+        if "q8" in blk["attn"]["qkv"]:
+            # int8-quantized block (`ops/fused_int8.quantize_encoder_int8`)
+            # — W8A8 token-wise matmuls on the MXU's doubled int8 rate;
+            # serving only, no rope, no CLS-row emission.
+            if train or rope_cos is not None or want_row_here or want_rollout:
+                raise ValueError(
+                    "int8-quantized params serve the plain forward only "
+                    "(train / rope / saliency ride the bf16 kernels)")
+            from mst_tpu.ops.fused_int8 import (
+                fused_attention_sublayer_i8,
+                fused_mlp_sublayer_i8,
+                fused_swiglu_sublayer_i8,
+            )
+
+            h = fused_attention_sublayer_i8(
+                h, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                blk["attn"]["qkv"], blk["attn"]["proj"], ls1,
+                cfg.num_heads, cfg.norm_eps)
+            if cfg.ffn_layer == "swiglu":
+                h = fused_swiglu_sublayer_i8(
+                    h, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["mlp"]["w12"], blk["mlp"]["w3"], ls2, cfg.norm_eps)
+            else:
+                h = fused_mlp_sublayer_i8(
+                    h, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    blk["mlp"]["fc1"], blk["mlp"]["fc2"], ls2,
+                    cfg.gelu_approximate, cfg.norm_eps)
+            continue
         attn_args = (
             h, blk["norm1"]["scale"], blk["norm1"]["bias"],
             blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
             blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"],
             ls1,
         )
-        want_row_here = want_last_row and i == cfg.depth - 1
-        if want_row_here and train:
-            raise ValueError("want_last_row is a serving-only path")
-        if rope_cos is not None:
+        if want_rollout:
+            h, carry = fused_attention_sublayer_rollout(
+                *attn_args, carry, cfg.num_heads, cfg.norm_eps,
+                rope_cos=rope_cos, rope_sin=rope_sin)
+        elif rope_cos is not None:
             if want_row_here:
                 h, last_row = fused_attention_sublayer_rope_with_row(
+                    *attn_args, rope_cos, rope_sin, cfg.num_heads,
+                    cfg.norm_eps)
+            elif train:
+                h = fused_attention_sublayer_train_rope(
                     *attn_args, rope_cos, rope_sin, cfg.num_heads,
                     cfg.norm_eps)
             else:
@@ -188,10 +233,7 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             h, last_row = fused_attention_sublayer_with_row(
                 *attn_args, cfg.num_heads, cfg.norm_eps)
         else:
-            # the train variant hardcodes eps=1e-6 (gated by
-            # should_use_fused_train on norm_eps == 1e-6)
-            h = attn_fn(*attn_args, cfg.num_heads) if train else \
-                attn_fn(*attn_args, cfg.num_heads, cfg.norm_eps)
+            h = attn_fn(*attn_args, cfg.num_heads, cfg.norm_eps)
         if cfg.ffn_layer == "swiglu":
             swiglu_args = (
                 h, blk["norm2"]["scale"], blk["norm2"]["bias"],
@@ -199,8 +241,7 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
                 blk["mlp"]["w3"]["kernel"], blk["mlp"]["w3"]["bias"],
                 ls2,
             )
-            h = swiglu_fn(*swiglu_args) if train else \
-                swiglu_fn(*swiglu_args, cfg.norm_eps)
+            h = swiglu_fn(*swiglu_args, cfg.norm_eps)
         else:
             mlp_args = (
                 h, blk["norm2"]["scale"], blk["norm2"]["bias"],
@@ -208,8 +249,7 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
                 blk["mlp"]["fc2"]["kernel"], blk["mlp"]["fc2"]["bias"],
                 ls2, cfg.gelu_approximate,
             )
-            h = mlp_fn(*mlp_args) if train else \
-                mlp_fn(*mlp_args, cfg.norm_eps)
+            h = mlp_fn(*mlp_args, cfg.norm_eps)
 
     n = params["norm"]
     hf = h.astype(jnp.float32)
@@ -217,6 +257,8 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     var = ((hf - mean) ** 2).mean(-1, keepdims=True)
     hf = (hf - mean) * jax.lax.rsqrt(var + cfg.norm_eps) * n["scale"] + n["bias"]
     cls = hf[:, 0].astype(dtype)
+    if want_rollout:
+        return cls, carry
     if want_last_row:
         return cls, last_row
     return cls
@@ -230,7 +272,9 @@ def fused_mst_logits(params, source, model, src_key_padding_mask=None,
     kernels — the slice fusion / head are tiny and stay in XLA.
     train=True selects the residual-sharing kernels (differentiable without
     forward recompute); valid when all dropout rates are 0 (the reference's
-    defaults) since the fused path has no rng plumbing.
+    defaults) since the fused path has no rng plumbing. Frozen models
+    (`model.freeze`) run the encoder through the serving kernels under
+    stop_gradient instead.
     """
     logits, _, _ = _fused_mst(params, source, model, src_key_padding_mask,
                               dtype, train=train)
@@ -238,12 +282,16 @@ def fused_mst_logits(params, source, model, src_key_padding_mask=None,
 
 
 def fused_mst_saliency(params, source, model, src_key_padding_mask=None,
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16, plane_mode: str = "last"):
     """(probs, saliency [B, D, H, W]) on the fused serving path — the
     explainability contract of `train/predictor._forward_with_saliency`
-    (reference `dino.py:169-202` + `main_predict.py:55-106`, plane mode
-    "last") without ever materialising full attention matrices: the last
-    encoder block's kernel emits the per-head CLS row in-VMEM, and the
+    (reference `dino.py:169-202` + `main_predict.py:55-106`) without ever
+    materialising full attention matrices. plane_mode "last": the last
+    encoder block's kernel emits the per-head CLS row in-VMEM;
+    plane_mode "rollout": the reference `get_attention_cls` chain's CLS
+    row is threaded through every block's kernel
+    (`fused_attention_sublayer_rollout`) — either way
+    `plane_attention_from_row` consumes one [N, heads, S] row and the
     tiny fusion layer's probs come from its XLA softmax."""
     from mst_tpu.ops.saliency import (
         combined_saliency,
@@ -256,7 +304,7 @@ def fused_mst_saliency(params, source, model, src_key_padding_mask=None,
     p = model.patch_size
     logits, last_row, fusion_probs = _fused_mst(
         params, source, model, src_key_padding_mask, dtype,
-        want_saliency=True)
+        want_saliency=True, plane_mode=plane_mode)
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
     if fusion_probs is None:  # single possible only with fusion_layers >= 1
         sw = jnp.full((B, D), 1.0 / D, jnp.float32)
@@ -270,20 +318,35 @@ def fused_mst_saliency(params, source, model, src_key_padding_mask=None,
 
 def _fused_mst(params, source, model, src_key_padding_mask=None,
                dtype=jnp.bfloat16, train: bool = False,
-               want_saliency: bool = False):
+               want_saliency: bool = False, plane_mode: str = "last"):
     """Shared fused MST forward -> (logits, last_row | None,
-    fusion_probs | None)."""
+    fusion_probs | None). With plane_mode="rollout" the returned row is
+    the rollout chain's CLS row instead of the last block's."""
     cfg = FastViTConfig.from_model(model)
     B, C, D, H, W = source.shape
     x = jnp.transpose(source, (0, 2, 3, 4, 1)).reshape(B * D, H, W, C)
     if C == 1:
         x = jnp.repeat(x, 3, axis=-1)
     last_row = fusion_probs = None
-    if want_saliency:
+    frozen = getattr(model, "freeze", False)
+    if want_saliency and plane_mode == "rollout":
+        feats, last_row = fused_vit_cls(params["encoder"], x, cfg, dtype,
+                                        want_rollout=True)
+    elif want_saliency:
         feats, last_row = fused_vit_cls(params["encoder"], x, cfg, dtype,
                                         want_last_row=True)
+    elif train and frozen:
+        # Frozen-encoder training (the reference's giant2 workflow,
+        # `dino.py:69-71`): the encoder forward rides the SERVING kernels
+        # (no residual outputs to write — they would only feed a backward
+        # XLA dead-code-eliminates anyway), stop_gradient keeps the
+        # backward to fusion + head. VERDICT r2 #2.
+        feats = jax.lax.stop_gradient(
+            fused_vit_cls(params["encoder"], x, cfg, dtype, train=False))
     else:
         feats = fused_vit_cls(params["encoder"], x, cfg, dtype, train=train)
+        if frozen:
+            feats = jax.lax.stop_gradient(feats)
     E = feats.shape[-1]
     if "bottleneck" in params:
         bp = params["bottleneck"]

@@ -162,13 +162,26 @@ def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000) -> int:
     return 1
 
 
-def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None):
+def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
+          carry_row=None):
     """Per-head softmax attention over a packed [K*S, 3E] qkv block of K
     independent slice images (`S` tokens each; S=None means one slice).
     `want_row=True` additionally returns the CLS (query 0) softmax row per
     head, [K, heads, S] f32 — the only attention the saliency maps consume
     (`ops/saliency.plane_attention`), so the fused serving path never
     materialises the [S, S] probability matrices.
+
+    `carry_row` ([K, heads, S] f32) threads the attention-rollout chain
+    IN-VMEM: the reference's `get_attention_cls` product
+    A_0 @ A_1 @ ... @ A_{L-1} is only ever read at its CLS row
+    (`ops/saliency.attention_cls_rollout` -> `plane_attention`), and
+    row(P) = ((e_0^T A_0) A_1) ... evaluates left-to-right in FORWARD
+    layer order — so each layer updates r_new = r @ A_i while A_i is
+    resident, and the [S, S] matrices never reach HBM (the flax rollout
+    sows 12 x [N, heads, S, S] f32). The update runs as a
+    broadcast-multiply + column-reduce, not an M=1 matmul (an M=1 MXU op
+    is a measured worst case — tools/bench_attn_split_cls.py). Returns
+    (out[, rows], new_carry).
 
     Softmax economics (measured, v5e — the attention sublayer ran at 66
     TFLOP/s vs the MLP's 140 with the naive form): log2(e) folds into the
@@ -186,10 +199,10 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None):
     T = qkv.shape[0]
     S = T if S is None else S
     K = T // S
-    outs, rows = [], []
+    outs, rows, carries = [], [], []
     for sl in range(K):
         lo = sl * S
-        souts, srows = [], []
+        souts, srows, scarries = [], [], []
         for i in range(num_heads):
             q = qkv[lo:lo + S, i * hd:(i + 1) * hd]
             k = qkv[lo:lo + S, E + i * hd: E + (i + 1) * hd]
@@ -218,32 +231,49 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None):
             souts.append(o.astype(cd))
             if want_row:
                 srows.append(p[:1] / l[:1])  # CLS softmax row [1, S], f32
+            if carry_row is not None:
+                # r_new[j] = sum_i r[i] * softmax(p)[i, j]: fold the row
+                # normaliser into r, then multiply-reduce over rows.
+                r = carry_row[sl, i] * (1.0 / l[:, 0])  # [S]
+                scarries.append(jnp.sum(r[:, None] * p, axis=0))  # [S]
         outs.append(jnp.concatenate(souts, axis=-1))  # [S, E]
         if want_row:
             rows.append(jnp.concatenate(srows, axis=0))  # [heads, S]
+        if carry_row is not None:
+            carries.append(jnp.stack(scarries, axis=0))  # [heads, S]
     out = jnp.concatenate(outs, axis=0)  # [K*S, E]
+    ret = (out,)
     if want_row:
-        return out, jnp.stack(rows, axis=0)  # [K, heads, S]
-    return out
+        ret += (jnp.stack(rows, axis=0),)  # [K, heads, S]
+    if carry_row is not None:
+        ret += (jnp.stack(carries, axis=0),)  # [K, heads, S]
+    return ret if len(ret) > 1 else out
 
 
 def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
-                     has_rope: bool, want_row: bool):
-    """The serving attention sub-layer kernel, one body for all four
-    variants (plain / RoPE / CLS-row / RoPE+CLS-row — static flags pick
+                     has_rope: bool, want_row: bool, carry: bool = False):
+    """The serving attention sub-layer kernel, one body for all its
+    variants (plain / RoPE / CLS-row / rollout-carry — static flags pick
     the ref layout and outputs): y = x + ls * proj(MHSA([RoPE](LN(x)))),
     optionally emitting the per-head CLS softmax row [heads, S] (f32) for
-    the explainability path. RoPE angles from `ops.rotary.rope_2d_angles`;
-    the pair swap runs as a matmul with the constant block-diagonal `pmat`
-    (see `_mhsa`)."""
+    the explainability path and/or updating the in-VMEM rollout carry row
+    (see `_mhsa`). RoPE angles from `ops.rotary.rope_2d_angles`; the pair
+    swap runs as a matmul with the constant block-diagonal `pmat`."""
+    idx = 1
+    x_ref = refs[0]
+    carry_ref = None
+    if carry:
+        carry_ref = refs[1]
+        idx = 2
+    (lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     ls_ref) = refs[idx:idx + 7]
+    idx += 7
+    rope = None
     if has_rope:
-        (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-         ls_ref, cos_ref, sin_ref, pmat_ref, *out_refs) = refs
+        cos_ref, sin_ref, pmat_ref = refs[idx:idx + 3]
+        idx += 3
         rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
-    else:
-        (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-         ls_ref, *out_refs) = refs
-        rope = None
+    out_refs = refs[idx:]
     K, S, E = x_ref.shape  # K slice images per program (_pick_block)
     x = x_ref[:].reshape(K * S, E)
     hd = E // num_heads
@@ -258,8 +288,16 @@ def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)  # [K*S, 3E]
     out = _mhsa(qkv, E, hd, num_heads, x.dtype, rope=rope, want_row=want_row,
-                S=S)
-    o, rows = out if want_row else (out, None)
+                S=S, carry_row=carry_ref[:] if carry else None)
+    new_carry = rows = None
+    if carry and want_row:
+        o, rows, new_carry = out
+    elif carry:
+        o, new_carry = out
+    elif want_row:
+        o, rows = out
+    else:
+        o = out
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -267,8 +305,12 @@ def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
     if has_ls:
         y = y * ls_ref[0]
     out_refs[0][:] = (xf + y).astype(out_refs[0].dtype).reshape(K, S, E)
+    oi = 1
     if want_row:
-        out_refs[1][:] = rows  # [K, heads, S]
+        out_refs[oi][:] = rows  # [K, heads, S]
+        oi += 1
+    if carry:
+        out_refs[oi][:] = new_carry  # [K, heads, S]
 
 
 _attn_rope_kernel = functools.partial(_attn_any_kernel, has_rope=True,
@@ -299,20 +341,28 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[:] = (xf + y).astype(o_ref.dtype).reshape(K, S, E)
 
 
-def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                       wproj_ref, bproj_ref, ls_ref, y_ref, qkv_ref,
-                       o_ref, *, num_heads: int, has_ls: bool):
+def _attn_train_kernel(*refs, num_heads: int, has_ls: bool,
+                       eps: float = 1e-6, has_rope: bool = False):
     """Forward + residual outputs for the attention sublayer backward:
-    qkv [S,3E] and the pre-proj concat o [S,E]. Attention probs are NOT
-    saved — the backward kernel recomputes the softmax in VMEM from qkv
-    (flash-style), avoiding an [H,S,S] HBM round trip per layer."""
+    qkv [S,3E] (PRE-rope) and the pre-proj concat o [S,E]. Attention probs
+    are NOT saved — the backward kernel recomputes the softmax in VMEM
+    from qkv (flash-style), avoiding an [H,S,S] HBM round trip per layer.
+    `has_rope` adds cos/sin/pmat operands (the DINOv3 train sub-layer)."""
+    if has_rope:
+        (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         ls_ref, cos_ref, sin_ref, pmat_ref, y_ref, qkv_ref, o_ref) = refs
+        rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
+    else:
+        (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         ls_ref, y_ref, qkv_ref, o_ref) = refs
+        rope = None
     K, S, E = x_ref.shape
     x = x_ref[:].reshape(K * S, E)
     hd = E // num_heads
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
          * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
     qkv = jax.lax.dot_general(
         h, wqkv_ref[:], (((1,), (0,)), ((), ())),
@@ -320,7 +370,7 @@ def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)
     qkv_ref[:] = qkv.reshape(K, S, 3 * E)
-    o = _mhsa(qkv, E, hd, num_heads, x.dtype, S=S)
+    o = _mhsa(qkv, E, hd, num_heads, x.dtype, S=S, rope=rope)
     o_ref[:] = o.reshape(K, S, E)
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
@@ -333,7 +383,7 @@ def _attn_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
 def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                       b2_ref, ls_ref, y_ref, a_ref, *, approximate: bool,
-                      has_ls: bool):
+                      has_ls: bool, eps: float = 1e-6):
     """Forward + residual output for the MLP backward: pre-activation
     hidden a [S, F]."""
     K, S, E = x_ref.shape
@@ -341,7 +391,7 @@ def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
          * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
     a = jax.lax.dot_general(
         h, w1_ref[:], (((1,), (0,)), ((), ())),
@@ -360,7 +410,8 @@ def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
 
 def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
-                         b3_ref, ls_ref, y_ref, h12_ref, *, has_ls: bool):
+                         b3_ref, ls_ref, y_ref, h12_ref, *, has_ls: bool,
+                         eps: float = 1e-6):
     """Forward + residual output for the SwiGLU backward: pre-gate hidden
     h12 [S, 2F]."""
     K, S, E = x_ref.shape
@@ -368,7 +419,7 @@ def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps)
          * lns_ref[0] + lnb_ref[0]).astype(x.dtype)
     h12 = jax.lax.dot_general(
         h, w12_ref[:], (((1,), (0,)), ((), ())),
@@ -452,18 +503,26 @@ def _call_fused(kernel, x, operands, block_n: int = 1, **kw):
 
 
 def _call_fused_multi(kernel, x, operands, out_shapes, out_dtypes=None,
-                      block_n: int = 1, **kw):
+                      block_n: int = 1, grid_inputs=(), **kw):
     """Like `_call_fused` but with multiple grid-mapped outputs.
 
     out_shapes: list of per-slice shapes (without the leading grid dim);
     output i has global shape (N, *out_shapes[i]) and block
     (block_n, *shape). out_dtypes: optional per-output dtypes (default:
-    x.dtype)."""
+    x.dtype). `grid_inputs`: additional [N, *]-leading arrays blocked like
+    x (e.g. the rollout carry row), placed directly after x in the kernel
+    ref order."""
     N = x.shape[0]
     in_specs = [pl.BlockSpec((block_n, *x.shape[1:]),
                              lambda n: (n,) + (0,) * (x.ndim - 1),
                              memory_space=pltpu.VMEM)]
     args = [x]
+    for t in grid_inputs:
+        in_specs.append(pl.BlockSpec(
+            (block_n, *t.shape[1:]),
+            lambda n, _nd=t.ndim - 1: (n,) + (0,) * _nd,
+            memory_space=pltpu.VMEM))
+        args.append(t)
     for item in operands:
         in_specs.append(pl.BlockSpec(item.shape, lambda n: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -489,13 +548,13 @@ def _call_fused_multi(kernel, x, operands, out_shapes, out_dtypes=None,
     )(*args)
 
 
-def _ln_recompute(x, ln_s):
+def _ln_recompute(x, ln_s, eps=1e-6):
     """Recompute LN statistics from x (backward; cheaper than saving
     lane-padded per-row stats from the kernel)."""
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-6)
+    rstd = jax.lax.rsqrt(var + eps)
     xhat = (xf - mean) * rstd
     return xhat, rstd
 
@@ -527,11 +586,20 @@ def _heads(t, num_heads):
 # ---------------------------------------------------------------------------
 
 
-def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
-                     wqkv_ref, wproj_ref, bproj_ref, ls_ref,
-                     dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-                     dlns_ref, dlnb_ref, dls_ref,
-                     *, num_heads: int, has_ls: bool):
+def _attn_bwd_kernel(*refs, num_heads: int, has_ls: bool,
+                     eps: float = 1e-6, has_rope: bool = False):
+    if has_rope:
+        (g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
+         wqkv_ref, wproj_ref, bproj_ref, ls_ref, cos_ref, sin_ref, pmat_ref,
+         dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+         dlns_ref, dlnb_ref, dls_ref) = refs
+        rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
+    else:
+        (g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
+         wqkv_ref, wproj_ref, bproj_ref, ls_ref,
+         dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+         dlns_ref, dlnb_ref, dls_ref) = refs
+        rope = None
     n = pl.program_id(0)
 
     @pl.when(n == 0)
@@ -581,6 +649,19 @@ def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
             k = qkv[lo:lo + S, E + i * hd: E + (i + 1) * hd]
             v = qkv[lo:lo + S, 2 * E + i * hd: 2 * E + (i + 1) * hd]
             do_h = do[lo:lo + S, i * hd:(i + 1) * hd]
+            if rope is not None:
+                # rope is linear: q_r = q*cos + (q@P)*sin (P the pair-swap
+                # matrix, P^T = -P). Recompute rotated q/k for the softmax,
+                # rotate dq_r/dk_r back below.
+                cos, sin, pmat = rope
+                qr = jax.lax.dot_general(
+                    q, pmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                q = (q.astype(jnp.float32) * cos + qr * sin).astype(cd)
+                kr = jax.lax.dot_general(
+                    k, pmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                k = (k.astype(jnp.float32) * cos + kr * sin).astype(cd)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32
@@ -600,12 +681,23 @@ def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
                 preferred_element_type=jnp.float32)
             ds = ((dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
                   * scale).astype(cd)
-            dqs.append(jax.lax.dot_general(
+            dq_h = jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cd))
-            dks.append(jax.lax.dot_general(
+                preferred_element_type=jnp.float32)
+            dk_h = jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cd))
+                preferred_element_type=jnp.float32)
+            if rope is not None:
+                # d/dq of q_r = q*cos + (q@P)*sin: dq = dq_r*cos +
+                # (dq_r*sin)@P^T = dq_r*cos - (dq_r*sin)@P
+                dq_h = dq_h * cos - jax.lax.dot_general(
+                    (dq_h * sin).astype(cd), pmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk_h = dk_h * cos - jax.lax.dot_general(
+                    (dk_h * sin).astype(cd), pmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            dqs.append(dq_h.astype(cd))
+            dks.append(dk_h.astype(cd))
         slice_dqkv.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
     dqkv = jnp.concatenate(slice_dqkv, axis=0)  # [K*S, 3E]
     dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
@@ -613,7 +705,7 @@ def _attn_bwd_kernel(g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-6)
+    rstd = jax.lax.rsqrt(var + eps)
     xhat = (xf - mean) * rstd
     h = (xhat * lns_ref[0] + lnb_ref[0]).astype(cd)
     dwqkv_ref[:] += jax.lax.dot_general(
@@ -634,7 +726,7 @@ def _mlp_bwd_kernel(g_ref, x_ref, a_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
                     b2_ref, ls_ref,
                     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                     dlns_ref, dlnb_ref, dls_ref,
-                    *, approximate: bool, has_ls: bool):
+                    *, approximate: bool, has_ls: bool, eps: float = 1e-6):
     n = pl.program_id(0)
 
     @pl.when(n == 0)
@@ -679,7 +771,7 @@ def _mlp_bwd_kernel(g_ref, x_ref, a_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-6)
+    rstd = jax.lax.rsqrt(var + eps)
     xhat = (xf - mean) * rstd
     h = (xhat * lns_ref[0] + lnb_ref[0]).astype(cd)
     dw1_ref[:] += jax.lax.dot_general(
@@ -738,36 +830,44 @@ def _call_fused_bwd(kernel, g, grid_inputs, operands, accum_shapes,
 _PALLAS_BWD_MAX_E = 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_attention_sublayer_train(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
-                                   ls, num_heads):
+                                   ls, num_heads, eps=1e-6):
     """y = x + ls * proj(MHSA(LN(x))) — training variant whose backward
     consumes saved residuals instead of re-running the forward."""
     y, *_ = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
-                                 ls, num_heads)
+                                 ls, num_heads, eps)
     return y
 
 
 def _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
-                         num_heads):
+                         num_heads, eps=1e-6, rope=None):
     N, S, E = x.shape
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
+    operands = [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype),
+                _vec(bqkv), jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg]
+    if rope is not None:
+        cos, sin = rope
+        pmat = jnp.asarray(_pair_swap_matrix(E // num_heads), x.dtype)
+        operands += [jnp.asarray(cos, jnp.float32),
+                     jnp.asarray(sin, jnp.float32), pmat]
     y, qkv, o = _call_fused_multi(
         functools.partial(_attn_train_kernel, num_heads=num_heads,
-                          has_ls=has_ls),
+                          has_ls=has_ls, eps=eps,
+                          has_rope=rope is not None),
         x,
-        [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
-         jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
+        operands,
         out_shapes=[(S, E), (S, 3 * E), (S, E)],
-        block_n=_pick_block(N, S, E),
+        block_n=1,  # packing measured -6% on the train step (r3 A/B)
     )
     return y, qkv, o
 
 
-def _attn_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads):
+def _attn_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads,
+                    eps):
     y, qkv, o = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
-                                     bproj, ls, num_heads)
+                                     bproj, ls, num_heads, eps)
     return y, (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
 
 
@@ -776,15 +876,15 @@ def _cast_like(val, like):
         jnp.asarray(like).dtype).reshape(jnp.shape(like))
 
 
-def _attn_train_bwd(num_heads, res, g):
+def _attn_train_bwd(num_heads, eps, res, g):
     x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
     N, S, E = x.shape
     if E <= _PALLAS_BWD_MAX_E:
-        return _attn_train_bwd_pallas(num_heads, res, g)
-    return _attn_train_bwd_xla(num_heads, res, g)
+        return _attn_train_bwd_pallas(num_heads, res, g, eps=eps)
+    return _attn_train_bwd_xla(num_heads, res, g, eps=eps)
 
 
-def _attn_train_bwd_pallas(num_heads, res, g):
+def _attn_train_bwd_pallas(num_heads, res, g, eps=1e-6, rope=None):
     """Fused backward: softmax recomputed in VMEM from the saved qkv,
     weight grads accumulated in VMEM f32 across the grid — no [H,S,S]
     HBM round trips (those made the first XLA backward SLOWER than the
@@ -793,18 +893,26 @@ def _attn_train_bwd_pallas(num_heads, res, g):
     N, S, E = x.shape
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
+    operands = [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype),
+                jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg]
+    if rope is not None:
+        cos, sin = rope
+        pmat = jnp.asarray(_pair_swap_matrix(E // num_heads), x.dtype)
+        operands += [jnp.asarray(cos, jnp.float32),
+                     jnp.asarray(sin, jnp.float32), pmat]
     dx, dwqkv, dbqkv, dwproj, dbproj, dlns, dlnb, dls = _call_fused_bwd(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads,
-                          has_ls=has_ls),
+                          has_ls=has_ls, eps=eps,
+                          has_rope=rope is not None),
         g.astype(x.dtype),
         grid_inputs=[x, qkv, o],
-        operands=[_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype),
-                  jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
+        operands=operands,
         accum_shapes=[(E, 3 * E), (1, 3 * E), (E, E), (1, E),
                       (1, E), (1, E), (1, E)],
-        # backward holds more live intermediates per program (dqkv, do,
-        # grad accumulators) — cap the packed block smaller than forward
-        block_n=_pick_block(N, S, E, max_elems=600_000),
+        # packing the backward measured -6% on the end-to-end train step
+        # (round-3 A/B at bs8) — the accumulators + live intermediates
+        # evict the pipeline's double buffers; keep one slice per program
+        block_n=1,
     )
     return (dx, _cast_like(dlns, ln_s), _cast_like(dlnb, ln_b),
             _cast_like(dwqkv, wqkv), _cast_like(dbqkv, bqkv),
@@ -812,7 +920,7 @@ def _attn_train_bwd_pallas(num_heads, res, g):
             _cast_like(dls, ls) if has_ls else None)
 
 
-def _attn_train_bwd_xla(num_heads, res, g):
+def _attn_train_bwd_xla(num_heads, res, g, eps=1e-6):
     """XLA fallback backward for embed widths whose weight-grad
     accumulators exceed VMEM (giant-scale)."""
     x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
@@ -854,7 +962,7 @@ def _attn_train_bwd_xla(num_heads, res, g):
         return jnp.moveaxis(t.astype(cd), 1, 2).reshape(N, S, E)
 
     dqkv = jnp.concatenate([unheads(dq), unheads(dk), unheads(dv)], axis=-1)
-    xhat, rstd = _ln_recompute(x, ln_s)
+    xhat, rstd = _ln_recompute(x, ln_s, eps)
     h = (xhat * ln_s.astype(f32) + ln_b.astype(f32)).astype(cd)
     dwqkv = jnp.einsum("nse,nsf->ef", h, dqkv, preferred_element_type=f32)
     dbqkv = dqkv.astype(f32).sum((0, 1))
@@ -871,42 +979,96 @@ def _attn_train_bwd_xla(num_heads, res, g):
 fused_attention_sublayer_train.defvjp(_attn_train_fwd, _attn_train_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def fused_mlp_sublayer_train(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
-    y, _ = _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_attention_sublayer_train_rope(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                        bproj, ls, rope_cos, rope_sin,
+                                        num_heads, eps=1e-6):
+    """RoPE training variant (the DINOv3 encoder sub-layer,
+    `dino.py:279-795`): same residual-sharing scheme as
+    `fused_attention_sublayer_train`, with the rotation recomputed from the
+    saved PRE-rope qkv in the backward and dq/dk rotated back through
+    P^T = -P (rope is linear). rope_cos/rope_sin grads are not produced
+    (they are precomputed constants of the patch grid)."""
+    y, *_ = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                 ls, num_heads, eps,
+                                 rope=(rope_cos, rope_sin))
     return y
 
 
-def _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
+def _attn_rope_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+                         rope_cos, rope_sin, num_heads, eps):
+    y, qkv, o = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                     bproj, ls, num_heads, eps,
+                                     rope=(rope_cos, rope_sin))
+    return y, (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+               rope_cos, rope_sin)
+
+
+def _attn_rope_train_bwd(num_heads, eps, res, g):
+    (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+     rope_cos, rope_sin) = res
+    N, S, E = x.shape
+    core = (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
+    if E <= _PALLAS_BWD_MAX_E:
+        grads = _attn_train_bwd_pallas(num_heads, core, g, eps=eps,
+                                       rope=(rope_cos, rope_sin))
+    else:
+        # giant-scale rope config: recompute-based XLA fallback (the
+        # accumulators outgrow VMEM; this path re-runs the forward inside
+        # vjp, acceptable at giant batch economics)
+        _, vjp = jax.vjp(
+            lambda *a: _attn_rope_ref(*a, num_heads=num_heads, eps=eps),
+            x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+            rope_cos, rope_sin)
+        return vjp(g)[:8] + (jnp.zeros_like(rope_cos),
+                             jnp.zeros_like(rope_sin))
+    return grads + (jnp.zeros_like(rope_cos), jnp.zeros_like(rope_sin))
+
+
+fused_attention_sublayer_train_rope.defvjp(_attn_rope_train_fwd,
+                                           _attn_rope_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_mlp_sublayer_train(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate,
+                             eps=1e-6):
+    y, _ = _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls,
+                               approximate, eps)
+    return y
+
+
+def _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate,
+                        eps=1e-6):
     N, S, E = x.shape
     F = w1.shape[-1]
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
     y, a = _call_fused_multi(
         functools.partial(_mlp_train_kernel, approximate=approximate,
-                          has_ls=has_ls),
+                          has_ls=has_ls, eps=eps),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype), _vec(b1),
          jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
         out_shapes=[(S, E), (S, F)],
-        block_n=_pick_block(N, S, E),
+        block_n=1,  # packing measured -6% on the train step (r3 A/B)
     )
     return y, a
 
 
-def _mlp_train_fwd(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate):
-    y, a = _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate)
+def _mlp_train_fwd(x, ln_s, ln_b, w1, b1, w2, b2, ls, approximate, eps):
+    y, a = _mlp_train_fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, ls,
+                               approximate, eps)
     return y, (x, a, ln_s, ln_b, w1, b1, w2, b2, ls)
 
 
-def _mlp_train_bwd(approximate, res, g):
+def _mlp_train_bwd(approximate, eps, res, g):
     x, a, ln_s, ln_b, w1, b1, w2, b2, ls = res
     if x.shape[-1] <= _PALLAS_BWD_MAX_E:
-        return _mlp_train_bwd_pallas(approximate, res, g)
-    return _mlp_train_bwd_xla(approximate, res, g)
+        return _mlp_train_bwd_pallas(approximate, res, g, eps=eps)
+    return _mlp_train_bwd_xla(approximate, res, g, eps=eps)
 
 
-def _mlp_train_bwd_pallas(approximate, res, g):
+def _mlp_train_bwd_pallas(approximate, res, g, eps=1e-6):
     x, a, ln_s, ln_b, w1, b1, w2, b2, ls = res
     N, S, E = x.shape
     F = w1.shape[-1]
@@ -914,13 +1076,13 @@ def _mlp_train_bwd_pallas(approximate, res, g):
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
     dx, dw1, db1, dw2, db2, dlns, dlnb, dls = _call_fused_bwd(
         functools.partial(_mlp_bwd_kernel, approximate=approximate,
-                          has_ls=has_ls),
+                          has_ls=has_ls, eps=eps),
         g.astype(x.dtype),
         grid_inputs=[x, a],
         operands=[_vec(ln_s), _vec(ln_b), jnp.asarray(w1, x.dtype),
                   jnp.asarray(w2, x.dtype), _vec(b2), ls_arg],
         accum_shapes=[(E, F), (1, F), (F, E), (1, E), (1, E), (1, E), (1, E)],
-        block_n=_pick_block(N, S, E, max_elems=600_000),
+        block_n=1,  # packing measured -6% on the train step (r3 A/B)
     )
     return (dx, _cast_like(dlns, ln_s), _cast_like(dlnb, ln_b),
             _cast_like(dw1, w1), _cast_like(db1, b1),
@@ -928,7 +1090,7 @@ def _mlp_train_bwd_pallas(approximate, res, g):
             _cast_like(dls, ls) if has_ls else None)
 
 
-def _mlp_train_bwd_xla(approximate, res, g):
+def _mlp_train_bwd_xla(approximate, res, g, eps=1e-6):
     x, a, ln_s, ln_b, w1, b1, w2, b2, ls = res
     cd = x.dtype
     g = g.astype(cd)
@@ -950,7 +1112,7 @@ def _mlp_train_bwd_xla(approximate, res, g):
     # exact gelu' via jvp on the scalar activation (handles both variants)
     _, dgelu = jax.jvp(gelu, (a.astype(f32),), (jnp.ones_like(a, f32),))
     da = (du.astype(f32) * dgelu).astype(cd)
-    xhat, rstd = _ln_recompute(x, ln_s)
+    xhat, rstd = _ln_recompute(x, ln_s, eps)
     h = (xhat * ln_s.astype(f32) + ln_b.astype(f32)).astype(cd)
     dw1 = jnp.einsum("nse,nsf->ef", h, da, preferred_element_type=f32)
     db1 = da.astype(f32).sum((0, 1))
@@ -966,34 +1128,35 @@ def _mlp_train_bwd_xla(approximate, res, g):
 fused_mlp_sublayer_train.defvjp(_mlp_train_fwd, _mlp_train_bwd)
 
 
-@jax.custom_vjp
-def fused_swiglu_sublayer_train(x, ln_s, ln_b, w12, b12, w3, b3, ls):
-    y, _ = _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_swiglu_sublayer_train(x, ln_s, ln_b, w12, b12, w3, b3, ls,
+                                eps=1e-6):
+    y, _ = _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps)
     return y
 
 
-def _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls):
+def _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
     N, S, E = x.shape
     F2 = w12.shape[-1]
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
     y, h12 = _call_fused_multi(
-        functools.partial(_swiglu_train_kernel, has_ls=has_ls),
+        functools.partial(_swiglu_train_kernel, has_ls=has_ls, eps=eps),
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(w12, x.dtype), _vec(b12),
          jnp.asarray(w3, x.dtype), _vec(b3), ls_arg],
         out_shapes=[(S, E), (S, F2)],
-        block_n=_pick_block(N, S, E),
+        block_n=1,  # packing measured -6% on the train step (r3 A/B)
     )
     return y, h12
 
 
-def _swiglu_train_fwd(x, ln_s, ln_b, w12, b12, w3, b3, ls):
-    y, h12 = _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls)
+def _swiglu_train_fwd(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps):
+    y, h12 = _swiglu_train_fwd_impl(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps)
     return y, (x, h12, ln_s, ln_b, w12, b12, w3, b3, ls)
 
 
-def _swiglu_train_bwd(res, g):
+def _swiglu_train_bwd(eps, res, g):
     x, h12, ln_s, ln_b, w12, b12, w3, b3, ls = res
     cd = x.dtype
     g = g.astype(cd)
@@ -1018,7 +1181,7 @@ def _swiglu_train_bwd(res, g):
     dh1 = du * h2 * (sig + silu * (1.0 - sig))  # d silu(h1)/dh1 = sig+h1*sig*(1-sig)
     dh2 = du * silu
     dh12 = jnp.concatenate([dh1, dh2], axis=-1).astype(cd)
-    xhat, rstd = _ln_recompute(x, ln_s)
+    xhat, rstd = _ln_recompute(x, ln_s, eps)
     h = (xhat * ln_s.astype(f32) + ln_b.astype(f32)).astype(cd)
     dw12 = jnp.einsum("nse,nsf->ef", h, dh12, preferred_element_type=f32)
     db12 = dh12.astype(f32).sum((0, 1))
@@ -1209,6 +1372,53 @@ def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
         out_shapes=[(S, E), (num_heads, S)],
         out_dtypes=[x.dtype, jnp.float32],
         block_n=_pick_block(N, S, E),
+    )
+
+
+def fused_attention_sublayer_rollout(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                     bproj, ls, carry, num_heads, eps=1e-6,
+                                     rope_cos=None, rope_sin=None,
+                                     want_row=False):
+    """(y, [cls_row,] new_carry): the fused attention sub-layer that ALSO
+    advances the attention-rollout chain in-VMEM (serving only, no VJP).
+
+    `carry` [N, heads, S] f32 is the running CLS row of the chain
+    A_0 @ ... @ A_{i-1} (initialise with one-hot at token 0 before block
+    0); the kernel updates it to include this block's softmax without the
+    [S, S] matrices ever reaching HBM — the flax `--use_rollout` path sows
+    12 x [N, heads, S, S] f32 (~1.2 GB for one 32-slice LIDC volume).
+    `ops/saliency.plane_attention_from_row(final_carry, ...)` consumes the
+    result exactly like the reference chain's CLS row
+    (`dino.py:204-212` + `main_predict.py:73-100`). Optional rope
+    (DINOv3) and `want_row` (emits this block's own CLS row as well, for
+    plane_mode='last' reuse) compose."""
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    N, S, E = x.shape
+    has_rope = rope_cos is not None
+    operands = [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype),
+                _vec(bqkv), jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg]
+    if has_rope:
+        pmat = jnp.asarray(_pair_swap_matrix(E // num_heads), x.dtype)
+        operands += [jnp.asarray(rope_cos, jnp.float32),
+                     jnp.asarray(rope_sin, jnp.float32), pmat]
+    out_shapes = [(S, E)]
+    out_dtypes = [x.dtype]
+    if want_row:
+        out_shapes.append((num_heads, S))
+        out_dtypes.append(jnp.float32)
+    out_shapes.append((num_heads, S))
+    out_dtypes.append(jnp.float32)
+    return _call_fused_multi(
+        functools.partial(_attn_any_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps, has_rope=has_rope,
+                          want_row=want_row, carry=True),
+        x,
+        operands,
+        out_shapes=out_shapes,
+        out_dtypes=out_dtypes,
+        block_n=_pick_block(N, S, E),
+        grid_inputs=[jnp.asarray(carry, jnp.float32)],
     )
 
 

@@ -73,20 +73,22 @@ def _forward_with_saliency(model, variables, source, mask,
     )
 
     if (not force_flax
-            and plane_mode == "last"
+            and plane_mode in ("last", "rollout")
             and fused_config_supported(model)
             and fused_seq_len_ok(model, H, W)
             and "batch_stats" not in variables
             and jax.default_backend() == "tpu"):
-        # Fused explainability serving: the last encoder block's kernel
-        # emits the CLS attention row in-VMEM instead of sowing full
-        # [B*D, heads, T, T] probabilities (~100 MB HBM round trip for a
-        # 4-volume LIDC batch on the flax path).
+        # Fused explainability serving: "last" — the last encoder block's
+        # kernel emits the CLS attention row in-VMEM; "rollout" — the
+        # reference chain's CLS row is threaded through every block's
+        # kernel. Either way no [B*D, heads, T, T] probabilities are sown
+        # (the flax rollout path materialises 12 of them: ~1.2 GB f32 for
+        # one 32-slice LIDC volume).
         from mst_tpu.models.vit_fast import fused_mst_saliency
 
         return fused_mst_saliency(variables["params"], source, model,
                                   src_key_padding_mask=mask,
-                                  dtype=model.dtype)
+                                  dtype=model.dtype, plane_mode=plane_mode)
     logits, aux = model.apply(
         variables, source, mask,
         deterministic=True,

@@ -106,16 +106,16 @@ def should_use_fused_train(model, has_batch_stats: bool,
     """Whether make_train_step routes through the fused residual-sharing
     kernels (the standard DinoSliceClassifier config on TPU; the model has
     no dropout knobs so the deterministic program IS the training program).
-    Rotary / 2D-rope / frozen / non-transformer-fusion configs and CPU
-    (interpreted Pallas) keep the flax path."""
+    Fusion-rotary / non-transformer-fusion configs and CPU (interpreted
+    Pallas) keep the flax path. Since round 3 this includes 2D-rope
+    (DINOv3) and frozen-encoder configs: frozen models run the encoder
+    through the SERVING kernels under stop_gradient (vit_fast._fused_mst),
+    so the backward only traverses fusion + head."""
     from mst_tpu.models.vit_fast import fused_config_supported
 
     return (
         fused_config_supported(model, train=True)
         and not has_batch_stats
-        # freeze stop-gradients the encoder: the flax path lets XLA DCE the
-        # whole encoder backward, which the fused train kernels cannot.
-        and not getattr(model, "freeze", False)
         and backend == "tpu"
     )
 

@@ -63,6 +63,10 @@ def main(argv=None):
                          "rollout (identity residual + row norm) instead of "
                          "the reference chain")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the encoder with W8A8 int8 kernels (2x MXU "
+                         "rate on TPU; plain/TTA eval only — saliency modes "
+                         "and rope configs stay full precision)")
     ap.add_argument("--batch_size", type=int, default=1,
                     help="volumes per device program for plain eval "
                          "(saliency/segmentation modes run per case like "
@@ -107,6 +111,26 @@ def main(argv=None):
     plane_mode = "last"
     if args.use_rollout:
         plane_mode = "rollout_abnar" if args.rollout_abnar else "rollout"
+
+    if args.int8:
+        import jax
+
+        from mst_tpu.models.vit_fast import fused_config_supported
+
+        if want_sal:
+            raise SystemExit("--int8 serves plain/TTA eval only; saliency "
+                             "modes ride the full-precision kernels")
+        if not (fused_config_supported(model)
+                and not getattr(model, "use_rope_2d", False)
+                and batch_stats is None
+                and jax.default_backend() == "tpu"):
+            raise SystemExit("--int8 needs the fused TPU serving path "
+                             "(Dino transformer-fusion config, no rope, "
+                             "TPU backend)")
+        from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+
+        params = quantize_mst_params_int8(params)
+        log.info("serving with int8 (W8A8) encoder kernels")
     predict = make_predict_fn(model, tta=args.use_tta, with_saliency=want_sal,
                               batch_stats=batch_stats, plane_mode=plane_mode)
 

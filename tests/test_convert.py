@@ -169,3 +169,67 @@ def test_mha_rotary_free_parity_with_torch():
     jm = MultiheadAttention(dim=e, num_heads=h)
     out = jm.apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+
+
+def test_monai_medicalnet_resnet_converter():
+    """VERDICT r2 #4b: a MedicalNet/MONAI `ResNetFeatures`-layout
+    state_dict (3D conv kernels, DataParallel "module." prefix) converts
+    into our 3D backbone — the reference's `pretrained=True` MONAI path
+    (`mst/models/resnet.py:33-41`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.models.convert import convert_torch_resnet
+    from mst_tpu.models.resnet import ResNetBackbone
+
+    m = ResNetBackbone(variant=18)
+    x = jnp.ones((1, 8, 16, 16, 1))  # 3D input [B, D, H, W, C]
+    ref_vars = m.init(jax.random.PRNGKey(0), x)
+
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def emit_conv(torch_key, kernel):
+        # flax [kd,kh,kw,in,out] -> torch [out,in,kd,kh,kw], + module. prefix
+        k = np.transpose(np.asarray(kernel), (4, 3, 0, 1, 2))
+        sd[f"module.{torch_key}.weight"] = rng.normal(
+            0, 0.05, k.shape).astype(np.float32)
+
+    def emit_bn(torch_key, p):
+        n = p["scale"].shape[0]
+        sd[f"module.{torch_key}.weight"] = rng.normal(
+            1, 0.05, n).astype(np.float32)
+        sd[f"module.{torch_key}.bias"] = rng.normal(
+            0, 0.05, n).astype(np.float32)
+        sd[f"module.{torch_key}.running_mean"] = rng.normal(
+            0, 0.05, n).astype(np.float32)
+        sd[f"module.{torch_key}.running_var"] = np.abs(rng.normal(
+            1, 0.05, n)).astype(np.float32)
+
+    p = ref_vars["params"]
+    emit_conv("conv1", p["conv1"]["kernel"])
+    emit_bn("bn1", p["bn1"])
+    for stage, n_blocks in enumerate((2, 2, 2, 2)):
+        for i in range(n_blocks):
+            op = f"layer{stage + 1}_{i}"
+            tp = f"layer{stage + 1}.{i}"
+            blk = p[op]
+            emit_conv(f"{tp}.conv1", blk["conv1"]["kernel"])
+            emit_bn(f"{tp}.bn1", blk["bn1"])
+            emit_conv(f"{tp}.conv2", blk["conv2"]["kernel"])
+            emit_bn(f"{tp}.bn2", blk["bn2"])
+            if "downsample_conv" in blk:
+                emit_conv(f"{tp}.downsample.0",
+                          blk["downsample_conv"]["kernel"])
+                emit_bn(f"{tp}.downsample.1", blk["downsample_bn"])
+
+    params, stats = convert_torch_resnet(sd, 18)
+    # structure matches our init tree exactly
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(dict(ref_vars["params"])))
+    # values round-trip (conv1: torch [out,in,kd,kh,kw] -> flax)
+    np.testing.assert_allclose(
+        np.asarray(params["conv1"]["kernel"]),
+        np.transpose(sd["module.conv1.weight"], (2, 3, 4, 1, 0)))
+    out = m.apply({"params": params, "batch_stats": stats}, x)
+    assert np.isfinite(np.asarray(out)).all()

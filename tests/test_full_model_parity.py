@@ -119,3 +119,47 @@ def test_full_mst_saliency_parity():
     # an absolute tolerance; per-layer maps above stay at 3e-3.
     roll = np.asarray(attention_cls_rollout(vit_probs))  # [B*D,H,T,T]
     np.testing.assert_allclose(roll, ref_roll, atol=1e-2, rtol=0)
+
+
+def test_full_resnet_slice_trans_parity():
+    """VERDICT r2 #4a: FULL-MODEL ResNetSliceTrans parity vs the live
+    reference (`mst/models/resnet.py:127-244`) on shared random weights —
+    the 2D ResNet34 slice backbone runs on a torchvision-compatible torch
+    implementation installed by the stub machinery (torchvision is not in
+    the image), converted by `convert_reference_resnet_slice`."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from reference_baseline import _install_stubs
+
+    _install_stubs()
+    sys.path.insert(0, str(REF))
+    from mst.models.resnet import ResNetSliceTrans as RefResNetSliceTrans
+
+    torch.manual_seed(1)
+    tmodel = RefResNetSliceTrans(in_ch=1, out_ch=2, spatial_dims=2,
+                                 model=34, pretrained=True).eval()
+
+    import jax.numpy as jnp
+
+    from mst_tpu.models.convert import convert_reference_resnet_slice
+    from mst_tpu.models.resnet import ResNetSliceTrans
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, batch_stats = convert_reference_resnet_slice(sd, variant=34)
+    jm = ResNetSliceTrans(out_ch=2, variant=34, fusion_heads=16)
+
+    vol = torch.randn(1, 1, 3, 64, 64)
+    with torch.no_grad():
+        ref_logits = tmodel(vol).numpy()
+    logits = jm.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(vol.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-3, rtol=3e-3)
+
+    # padding-mask semantics carry over too (CLS column unmasked)
+    mask = torch.tensor([[False, False, True]])
+    with torch.no_grad():
+        ref_masked = tmodel(vol, src_key_padding_mask=mask).numpy()
+    out_masked = jm.apply({"params": params, "batch_stats": batch_stats},
+                          jnp.asarray(vol.numpy()), jnp.asarray(mask.numpy()))
+    np.testing.assert_allclose(np.asarray(out_masked), ref_masked,
+                               atol=3e-3, rtol=3e-3)

@@ -1,0 +1,112 @@
+"""Int8 (W8A8) serving path: quantization correctness + model-level
+accuracy vs the bf16 fused path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mst_tpu.ops.fused_int8 import (
+    quantize_encoder_int8,
+    quantize_mst_params_int8,
+    quantize_weight_int8,
+)
+
+
+def test_quantize_weight_roundtrip_error_bound():
+    w = np.random.default_rng(0).normal(size=(64, 96)).astype(np.float32)
+    q, s = quantize_weight_int8(w)
+    assert q.dtype == np.int8 and s.shape == (1, 96)
+    deq = q.astype(np.float32) * s
+    # symmetric per-channel: error <= s/2 per element
+    assert np.max(np.abs(deq - w) / s) <= 0.5 + 1e-6
+
+
+def test_quantize_encoder_structure():
+    from mst_tpu.models.vit import build_vit
+
+    vit = build_vit("tiny", patch_size=14, use_flash=False)
+    x = jnp.ones((1, 28, 28, 3))
+    params = vit.init(jax.random.PRNGKey(0), x)["params"]
+    qp = quantize_encoder_int8(params)
+    blk = qp["blocks_0"]
+    assert set(blk["attn"]["qkv"]) == {"q8", "scale", "bias"}
+    assert blk["attn"]["qkv"]["q8"].dtype == jnp.int8
+    assert "kernel" in blk["attn"]["qkv"] or True  # replaced
+    # untouched leaves pass through
+    np.testing.assert_array_equal(
+        np.asarray(qp["patch_embed"]["proj"]["kernel"]),
+        np.asarray(params["patch_embed"]["proj"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(qp["cls_token"]),
+                                  np.asarray(params["cls_token"]))
+
+
+def test_int8_sublayer_close_to_bf16_reference():
+    """The i8 attention sublayer must track the f32 reference within the
+    quantization error envelope."""
+    from mst_tpu.ops.fused_block import _attn_ref
+    from mst_tpu.ops.fused_int8 import fused_attention_sublayer_i8
+
+    key = jax.random.PRNGKey(0)
+    N, S, E, H = 4, 9, 64, 4
+    x = jax.random.normal(key, (N, S, E)) * 0.5
+    ks = jax.random.split(key, 8)
+    ln_s = 1.0 + 0.1 * jax.random.normal(ks[0], (E,))
+    ln_b = 0.1 * jax.random.normal(ks[1], (E,))
+    wqkv = 0.1 * jax.random.normal(ks[2], (E, 3 * E))
+    bqkv = 0.1 * jax.random.normal(ks[3], (3 * E,))
+    wproj = 0.1 * jax.random.normal(ks[4], (E, E))
+    bproj = 0.1 * jax.random.normal(ks[5], (E,))
+
+    ref = _attn_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, None, H)
+    q_qkv, s_qkv = quantize_weight_int8(wqkv)
+    q_proj, s_proj = quantize_weight_int8(wproj)
+    out = fused_attention_sublayer_i8(
+        x, ln_s, ln_b,
+        {"q8": jnp.asarray(q_qkv), "scale": jnp.asarray(s_qkv), "bias": bqkv},
+        {"q8": jnp.asarray(q_proj), "scale": jnp.asarray(s_proj),
+         "bias": bproj},
+        None, H)
+    a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.9995, cos
+    assert np.max(np.abs(a - b)) < 0.25  # residual stream magnitude ~1
+
+
+def test_int8_model_logits_track_bf16():
+    """Full MST forward through quantized params: probabilities stay close
+    and argmax agrees with the full-precision fused path."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    ref = fused_mst_logits(params, x, model, dtype=jnp.float32)
+    qp = quantize_mst_params_int8(params)
+    out = fused_mst_logits(qp, x, model, dtype=jnp.float32)
+    p_ref = jax.nn.softmax(ref, -1)
+    p_out = jax.nn.softmax(out, -1)
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                               atol=0.05)
+    assert (np.argmax(np.asarray(out), -1)
+            == np.argmax(np.asarray(ref), -1)).all()
+
+
+def test_int8_rejects_saliency_and_train():
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import FastViTConfig, fused_vit_cls
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 2, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    qp = quantize_mst_params_int8(params)
+    cfg = FastViTConfig.from_model(model)
+    xs = jnp.ones((2, 28, 28, 3))
+    with pytest.raises(ValueError):
+        fused_vit_cls(qp["encoder"], xs, cfg, jnp.float32, train=True)
+    with pytest.raises(ValueError):
+        fused_vit_cls(qp["encoder"], xs, cfg, jnp.float32,
+                      want_last_row=True)

@@ -90,12 +90,14 @@ def test_should_use_fused_train_gate():
     assert not should_use_fused_train(m, True, "tpu")
     assert not should_use_fused_train(
         DinoSliceClassifier(rotary="RoPE", **base), False, "tpu")
-    assert not should_use_fused_train(
+    # round 3: rope (DINOv3) and frozen configs now ride the fused train
+    # path (rope/eps train kernels + serving-kernels-under-stop_gradient)
+    assert should_use_fused_train(
         DinoSliceClassifier(use_rope_2d=True, **base), False, "tpu")
+    assert should_use_fused_train(
+        DinoSliceClassifier(freeze=True, **base), False, "tpu")
     assert not should_use_fused_train(
         DinoSliceClassifier(slice_fusion="average", **base), False, "tpu")
-    assert not should_use_fused_train(
-        DinoSliceClassifier(freeze=True, **base), False, "tpu")
     assert not should_use_fused_train(
         ResNet3DClassifier(out_ch=2), False, "tpu")
 

@@ -98,9 +98,70 @@ def _install_stubs():
     nets = mod("monai.networks.nets")
     stub_attr(nets, "ResNetFeatures", _Anything())
     stub_attr(nets, "resnet50", _Anything())
+    # torchvision.models.resnet{18,34}: a REAL torch implementation with
+    # torchvision-compatible module names (conv1/bn1/layerX.i.*/downsample/
+    # fc) so the reference's ResNetSliceTrans 2D slice path runs for live
+    # random-weights parity tests (torchvision itself is not in the image;
+    # weights="DEFAULT" yields random init — no egress to download any).
+    class _TVBasicBlock(torch.nn.Module):
+        def __init__(self, inplanes, planes, stride=1):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(inplanes, planes, 3, stride, 1,
+                                         bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(planes)
+            self.relu = torch.nn.ReLU(inplace=True)
+            self.conv2 = torch.nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(planes)
+            self.downsample = None
+            if stride != 1 or inplanes != planes:
+                self.downsample = torch.nn.Sequential(
+                    torch.nn.Conv2d(inplanes, planes, 1, stride, bias=False),
+                    torch.nn.BatchNorm2d(planes))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idn)
+
+    class _TVResNet(torch.nn.Module):
+        def __init__(self, counts, num_classes=1000):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(64)
+            self.relu = torch.nn.ReLU(inplace=True)
+            self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+            widths = (64, 128, 256, 512)
+            inp = 64
+            for s, (w, n) in enumerate(zip(widths, counts)):
+                blocks = []
+                for i in range(n):
+                    stride = 2 if (i == 0 and s > 0) else 1
+                    blocks.append(_TVBasicBlock(inp, w, stride))
+                    inp = w
+                setattr(self, f"layer{s + 1}", torch.nn.Sequential(*blocks))
+            self.avgpool = torch.nn.AdaptiveAvgPool2d(1)
+            self.fc = torch.nn.Linear(512, num_classes)
+
+        def forward(self, x):
+            y = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for s in range(4):
+                y = getattr(self, f"layer{s + 1}")(y)
+            y = torch.flatten(self.avgpool(y), 1)
+            return self.fc(y)
+
+    def _tv_factory(counts):
+        def make(weights=None, **kw):
+            del weights, kw  # random init; no egress for real weights
+            return _TVResNet(counts)
+        return make
+
     mod("torchvision")
     tvm = mod("torchvision.models")
-    stub_attr(tvm, "resnet34", _Anything())
+    stub_attr(tvm, "resnet18", _tv_factory((2, 2, 2, 2)))
+    stub_attr(tvm, "resnet34", _tv_factory((3, 4, 6, 3)))
+    for name in ("resnet50", "resnet101", "resnet152"):  # referenced eagerly
+        stub_attr(tvm, name, _Anything())
     tvu = mod("torchvision.utils")
     stub_attr(tvu, "draw_segmentation_masks", _Anything())
     tf = mod("transformers")
