@@ -141,7 +141,7 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
 
     # Explainability serving (--get_attention/--get_segmentation): fused
     # path with the last-block CLS-row kernel + combined saliency volume.
-    sal_vps = None
+    sal_vps = rollout_vps = None
     if on_tpu:
         from mst_tpu.train.predictor import make_predict_fn as _mpf
 
@@ -154,6 +154,18 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
             ps, sal = predict_sal(params, source, None)
         float(jnp.sum(ps).astype(jnp.float32))  # forced host sync
         sal_vps = batch / ((time.perf_counter() - t0) / sal_iters)
+
+        # --use_rollout saliency: the in-VMEM carry-row chain (previously
+        # the flax path sowing 12 full attention tensors per slice)
+        predict_ro = _mpf(model, tta=False, with_saliency=True,
+                          plane_mode="rollout")
+        ps, _ = predict_ro(params, source, None)
+        float(jnp.sum(ps).astype(jnp.float32))
+        t0 = time.perf_counter()
+        for _ in range(sal_iters):
+            ps, _ = predict_ro(params, source, None)
+        float(jnp.sum(ps).astype(jnp.float32))
+        rollout_vps = batch / ((time.perf_counter() - t0) / sal_iters)
 
     # Secondary: full training-step throughput (fwd + CE + bwd + AdamW in
     # one donated program).
@@ -197,12 +209,33 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         float(loss8)  # forced device->host sync
         train8_vps = 8 / ((time.perf_counter() - t0) / train_iters)
 
+    # DINOv3 training (patch16 + 4 registers + 2D rope) through the fused
+    # rope train kernels (VERDICT r2 #3; previously the flax fallback).
+    v3_train_vps = None
+    if on_tpu:
+        from mst_tpu.models.mst import dino_v3_classifier_slice
+
+        v3 = dino_v3_classifier_slice(out_ch=2, model_size="small",
+                                      dtype=jnp.bfloat16, use_flash=True)
+        params3 = v3.init(jax.random.PRNGKey(6), source[:1])["params"]
+        state3 = TrainState.create(
+            apply_fn=v3.apply, params=params3, tx=make_optimizer(1e-6),
+            dropout_rng=jax.random.PRNGKey(7))
+        step3 = make_train_step(v3)
+        state3, loss3, _ = step3(state3, source, target, None)
+        jax.block_until_ready(state3.params)
+        t0 = time.perf_counter()
+        for _ in range(train_iters):
+            state3, loss3, _ = step3(state3, source, target, None)
+        float(loss3)
+        v3_train_vps = batch / ((time.perf_counter() - t0) / train_iters)
+
     # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
     # biggest encoder the reference supports (`dino.py` model_size 'g').
-    giant2_vps = None
+    giant2_vps = giant2_i8_vps = None
     if on_tpu:
         try:
-            giant2_vps = _bench_giant2(depth, hw)
+            giant2_vps, giant2_i8_vps = _bench_giant2(depth, hw)
         except Exception as e:  # noqa: BLE001 — OOM/compile limits: report n/a
             print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
                   flush=True)
@@ -227,6 +260,10 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         knee = sweep.get(str(best_batch), {})
         detail["p50_ms"] = knee.get("p50_ms")
         detail["p99_ms"] = knee.get("p99_ms")
+        # per-call latencies are host-synced per call; on this dev host the
+        # axon relay adds ~25 ms RTT per sync (compare latency_ms_per_batch,
+        # which pipelines) — on a directly-attached chip p50 ≈ ms_per_batch
+        detail["latency_includes_relay_rtt"] = True
         detail["bs4_volumes_per_sec"] = round(vps, 2)
     if int8_vps is not None:
         detail["int8_volumes_per_sec"] = round(int8_vps, 2)
@@ -234,10 +271,16 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         detail["tta8_volumes_per_sec"] = round(tta_vps, 2)
     if sal_vps is not None:
         detail["saliency_volumes_per_sec"] = round(sal_vps, 2)
+    if rollout_vps is not None:
+        detail["rollout_saliency_volumes_per_sec"] = round(rollout_vps, 2)
     if train8_vps is not None:
         detail["train_bs8_volumes_per_sec"] = round(train8_vps, 2)
+    if v3_train_vps is not None:
+        detail["dinov3_train_volumes_per_sec"] = round(v3_train_vps, 2)
     if giant2_vps is not None:
         detail["giant2_volumes_per_sec"] = round(giant2_vps, 3)
+    if giant2_i8_vps is not None:
+        detail["giant2_int8_volumes_per_sec"] = round(giant2_i8_vps, 3)
     return {
         "metric": "MST-DINOv2 ViT-S/14 LIDC inference throughput",
         "value": round(headline, 3),
@@ -247,8 +290,11 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     }
 
 
-def _bench_giant2(depth: int, hw: int, iters: int = 5) -> float:
-    """ViT-g2 per-volume inference throughput (batch 1, bf16, fused path)."""
+def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
+    """ViT-g2 per-volume inference throughput (batch 1, fused path):
+    (bf16 vol/s, int8 vol/s | None). The int8 leg matters most at giant
+    scale — the quantise/dequantise VPU overhead amortises over E=1536
+    matmuls far better than at ViT-S width."""
     from mst_tpu.models.mst import DinoSliceClassifier
     from mst_tpu.models.vit_fast import fused_mst_logits
 
@@ -270,12 +316,30 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> float:
     def forward(prm, src):
         return fused_mst_logits(prm, src, model)
 
-    forward(params, source).block_until_ready()
+    float(jnp.sum(forward(params, source)).astype(jnp.float32))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(params, source)
-    out.block_until_ready()
-    return 1.0 / ((time.perf_counter() - t0) / iters)
+    float(jnp.sum(out).astype(jnp.float32))  # forced host sync (relay)
+    bf16_vps = 1.0 / ((time.perf_counter() - t0) / iters)
+
+    i8_vps = None
+    try:
+        from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+
+        qparams = quantize_mst_params_int8(params)
+        del params  # 2.2 GB bf16 + 1.1 GB int8 both resident otherwise
+        forward_q = jax.jit(lambda p, s: fused_mst_logits(p, s, model))
+        float(jnp.sum(forward_q(qparams, source)).astype(jnp.float32))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward_q(qparams, source)
+        float(jnp.sum(out).astype(jnp.float32))  # forced host sync
+        i8_vps = 1.0 / ((time.perf_counter() - t0) / iters)
+    except Exception as e:  # noqa: BLE001
+        print(f"# giant2 int8 leg skipped: {type(e).__name__}: {e}",
+              flush=True)
+    return bf16_vps, i8_vps
 
 
 if __name__ == "__main__":

@@ -37,7 +37,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -50,14 +49,17 @@ from mst_tpu.ops.fused_block import (
 )
 
 
+@jax.jit
 def quantize_weight_int8(w) -> tuple:
     """[E, F] weight -> (int8 [E, F], f32 per-output-channel scale [1, F]).
-    Symmetric: q = round(w / s), s = max|w[:, f]| / 127."""
-    w = np.asarray(w, np.float32)
-    s = np.max(np.abs(w), axis=0, keepdims=True) / 127.0
-    s = np.maximum(s, 1e-12)
-    q = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
-    return q, s.astype(np.float32)
+    Symmetric: q = round(w / s), s = max|w[:, f]| / 127. Runs on device
+    (jitted) — a giant2 tree quantizes without pulling 2.2 GB of weights
+    to the host."""
+    w = jnp.asarray(w, jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0,
+                    1e-12)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def quantize_encoder_int8(encoder_params) -> dict:

@@ -112,7 +112,61 @@ def main():
     print(f"DINOv3 saliency rel|dmap|={err3s / s3_scale:.2e}  "
           f"{'PASS' if ok_v3s else 'FAIL'}")
 
-    return 0 if (ok_fwd and ok_bwd and ok_sal and ok_v3 and ok_v3s) else 1
+    # DINOv3 TRAINING grads: the rope train Mosaic kernels (fwd + Pallas
+    # backward with the rotation transposed back) vs the flax composition.
+    def loss3_flax(p):
+        logits = v3.apply({"params": p}, x3, deterministic=True)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    def loss3_fused(p):
+        logits = fused_mst_logits(p, x3, v3, dtype=jnp.float32, train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, t).mean()
+
+    g31 = jax.jit(jax.grad(loss3_flax))(p3)
+    g32 = jax.jit(jax.grad(loss3_fused))(p3)
+    worst3, worst3_key = 0.0, ""
+    for (k1, v1), (_, v2) in zip(
+        jax.tree_util.tree_flatten_with_path(g31)[0],
+        jax.tree_util.tree_flatten_with_path(g32)[0],
+    ):
+        scale = max(float(np.abs(np.asarray(v1)).max()), 1e-6)
+        d = float(np.abs(np.asarray(v1) - np.asarray(v2)).max()) / scale
+        if d > worst3:
+            worst3, worst3_key = d, jax.tree_util.keystr(k1)
+    ok_v3t = worst3 < 1e-2
+    print(f"DINOv3 train    max rel diff={worst3:.2e} ({worst3_key})  "
+          f"{'PASS' if ok_v3t else 'FAIL'}")
+
+    # Rollout serving: the in-VMEM carry-row chain vs the flax rollout.
+    probs_ro_ref, sal_ro_ref = _forward_with_saliency(
+        model, {"params": params}, x, None, plane_mode="rollout",
+        force_flax=True)
+    probs_ro, sal_ro = jax.jit(
+        lambda p, s: fused_mst_saliency(p, s, model, dtype=jnp.float32,
+                                        plane_mode="rollout")
+    )(params, x)
+    ro_scale = max(float(np.abs(np.asarray(sal_ro_ref)).max()), 1e-9)
+    err_ro = float(np.abs(np.asarray(sal_ro) - np.asarray(sal_ro_ref)).max())
+    ok_ro = err_ro / ro_scale < 1e-2
+    print(f"rollout         rel|dmap|={err_ro / ro_scale:.2e}  "
+          f"{'PASS' if ok_ro else 'FAIL'}")
+
+    # Int8 serving: quantized Mosaic kernels — classification agreement +
+    # bounded logit drift vs the full-precision fused path.
+    from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+
+    qp = quantize_mst_params_int8(params)
+    lq = np.asarray(jax.jit(
+        lambda p, s: fused_mst_logits(p, s, model, dtype=jnp.float32)
+    )(qp, x))
+    agree = bool((lq.argmax(-1) == fused.argmax(-1)).all())
+    drift = float(np.abs(lq - fused).max())
+    ok_i8 = agree and drift < 0.1
+    print(f"int8 serving    argmax_agree={agree} max|dlogit|={drift:.3f}  "
+          f"{'PASS' if ok_i8 else 'FAIL'}")
+
+    return 0 if (ok_fwd and ok_bwd and ok_sal and ok_v3 and ok_v3s
+                 and ok_v3t and ok_ro and ok_i8) else 1
 
 
 if __name__ == "__main__":
