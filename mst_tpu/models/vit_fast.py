@@ -181,11 +181,12 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
         if "q8" in blk["attn"]["qkv"]:
             # int8-quantized block (`ops/fused_int8.quantize_encoder_int8`)
             # — W8A8 token-wise matmuls on the MXU's doubled int8 rate;
-            # serving only, no rope, no CLS-row emission.
-            if train or rope_cos is not None or want_row_here or want_rollout:
+            # serving only (incl. the rope/DINOv3 config: rope applies to
+            # the dequantised bf16 q/k), no CLS-row/rollout emission.
+            if train or want_row_here or want_rollout:
                 raise ValueError(
                     "int8-quantized params serve the plain forward only "
-                    "(train / rope / saliency ride the bf16 kernels)")
+                    "(train / saliency ride the bf16 kernels)")
             from mst_tpu.ops.fused_int8 import (
                 fused_attention_sublayer_i8,
                 fused_mlp_sublayer_i8,
@@ -195,7 +196,8 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             h = fused_attention_sublayer_i8(
                 h, blk["norm1"]["scale"], blk["norm1"]["bias"],
                 blk["attn"]["qkv"], blk["attn"]["proj"], ls1,
-                cfg.num_heads, cfg.norm_eps)
+                cfg.num_heads, cfg.norm_eps,
+                rope_cos=rope_cos, rope_sin=rope_sin)
             if cfg.ffn_layer == "swiglu":
                 h = fused_swiglu_sublayer_i8(
                     h, blk["norm2"]["scale"], blk["norm2"]["bias"],

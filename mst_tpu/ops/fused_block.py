@@ -153,9 +153,13 @@ def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000) -> int:
 
     force = os.environ.get("MST_FUSED_BLOCK_N")  # perf A/B override
     if force:
-        k = int(force)
-        if N % k == 0:
+        try:
+            k = int(force)
+        except ValueError:
+            k = 0
+        if k >= 1 and N % k == 0:
             return k
+        # invalid/non-dividing override: fall through to the automatic pick
     for k in (8, 4, 2, 1):
         if N % k == 0 and k * S * E <= max_elems:
             return k

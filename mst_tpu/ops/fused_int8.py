@@ -26,9 +26,9 @@ Reference mapping: the reference has no quantized path (torch fp16 AMP,
 `main_train.py:113`); this is a TPU-native extension along the axis its
 xFormers kernels occupy (`extern/dinov2/layers/attention.py:72-89`).
 
-Scope: serving only (no VJP) for the DINOv2-family config (learned
-pos-embed, no rope). Rope (DINOv3) and CLS-row saliency serving stay on
-the bf16 kernels.
+Scope: serving only (no VJP). The DINOv3 config is covered too — rope
+applies to the DEQUANTISED bf16 q/k, identical to the bf16 path's
+rotation. CLS-row/rollout saliency serving stays on the bf16 kernels.
 """
 
 from __future__ import annotations
@@ -122,11 +122,20 @@ def _dot_i8(aq, wq):
         preferred_element_type=jnp.int32)
 
 
-def _attn_i8_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                    wproj_ref, sproj_ref, bproj_ref, ls_ref, o_ref, *,
-                    num_heads: int, has_ls: bool, eps: float):
-    """y = x + ls * proj_i8(MHSA_bf16(qkv_i8(LN(x)))) — W8A8 qkv + proj,
-    bf16 softmax attention."""
+def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
+                    has_rope: bool = False):
+    """y = x + ls * proj_i8(MHSA_bf16([RoPE](qkv_i8(LN(x))))) — W8A8 qkv +
+    proj, bf16 softmax attention. RoPE (the DINOv3 config) applies to the
+    DEQUANTISED bf16 q/k, so the rotation is exactly the bf16 path's."""
+    if has_rope:
+        (x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+         wproj_ref, sproj_ref, bproj_ref, ls_ref,
+         cos_ref, sin_ref, pmat_ref, o_ref) = refs
+        rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
+    else:
+        (x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+         wproj_ref, sproj_ref, bproj_ref, ls_ref, o_ref) = refs
+        rope = None
     K, S, E = x_ref.shape
     x = x_ref[:].reshape(K * S, E)
     cd = x.dtype
@@ -138,7 +147,7 @@ def _attn_i8_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     hq, hs = _quant_rows(h)
     qkv = (_dot_i8(hq, wqkv_ref[:]).astype(jnp.float32)
            * hs * sqkv_ref[0] + bqkv_ref[0]).astype(cd)
-    o = _mhsa(qkv, E, hd, num_heads, cd, S=S)
+    o = _mhsa(qkv, E, hd, num_heads, cd, S=S, rope=rope)
     oq, osc = _quant_rows(o.astype(jnp.float32))
     y = (_dot_i8(oq, wproj_ref[:]).astype(jnp.float32)
          * osc * sproj_ref[0] + bproj_ref[0])
@@ -218,20 +227,31 @@ def _call_i8(kernel, x, operands, block_n):
 
 
 def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
-                                num_heads, eps=1e-6):
+                                num_heads, eps=1e-6,
+                                rope_cos=None, rope_sin=None):
     """qkv_node/proj_node: {"q8", "scale", "bias"} from
-    `quantize_encoder_int8`."""
+    `quantize_encoder_int8`. Optional rope_cos/rope_sin ([S, hd] f32,
+    `ops.rotary.rope_2d_angles` convention) select the DINOv3 variant."""
+    from mst_tpu.ops.fused_block import _pair_swap_matrix
+
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    operands = [_vec(ln_s), _vec(ln_b),
+                qkv_node["q8"], jnp.asarray(qkv_node["scale"], jnp.float32),
+                _vec(qkv_node["bias"]),
+                proj_node["q8"], jnp.asarray(proj_node["scale"], jnp.float32),
+                _vec(proj_node["bias"]), ls_arg]
+    has_rope = rope_cos is not None
+    if has_rope:
+        pmat = jnp.asarray(_pair_swap_matrix(x.shape[-1] // num_heads),
+                           x.dtype)
+        operands += [jnp.asarray(rope_cos, jnp.float32),
+                     jnp.asarray(rope_sin, jnp.float32), pmat]
     return _call_i8(
         functools.partial(_attn_i8_kernel, num_heads=num_heads,
-                          has_ls=has_ls, eps=eps),
+                          has_ls=has_ls, eps=eps, has_rope=has_rope),
         x,
-        [_vec(ln_s), _vec(ln_b),
-         qkv_node["q8"], jnp.asarray(qkv_node["scale"], jnp.float32),
-         _vec(qkv_node["bias"]),
-         proj_node["q8"], jnp.asarray(proj_node["scale"], jnp.float32),
-         _vec(proj_node["bias"]), ls_arg],
+        operands,
         block_n=_pick_block(*x.shape),
     )
 

@@ -209,6 +209,16 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
             return fused_mst_logits(variables["params"], source, model,
                                     src_key_padding_mask=mask,
                                     dtype=model.dtype)
+        enc = variables["params"].get("encoder", {})
+        if any("q8" in blk.get("attn", {}).get("qkv", {})
+               for name, blk in enc.items() if name.startswith("blocks_")):
+            # int8-quantized params only exist for the fused path; a clear
+            # error beats a flax missing-'kernel' crash mid-jit (e.g. a
+            # slice resolution above FUSED_MAX_TOKENS)
+            raise ValueError(
+                "int8-quantized params need the fused TPU serving path; "
+                "this input/config falls back to the flax composition "
+                "(slice tokens must be <= vit_fast.FUSED_MAX_TOKENS)")
         return model.apply(variables, source, mask, deterministic=True)
 
     def fn(params, source, mask):

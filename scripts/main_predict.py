@@ -73,6 +73,10 @@ def main(argv=None):
                          "the reference, bs=1)")
     args = ap.parse_args(argv)
 
+    if args.int8 and (args.get_attention or args.get_segmentation):
+        raise SystemExit("--int8 serves plain/TTA eval only; saliency "
+                         "modes ride the full-precision kernels")
+
     path_run = Path(args.run_folder)
     if not (path_run / "best_checkpoint.json").exists():
         raise SystemExit(
@@ -117,16 +121,11 @@ def main(argv=None):
 
         from mst_tpu.models.vit_fast import fused_config_supported
 
-        if want_sal:
-            raise SystemExit("--int8 serves plain/TTA eval only; saliency "
-                             "modes ride the full-precision kernels")
         if not (fused_config_supported(model)
-                and not getattr(model, "use_rope_2d", False)
                 and batch_stats is None
                 and jax.default_backend() == "tpu"):
             raise SystemExit("--int8 needs the fused TPU serving path "
-                             "(Dino transformer-fusion config, no rope, "
-                             "TPU backend)")
+                             "(Dino transformer-fusion config, TPU backend)")
         from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
 
         params = quantize_mst_params_int8(params)
@@ -137,10 +136,15 @@ def main(argv=None):
     from mst_tpu.data.datamodule import DataModule
 
     batch_size = 1 if want_sal else max(1, args.batch_size)
-    dm = DataModule(ds_test=ds_test, batch_size=batch_size)
-    # Multi-host runs wrap-pad the eval stream so every host sees equal
-    # batches; drop the duplicate rows exactly like the trainer's val loop
-    # (DataModule.eval_valid_mask) so scored metrics match single-host.
+    import jax as _jax
+
+    # Per-host sharding like the trainer (main_train.py): in a multi-host
+    # predict each process scores its own disjoint shard; wrap-padding
+    # duplicates are dropped below via eval_valid_mask so the combined
+    # metrics match a single-host run.
+    dm = DataModule(ds_test=ds_test, batch_size=batch_size,
+                    shard_id=_jax.process_index(),
+                    num_shards=_jax.process_count())
     test_valid = dm.eval_valid_mask(len(ds_test))
     row_lo = 0
     results, results_seg = [], []

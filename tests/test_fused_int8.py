@@ -32,7 +32,7 @@ def test_quantize_encoder_structure():
     blk = qp["blocks_0"]
     assert set(blk["attn"]["qkv"]) == {"q8", "scale", "bias"}
     assert blk["attn"]["qkv"]["q8"].dtype == jnp.int8
-    assert "kernel" in blk["attn"]["qkv"] or True  # replaced
+    assert "kernel" not in blk["attn"]["qkv"]  # bf16 kernel replaced
     # untouched leaves pass through
     np.testing.assert_array_equal(
         np.asarray(qp["patch_embed"]["proj"]["kernel"]),
@@ -110,3 +110,45 @@ def test_int8_rejects_saliency_and_train():
     with pytest.raises(ValueError):
         fused_vit_cls(qp["encoder"], xs, cfg, jnp.float32,
                       want_last_row=True)
+
+
+def test_int8_dinov3_rope_logits_track_bf16():
+    """The DINOv3 config (2D rope, no learned pos-embed, eps 1e-5) serves
+    int8 too — rope rotates the dequantised bf16 q/k, so accuracy matches
+    the plain-config int8 envelope."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    model = DinoSliceClassifier(
+        out_ch=2, model_size="tiny", patch_size=14, fusion_heads=4,
+        use_flash=False, use_rope_2d=True, use_pos_embed=False,
+        rope_normalized=True, num_register_tokens=2, norm_eps=1e-5)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(3), x)["params"]
+    ref = fused_mst_logits(params, x, model, dtype=jnp.float32)
+    out = fused_mst_logits(quantize_mst_params_int8(params), x, model,
+                           dtype=jnp.float32)
+    p_ref = jax.nn.softmax(ref, -1)
+    p_out = jax.nn.softmax(out, -1)
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                               atol=0.05)
+    assert (np.argmax(np.asarray(out), -1)
+            == np.argmax(np.asarray(ref), -1)).all()
+
+
+def test_int8_cli_gates_cleanly(tmp_path):
+    """--int8 with saliency modes or off-TPU exits with a clear message
+    instead of crashing deep in the kernels."""
+    import json
+
+    from scripts.main_predict import main as predict_main
+
+    run = tmp_path / "Synthetic" / "DinoV2ClassifierSlice_x"
+    run.mkdir(parents=True)
+    (run / "best_checkpoint.json").write_text(
+        json.dumps({"best_model_path": "epoch=0"}))
+    with pytest.raises(SystemExit) as e:
+        predict_main(["--run_folder", str(run), "--int8",
+                      "--get_attention"])
+    msg = str(e.value)
+    assert "int8" in msg

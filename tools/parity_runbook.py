@@ -11,7 +11,7 @@ beside it.
     python tools/parity_runbook.py \
         --dataset LIDC --path_root /data/LIDC \
         --weights /weights/dinov2_vits14_pretrain.pth \
-        [--model DinoV2ClassifierSlice] [--fold 0] [--epochs 1000]
+        [--model DinoV2ClassifierSlice] [--epochs 1000]
 
 Chain (mirrors reference scripts/main_train.py + main_predict.py):
   1. sanity-check the data artifacts the dataset consumes
