@@ -101,8 +101,9 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
                 best_vps, best_batch = b / bdt, b
 
     # Int8 (W8A8) serving: quantized encoder matmuls on the MXU's doubled
-    # int8 rate (`ops/fused_int8.py`), measured at the knee batch.
-    int8_vps = None
+    # int8 rate (`ops/fused_int8.py`), measured at the knee batch — both
+    # dynamic per-token scales and calibrated static (folded) scales.
+    int8_vps = int8_static_vps = None
     if on_tpu:
         try:
             from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
@@ -118,6 +119,16 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
             forward_q(src_q).block_until_ready()
             qdt = _measure(forward_q, src_q, max(iters // 2, 8))
             int8_vps = best_batch / qdt
+
+            sparams = quantize_mst_params_int8(params, model, src_q[:2])
+
+            @jax.jit
+            def forward_s(src):
+                return fused_mst_logits(sparams, src, model)
+
+            forward_s(src_q).block_until_ready()
+            sdt = _measure(forward_s, src_q, max(iters // 2, 8))
+            int8_static_vps = best_batch / sdt
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"# int8 bench skipped: {type(e).__name__}: {e}",
                   flush=True)
@@ -267,6 +278,8 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         detail["bs4_volumes_per_sec"] = round(vps, 2)
     if int8_vps is not None:
         detail["int8_volumes_per_sec"] = round(int8_vps, 2)
+    if int8_static_vps is not None:
+        detail["int8_static_volumes_per_sec"] = round(int8_static_vps, 2)
     if tta_vps is not None:
         detail["tta8_volumes_per_sec"] = round(tta_vps, 2)
     if sal_vps is not None:

@@ -104,24 +104,12 @@ class FastViTConfig:
         )
 
 
-def fused_vit_cls(params, x, cfg: FastViTConfig,
-                  dtype=jnp.bfloat16, train: bool = False,
-                  want_last_row: bool = False,
-                  want_rollout: bool = False):
-    """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E].
-
-    train=True routes through the residual-sharing kernel variants whose
-    backward never re-runs the forward (fused_block.py train section).
-    want_last_row=True (serving) additionally returns the LAST
-    block's per-head CLS softmax row [N, heads, S] f32 — what
-    `ops/saliency.plane_attention` consumes — computed in-kernel so the
-    explainability path never materialises [N, heads, S, S] probabilities;
-    returns (cls, row).
-    want_rollout=True (serving) instead threads the attention-rollout
-    chain's CLS row through every block in-VMEM
-    (`fused_attention_sublayer_rollout`) and returns (cls, chain_row) —
-    the reference `get_attention_cls` chain without the 12 sowed
-    [N, heads, S, S] tensors."""
+def prepare_vit_tokens(params, x, cfg: FastViTConfig, dtype=jnp.bfloat16):
+    """Token prep shared by `fused_vit_cls` and the int8 calibration
+    forward (`ops/fused_int8.calibrate_act_scales_int8`): patch embed
+    (unfold+matmul), pos-embed interpolation / RoPE-only positions, cls +
+    register token prepend, 2D rope tables. x: [N, H, W, 3] ->
+    (h [N, S, E], rope_cos, rope_sin)."""
     N, H, W, C = x.shape
     p = cfg.patch_size
     gh, gw = H // p, W // p
@@ -159,6 +147,29 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             num_prefix=1 + cfg.num_register_tokens,
             theta=cfg.rope_theta, normalized=cfg.rope_normalized)
         rope_cos, rope_sin = jnp.cos(ang), jnp.sin(ang)
+    return h, rope_cos, rope_sin
+
+
+def fused_vit_cls(params, x, cfg: FastViTConfig,
+                  dtype=jnp.bfloat16, train: bool = False,
+                  want_last_row: bool = False,
+                  want_rollout: bool = False):
+    """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E].
+
+    train=True routes through the residual-sharing kernel variants whose
+    backward never re-runs the forward (fused_block.py train section).
+    want_last_row=True (serving) additionally returns the LAST
+    block's per-head CLS softmax row [N, heads, S] f32 — what
+    `ops/saliency.plane_attention` consumes — computed in-kernel so the
+    explainability path never materialises [N, heads, S, S] probabilities;
+    returns (cls, row).
+    want_rollout=True (serving) instead threads the attention-rollout
+    chain's CLS row through every block in-VMEM
+    (`fused_attention_sublayer_rollout`) and returns (cls, chain_row) —
+    the reference `get_attention_cls` chain without the 12 sowed
+    [N, heads, S, S] tensors."""
+    N = x.shape[0]
+    h, rope_cos, rope_sin = prepare_vit_tokens(params, x, cfg, dtype)
 
     attn_fn = fused_attention_sublayer_train if train else \
         fused_attention_sublayer
@@ -193,11 +204,17 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
                 fused_swiglu_sublayer_i8,
             )
 
+            # Static-activation-scale trees (calibrated PTQ,
+            # `quantize_encoder_int8(..., act_scales=...)`) carry "a_inv"
+            # on the second-matmul node; detection is static at trace time.
+            ffn2 = (blk["mlp"]["w3"] if cfg.ffn_layer == "swiglu"
+                    else blk["mlp"]["fc2"])
+            static = "a_inv" in ffn2
             h = fused_attention_sublayer_i8(
                 h, blk["norm1"]["scale"], blk["norm1"]["bias"],
                 blk["attn"]["qkv"], blk["attn"]["proj"], ls1,
                 cfg.num_heads, cfg.norm_eps,
-                rope_cos=rope_cos, rope_sin=rope_sin)
+                rope_cos=rope_cos, rope_sin=rope_sin, static=static)
             if cfg.ffn_layer == "swiglu":
                 h = fused_swiglu_sublayer_i8(
                     h, blk["norm2"]["scale"], blk["norm2"]["bias"],

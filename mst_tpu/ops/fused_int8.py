@@ -29,11 +29,32 @@ xFormers kernels occupy (`extern/dinov2/layers/attention.py:72-89`).
 Scope: serving only (no VJP). The DINOv3 config is covered too — rope
 applies to the DEQUANTISED bf16 q/k, identical to the bf16 path's
 rotation. CLS-row/rollout saliency serving stays on the bf16 kernels.
+
+Static activation scales (calibrated PTQ): the dynamic per-token abs-max
+is a cross-lane VPU reduction per matmul input — measured as the bulk of
+the int8 overhead at ViT-S width (ROADMAP). With a calibration pass
+(`calibrate_act_scales_int8`: a pure-XLA mirror of the kernel math that
+records per-tensor abs-max at the four quant sites per block),
+`quantize_encoder_int8(..., act_scales=...)` FOLDS the scales offline so
+the kernels do almost no quantization work at all:
+
+- attn input:  scale folds into LN gamma/beta -> LN emits h/s directly;
+- attn output: 1/s folds into the v-columns of the qkv dequant scale and
+  bias, so the attention output emerges pre-scaled (softmax rows sum to
+  1, so scaling v scales o linearly);
+- both dequants fold s into the per-channel weight scale;
+- only the FFN's nonlinear hidden (gelu/silu-gate output) needs a runtime
+  multiply — one scalar `a_inv` operand per block.
+
+In-kernel quantization then is clip(round(h), ±127).astype(int8) — no
+reductions, no per-row rescale. Out-of-calibration-range activations
+saturate (standard PTQ semantics; `margin` widens the scales).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -62,12 +83,22 @@ def quantize_weight_int8(w) -> tuple:
     return q, s
 
 
-def quantize_encoder_int8(encoder_params) -> dict:
+def quantize_encoder_int8(encoder_params, act_scales=None,
+                          margin: float = 1.05) -> dict:
     """Return a copy of the VisionTransformer param subtree where every
     block's token-wise matmul kernel (attn.qkv/attn.proj + mlp.fc1/fc2 or
     mlp.w12/w3) is replaced by {"q8": int8, "scale": [1,F] f32}. All other
     leaves (LN, biases, patch_embed, cls/pos/register tokens, final norm)
-    pass through unchanged. `fused_vit_cls` dispatches on the "q8" key."""
+    pass through unchanged. `fused_vit_cls` dispatches on the "q8" key.
+
+    act_scales (from `calibrate_act_scales_int8`) switches the tree to
+    STATIC activation quantization: per-block per-tensor scales are folded
+    into LN gamma/beta, the per-channel dequant scales, and (for the attn
+    output) the v-columns of the qkv dequant — see the module docstring.
+    The FFN hidden site's runtime scale ships as "a_inv" on the fc2/w3
+    node (also the static-mode marker `fused_vit_cls` dispatches on).
+    `margin` widens every calibrated scale to absorb out-of-sample
+    activations (they saturate at ±127 beyond it)."""
 
     def _conv(tree):
         out = {}
@@ -92,17 +123,167 @@ def quantize_encoder_int8(encoder_params) -> dict:
                 continue
             q, s = quantize_weight_int8(leaf["kernel"])
             node[path[-1]] = {"q8": jnp.asarray(q), "scale": jnp.asarray(s),
-                              "bias": leaf["bias"]}
+                              "bias": jnp.asarray(leaf["bias"], jnp.float32)}
+        if act_scales is not None:
+            _fold_static_scales(blk, act_scales[name], margin)
     return params
 
 
-def quantize_mst_params_int8(params) -> dict:
+def _fold_static_scales(blk: dict, sc: dict, margin: float) -> None:
+    """Fold one block's calibrated activation scales (in place on the
+    already-quantized block tree). sc: {"attn_in", "attn_out", "mlp_in",
+    "mlp_hidden"} per-tensor abs-max floats."""
+    a_in = max(float(sc["attn_in"]), 1e-12) * margin / 127.0
+    a_out = max(float(sc["attn_out"]), 1e-12) * margin / 127.0
+    b_in = max(float(sc["mlp_in"]), 1e-12) * margin / 127.0
+    b_hid = max(float(sc["mlp_hidden"]), 1e-12) * margin / 127.0
+
+    # attn input: LN emits h/a_in directly
+    n1 = blk["norm1"]
+    n1["scale"] = jnp.asarray(n1["scale"], jnp.float32) / a_in
+    n1["bias"] = jnp.asarray(n1["bias"], jnp.float32) / a_in
+    # qkv dequant recovers the a_in scale; its v-columns additionally
+    # divide by a_out so the attention output emerges pre-scaled
+    qkv = blk["attn"]["qkv"]
+    E = qkv["q8"].shape[0]
+    colmul = jnp.ones((1, 3 * E), jnp.float32).at[:, 2 * E:].set(1.0 / a_out)
+    qkv["scale"] = qkv["scale"] * a_in * colmul
+    qkv["bias"] = qkv["bias"] * colmul[0]
+    blk["attn"]["proj"]["scale"] = blk["attn"]["proj"]["scale"] * a_out
+
+    # FFN input: LN folding again; hidden site keeps a runtime scalar
+    n2 = blk["norm2"]
+    n2["scale"] = jnp.asarray(n2["scale"], jnp.float32) / b_in
+    n2["bias"] = jnp.asarray(n2["bias"], jnp.float32) / b_in
+    if "w12" in blk["mlp"]:  # swiglu
+        blk["mlp"]["w12"]["scale"] = blk["mlp"]["w12"]["scale"] * b_in
+        w3 = blk["mlp"]["w3"]
+        w3["scale"] = w3["scale"] * b_hid
+        w3["a_inv"] = jnp.full((1, 1), 1.0 / b_hid, jnp.float32)
+    else:
+        blk["mlp"]["fc1"]["scale"] = blk["mlp"]["fc1"]["scale"] * b_in
+        fc2 = blk["mlp"]["fc2"]
+        fc2["scale"] = fc2["scale"] * b_hid
+        fc2["a_inv"] = jnp.full((1, 1), 1.0 / b_hid, jnp.float32)
+
+
+def calibrate_act_scales_int8(encoder_params, x, cfg,
+                              dtype=jnp.bfloat16) -> dict:
+    """Per-tensor abs-max at the four quantization sites of every block,
+    from a pure-XLA mirror of the fused kernels' math (f32 sub-layer
+    internals, `dtype` residual stream — the serving precision).
+
+    x: [N, H, W, 3] calibration slice images (use
+    `quantize_mst_params_int8(..., calib_source=...)` for [B,C,D,H,W]
+    volumes); cfg: `vit_fast.FastViTConfig`. Returns
+    {"blocks_i": {"attn_in", "attn_out", "mlp_in", "mlp_hidden"}} floats.
+    """
+    from mst_tpu.models.vit_fast import prepare_vit_tokens
+    from mst_tpu.ops.fused_block import _pair_swap_matrix
+
+    h, rope_cos, rope_sin = prepare_vit_tokens(encoder_params, x, cfg,
+                                               dtype)
+    nh = cfg.num_heads
+    E = cfg.embed_dim
+    hd = E // nh
+    approximate = cfg.gelu_approximate
+    pmat = (jnp.asarray(_pair_swap_matrix(hd), jnp.float32)
+            if rope_cos is not None else None)
+
+    def _ln(xf, prm, eps):
+        m = xf.mean(-1, keepdims=True)
+        v = ((xf - m) ** 2).mean(-1, keepdims=True)
+        return ((xf - m) * jax.lax.rsqrt(v + eps)
+                * jnp.asarray(prm["scale"], jnp.float32)
+                + jnp.asarray(prm["bias"], jnp.float32))
+
+    stats = {}
+    for i in range(cfg.depth):
+        blk = encoder_params[f"blocks_{i}"]
+        s = {}
+        xf = h.astype(jnp.float32)
+        hn = _ln(xf, blk["norm1"], cfg.norm_eps)
+        s["attn_in"] = jnp.max(jnp.abs(hn))
+        qkv = (hn @ jnp.asarray(blk["attn"]["qkv"]["kernel"], jnp.float32)
+               + jnp.asarray(blk["attn"]["qkv"]["bias"], jnp.float32))
+        N, S, _ = qkv.shape
+        qkv = qkv.reshape(N, S, 3, nh, hd)
+        q = jnp.moveaxis(qkv[:, :, 0], 1, 2)  # [N, nh, S, hd]
+        k = jnp.moveaxis(qkv[:, :, 1], 1, 2)
+        v = jnp.moveaxis(qkv[:, :, 2], 1, 2)
+        if rope_cos is not None:
+            cos = jnp.asarray(rope_cos, jnp.float32)
+            sin = jnp.asarray(rope_sin, jnp.float32)
+            q = q * cos + (q @ pmat) * sin
+            k = k * cos + (k @ pmat) * sin
+        att = jnp.einsum("nhqd,nhkd->nhqk", q, k) / math.sqrt(hd)
+        p = jax.nn.softmax(att, -1)
+        o = jnp.einsum("nhqk,nhkd->nhqd", p, v)
+        o = jnp.moveaxis(o, 1, 2).reshape(N, S, E)
+        s["attn_out"] = jnp.max(jnp.abs(o))
+        y = (o @ jnp.asarray(blk["attn"]["proj"]["kernel"], jnp.float32)
+             + jnp.asarray(blk["attn"]["proj"]["bias"], jnp.float32))
+        if "ls1" in blk:
+            y = y * jnp.asarray(blk["ls1"]["gamma"], jnp.float32)
+        h = (xf + y).astype(dtype)
+
+        xf = h.astype(jnp.float32)
+        hn = _ln(xf, blk["norm2"], cfg.norm_eps)
+        s["mlp_in"] = jnp.max(jnp.abs(hn))
+        if "w12" in blk["mlp"]:  # swiglu
+            h12 = (hn @ jnp.asarray(blk["mlp"]["w12"]["kernel"], jnp.float32)
+                   + jnp.asarray(blk["mlp"]["w12"]["bias"], jnp.float32))
+            hidden = h12.shape[-1] // 2
+            h1, h2 = h12[..., :hidden], h12[..., hidden:]
+            u = h1 * jax.nn.sigmoid(h1) * h2
+            s["mlp_hidden"] = jnp.max(jnp.abs(u))
+            y = (u @ jnp.asarray(blk["mlp"]["w3"]["kernel"], jnp.float32)
+                 + jnp.asarray(blk["mlp"]["w3"]["bias"], jnp.float32))
+        else:
+            a = (hn @ jnp.asarray(blk["mlp"]["fc1"]["kernel"], jnp.float32)
+                 + jnp.asarray(blk["mlp"]["fc1"]["bias"], jnp.float32))
+            u = jax.nn.gelu(a, approximate=approximate)
+            s["mlp_hidden"] = jnp.max(jnp.abs(u))
+            y = (u @ jnp.asarray(blk["mlp"]["fc2"]["kernel"], jnp.float32)
+                 + jnp.asarray(blk["mlp"]["fc2"]["bias"], jnp.float32))
+        if "ls2" in blk:
+            y = y * jnp.asarray(blk["ls2"]["gamma"], jnp.float32)
+        h = (xf + y).astype(dtype)
+        stats[f"blocks_{i}"] = s
+    return {name: {k: float(v) for k, v in s.items()}
+            for name, s in jax.device_get(stats).items()}
+
+
+def quantize_mst_params_int8(params, model=None, calib_source=None,
+                             margin: float = 1.05,
+                             dtype=jnp.bfloat16) -> dict:
     """Quantize the encoder inside a full DinoSliceClassifier param tree
     (checkpoint `params`); fusion layers / head / bottleneck stay full
     precision. The result feeds `vit_fast.fused_mst_logits` unchanged —
-    `fused_vit_cls` dispatches per block on the "q8" key."""
+    `fused_vit_cls` dispatches per block on the "q8" key.
+
+    With `model` + `calib_source` ([B, C, D, H, W] volumes), runs the
+    static-scale calibration pass first and folds the activation scales
+    (module docstring) — the serving kernels then skip the per-token
+    abs-max reductions entirely."""
+    act_scales = None
+    if calib_source is not None:
+        if model is None:
+            raise ValueError("static calibration needs the model "
+                             "(quantize_mst_params_int8(params, model, x))")
+        from mst_tpu.models.vit_fast import FastViTConfig
+
+        cfg = FastViTConfig.from_model(model)
+        B, C, D, H, W = calib_source.shape
+        x = jnp.transpose(calib_source, (0, 2, 3, 4, 1)).reshape(
+            B * D, H, W, C)
+        if C == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        act_scales = calibrate_act_scales_int8(
+            params["encoder"], x, cfg, dtype=dtype)
     out = dict(params)
-    out["encoder"] = quantize_encoder_int8(params["encoder"])
+    out["encoder"] = quantize_encoder_int8(params["encoder"], act_scales,
+                                           margin)
     return out
 
 
@@ -115,6 +296,13 @@ def _quant_rows(h):
     return q, scale
 
 
+def _quant_static(h):
+    """Static-scale quantization of a PRE-SCALED f32 block (the activation
+    scale is folded upstream, module docstring): round + saturate only —
+    no reductions."""
+    return jnp.clip(jnp.round(h), -127.0, 127.0).astype(jnp.int8)
+
+
 def _dot_i8(aq, wq):
     """int8 x int8 -> int32 on the MXU."""
     return jax.lax.dot_general(
@@ -123,10 +311,14 @@ def _dot_i8(aq, wq):
 
 
 def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
-                    has_rope: bool = False):
+                    has_rope: bool = False, static_act: bool = False):
     """y = x + ls * proj_i8(MHSA_bf16([RoPE](qkv_i8(LN(x))))) — W8A8 qkv +
     proj, bf16 softmax attention. RoPE (the DINOv3 config) applies to the
-    DEQUANTISED bf16 q/k, so the rotation is exactly the bf16 path's."""
+    DEQUANTISED bf16 q/k, so the rotation is exactly the bf16 path's.
+
+    static_act: both activation scales are folded offline (input into LN
+    gamma/beta + qkv dequant; output into the v-columns + proj dequant) —
+    quantization is round+saturate only, zero reductions."""
     if has_rope:
         (x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
          wproj_ref, sproj_ref, bproj_ref, ls_ref,
@@ -144,62 +336,101 @@ def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
     h = (xf - mean) * jax.lax.rsqrt(var + eps) * lns_ref[0] + lnb_ref[0]
-    hq, hs = _quant_rows(h)
-    qkv = (_dot_i8(hq, wqkv_ref[:]).astype(jnp.float32)
-           * hs * sqkv_ref[0] + bqkv_ref[0]).astype(cd)
+    if static_act:
+        hq = _quant_static(h)
+        qkv = (_dot_i8(hq, wqkv_ref[:]).astype(jnp.float32)
+               * sqkv_ref[0] + bqkv_ref[0]).astype(cd)
+    else:
+        hq, hs = _quant_rows(h)
+        qkv = (_dot_i8(hq, wqkv_ref[:]).astype(jnp.float32)
+               * hs * sqkv_ref[0] + bqkv_ref[0]).astype(cd)
     o = _mhsa(qkv, E, hd, num_heads, cd, S=S, rope=rope)
-    oq, osc = _quant_rows(o.astype(jnp.float32))
-    y = (_dot_i8(oq, wproj_ref[:]).astype(jnp.float32)
-         * osc * sproj_ref[0] + bproj_ref[0])
+    if static_act:
+        oq = _quant_static(o.astype(jnp.float32))
+        y = (_dot_i8(oq, wproj_ref[:]).astype(jnp.float32)
+             * sproj_ref[0] + bproj_ref[0])
+    else:
+        oq, osc = _quant_rows(o.astype(jnp.float32))
+        y = (_dot_i8(oq, wproj_ref[:]).astype(jnp.float32)
+             * osc * sproj_ref[0] + bproj_ref[0])
     if has_ls:
         y = y * ls_ref[0]
     o_ref[:] = (xf + y).astype(o_ref.dtype).reshape(K, S, E)
 
 
-def _mlp_i8_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
-                   w2_ref, s2_ref, b2_ref, ls_ref, o_ref, *,
-                   approximate: bool, has_ls: bool, eps: float):
+def _mlp_i8_kernel(*refs, approximate: bool, has_ls: bool, eps: float,
+                   static_act: bool = False):
     """y = x + ls * fc2_i8(gelu(fc1_i8(LN(x)))) — W8A8 both matmuls, f32
-    gelu."""
+    gelu. static_act: input scale folded into LN/dequant; the gelu output
+    (nonlinear — unfoldable) quantizes by the single runtime scalar
+    ainv_ref."""
+    if static_act:
+        (x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+         w2_ref, s2_ref, b2_ref, ls_ref, ainv_ref, o_ref) = refs
+    else:
+        (x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+         w2_ref, s2_ref, b2_ref, ls_ref, o_ref) = refs
     K, S, E = x_ref.shape
     x = x_ref[:].reshape(K * S, E)
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
     h = (xf - mean) * jax.lax.rsqrt(var + eps) * lns_ref[0] + lnb_ref[0]
-    hq, hs = _quant_rows(h)
-    a = (_dot_i8(hq, w1_ref[:]).astype(jnp.float32)
-         * hs * s1_ref[0] + b1_ref[0])
-    u = jax.nn.gelu(a, approximate=approximate)
-    uq, us = _quant_rows(u)
-    y = (_dot_i8(uq, w2_ref[:]).astype(jnp.float32)
-         * us * s2_ref[0] + b2_ref[0])
+    if static_act:
+        hq = _quant_static(h)
+        a = _dot_i8(hq, w1_ref[:]).astype(jnp.float32) * s1_ref[0] + b1_ref[0]
+        u = jax.nn.gelu(a, approximate=approximate)
+        uq = _quant_static(u * ainv_ref[0, 0])
+        y = _dot_i8(uq, w2_ref[:]).astype(jnp.float32) * s2_ref[0] + b2_ref[0]
+    else:
+        hq, hs = _quant_rows(h)
+        a = (_dot_i8(hq, w1_ref[:]).astype(jnp.float32)
+             * hs * s1_ref[0] + b1_ref[0])
+        u = jax.nn.gelu(a, approximate=approximate)
+        uq, us = _quant_rows(u)
+        y = (_dot_i8(uq, w2_ref[:]).astype(jnp.float32)
+             * us * s2_ref[0] + b2_ref[0])
     if has_ls:
         y = y * ls_ref[0]
     o_ref[:] = (xf + y).astype(o_ref.dtype).reshape(K, S, E)
 
 
-def _swiglu_i8_kernel(x_ref, lns_ref, lnb_ref, w12_ref, s12_ref, b12_ref,
-                      w3_ref, s3_ref, b3_ref, ls_ref, o_ref, *,
-                      has_ls: bool, eps: float):
+def _swiglu_i8_kernel(*refs, has_ls: bool, eps: float,
+                      static_act: bool = False):
     """y = x + ls * w3_i8(silu(x1) * x2), x12 = w12_i8(LN(x)) — the giant2
-    / DINOv3-gated FFN in W8A8."""
+    / DINOv3-gated FFN in W8A8. static_act as in `_mlp_i8_kernel` (the
+    gate output quantizes by ainv_ref)."""
+    if static_act:
+        (x_ref, lns_ref, lnb_ref, w12_ref, s12_ref, b12_ref,
+         w3_ref, s3_ref, b3_ref, ls_ref, ainv_ref, o_ref) = refs
+    else:
+        (x_ref, lns_ref, lnb_ref, w12_ref, s12_ref, b12_ref,
+         w3_ref, s3_ref, b3_ref, ls_ref, o_ref) = refs
     K, S, E = x_ref.shape
     x = x_ref[:].reshape(K * S, E)
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
     h = (xf - mean) * jax.lax.rsqrt(var + eps) * lns_ref[0] + lnb_ref[0]
-    hq, hs = _quant_rows(h)
-    h12 = (_dot_i8(hq, w12_ref[:]).astype(jnp.float32)
-           * hs * s12_ref[0] + b12_ref[0])
+    if static_act:
+        hq = _quant_static(h)
+        h12 = (_dot_i8(hq, w12_ref[:]).astype(jnp.float32)
+               * s12_ref[0] + b12_ref[0])
+    else:
+        hq, hs = _quant_rows(h)
+        h12 = (_dot_i8(hq, w12_ref[:]).astype(jnp.float32)
+               * hs * s12_ref[0] + b12_ref[0])
     hidden = h12.shape[-1] // 2
     h1 = h12[:, :hidden]
     h2 = h12[:, hidden:]
     g = h1 * jax.nn.sigmoid(h1) * h2
-    gq, gs = _quant_rows(g)
-    y = (_dot_i8(gq, w3_ref[:]).astype(jnp.float32)
-         * gs * s3_ref[0] + b3_ref[0])
+    if static_act:
+        gq = _quant_static(g * ainv_ref[0, 0])
+        y = _dot_i8(gq, w3_ref[:]).astype(jnp.float32) * s3_ref[0] + b3_ref[0]
+    else:
+        gq, gs = _quant_rows(g)
+        y = (_dot_i8(gq, w3_ref[:]).astype(jnp.float32)
+             * gs * s3_ref[0] + b3_ref[0])
     if has_ls:
         y = y * ls_ref[0]
     o_ref[:] = (xf + y).astype(o_ref.dtype).reshape(K, S, E)
@@ -228,10 +459,13 @@ def _call_i8(kernel, x, operands, block_n):
 
 def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
                                 num_heads, eps=1e-6,
-                                rope_cos=None, rope_sin=None):
+                                rope_cos=None, rope_sin=None,
+                                static=False):
     """qkv_node/proj_node: {"q8", "scale", "bias"} from
     `quantize_encoder_int8`. Optional rope_cos/rope_sin ([S, hd] f32,
-    `ops.rotary.rope_2d_angles` convention) select the DINOv3 variant."""
+    `ops.rotary.rope_2d_angles` convention) select the DINOv3 variant.
+    static=True: the nodes carry FOLDED activation scales (calibrated
+    tree) — the attn kernel then needs no extra operands at all."""
     from mst_tpu.ops.fused_block import _pair_swap_matrix
 
     has_ls = ls is not None
@@ -249,7 +483,8 @@ def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
                      jnp.asarray(rope_sin, jnp.float32), pmat]
     return _call_i8(
         functools.partial(_attn_i8_kernel, num_heads=num_heads,
-                          has_ls=has_ls, eps=eps, has_rope=has_rope),
+                          has_ls=has_ls, eps=eps, has_rope=has_rope,
+                          static_act=static),
         x,
         operands,
         block_n=_pick_block(*x.shape),
@@ -258,32 +493,44 @@ def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
 
 def fused_mlp_sublayer_i8(x, ln_s, ln_b, fc1_node, fc2_node, ls,
                           approximate, eps=1e-6):
+    """Static-scale trees are detected by the "a_inv" leaf on fc2_node
+    (`_fold_static_scales`)."""
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    static = "a_inv" in fc2_node
+    operands = [_vec(ln_s), _vec(ln_b),
+                fc1_node["q8"], jnp.asarray(fc1_node["scale"], jnp.float32),
+                _vec(fc1_node["bias"]),
+                fc2_node["q8"], jnp.asarray(fc2_node["scale"], jnp.float32),
+                _vec(fc2_node["bias"]), ls_arg]
+    if static:
+        operands.append(jnp.asarray(fc2_node["a_inv"], jnp.float32))
     return _call_i8(
         functools.partial(_mlp_i8_kernel, approximate=approximate,
-                          has_ls=has_ls, eps=eps),
+                          has_ls=has_ls, eps=eps, static_act=static),
         x,
-        [_vec(ln_s), _vec(ln_b),
-         fc1_node["q8"], jnp.asarray(fc1_node["scale"], jnp.float32),
-         _vec(fc1_node["bias"]),
-         fc2_node["q8"], jnp.asarray(fc2_node["scale"], jnp.float32),
-         _vec(fc2_node["bias"]), ls_arg],
+        operands,
         block_n=_pick_block(*x.shape),
     )
 
 
 def fused_swiglu_sublayer_i8(x, ln_s, ln_b, w12_node, w3_node, ls,
                              eps=1e-6):
+    """Static-scale trees are detected by the "a_inv" leaf on w3_node."""
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    static = "a_inv" in w3_node
+    operands = [_vec(ln_s), _vec(ln_b),
+                w12_node["q8"], jnp.asarray(w12_node["scale"], jnp.float32),
+                _vec(w12_node["bias"]),
+                w3_node["q8"], jnp.asarray(w3_node["scale"], jnp.float32),
+                _vec(w3_node["bias"]), ls_arg]
+    if static:
+        operands.append(jnp.asarray(w3_node["a_inv"], jnp.float32))
     return _call_i8(
-        functools.partial(_swiglu_i8_kernel, has_ls=has_ls, eps=eps),
+        functools.partial(_swiglu_i8_kernel, has_ls=has_ls, eps=eps,
+                          static_act=static),
         x,
-        [_vec(ln_s), _vec(ln_b),
-         w12_node["q8"], jnp.asarray(w12_node["scale"], jnp.float32),
-         _vec(w12_node["bias"]),
-         w3_node["q8"], jnp.asarray(w3_node["scale"], jnp.float32),
-         _vec(w3_node["bias"]), ls_arg],
+        operands,
         block_n=_pick_block(*x.shape),
     )

@@ -43,7 +43,12 @@ from mst_tpu.utils.seg_metrics import (
 )
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+# basicConfig is a no-op when a plugin (e.g. the TPU runtime) configured the
+# root logger at import — pin the CLI loggers to INFO explicitly so the
+# console summary and predict.log survive any ambient config.
 log = logging.getLogger("main_predict")
+log.setLevel(logging.INFO)
+logging.getLogger("mst_tpu").setLevel(logging.INFO)
 
 
 def main(argv=None):
@@ -67,6 +72,11 @@ def main(argv=None):
                     help="serve the encoder with W8A8 int8 kernels (2x MXU "
                          "rate on TPU; plain/TTA eval only — saliency modes "
                          "and rope configs stay full precision)")
+    ap.add_argument("--int8_calib", type=int, default=0, metavar="N",
+                    help="with --int8: calibrate STATIC activation scales "
+                         "on the first N eval volumes and fold them into "
+                         "the kernels (skips the per-token abs-max "
+                         "reductions; 0 = dynamic per-token scales)")
     ap.add_argument("--batch_size", type=int, default=1,
                     help="volumes per device program for plain eval "
                          "(saliency/segmentation modes run per case like "
@@ -126,10 +136,6 @@ def main(argv=None):
                 and jax.default_backend() == "tpu"):
             raise SystemExit("--int8 needs the fused TPU serving path "
                              "(Dino transformer-fusion config, TPU backend)")
-        from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
-
-        params = quantize_mst_params_int8(params)
-        log.info("serving with int8 (W8A8) encoder kernels")
     predict = make_predict_fn(model, tta=args.use_tta, with_saliency=want_sal,
                               batch_stats=batch_stats, plane_mode=plane_mode)
 
@@ -145,6 +151,30 @@ def main(argv=None):
     dm = DataModule(ds_test=ds_test, batch_size=batch_size,
                     shard_id=_jax.process_index(),
                     num_shards=_jax.process_count())
+    if args.int8:
+        from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+
+        if args.int8_calib > 0:
+            # Static-scale PTQ: calibrate on the first N eval volumes AS
+            # SERVED (post eval-transform), then fold the activation
+            # scales offline (ops/fused_int8 module docstring).
+            vols = []
+            seen = 0
+            for batch in dm.test_dataloader():
+                vols.append(np.asarray(batch["source"]))
+                seen += vols[-1].shape[0]
+                if seen >= args.int8_calib:
+                    break
+            calib = jnp.asarray(
+                np.concatenate(vols, axis=0)[:args.int8_calib])
+            params = quantize_mst_params_int8(params, model, calib)
+            log.info("serving with int8 (W8A8) encoder kernels — STATIC "
+                     "activation scales calibrated on %d volumes",
+                     int(calib.shape[0]))
+        else:
+            params = quantize_mst_params_int8(params)
+            log.info("serving with int8 (W8A8) encoder kernels (dynamic "
+                     "per-token activation scales)")
     test_valid = dm.eval_valid_mask(len(ds_test))
     row_lo = 0
     results, results_seg = [], []

@@ -31,6 +31,10 @@ from mst_tpu.registry import get_dataset, get_model
 from mst_tpu.train.trainer import Trainer, make_optimizer
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+# basicConfig is a no-op when a plugin (e.g. the TPU runtime) configured the
+# root logger at import — pin the package loggers to INFO explicitly so
+# epoch/checkpoint progress lines survive any ambient config.
+logging.getLogger("mst_tpu").setLevel(logging.INFO)
 
 
 def main(argv=None):

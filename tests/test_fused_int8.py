@@ -136,6 +136,71 @@ def test_int8_dinov3_rope_logits_track_bf16():
             == np.argmax(np.asarray(ref), -1)).all()
 
 
+@pytest.mark.slow
+def test_int8_static_scales_track_bf16_out_of_sample():
+    """Calibrated (static-activation-scale) trees: logits track bf16 on a
+    DIFFERENT batch than the calibration one (the production setting —
+    unseen activations saturate at the margin), for both the plain and the
+    DINOv3/rope+swiglu-free configs."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    for kw in (dict(),
+               dict(use_rope_2d=True, use_pos_embed=False,
+                    rope_normalized=True, num_register_tokens=2,
+                    norm_eps=1e-5)):
+        model = DinoSliceClassifier(out_ch=2, model_size="tiny",
+                                    patch_size=14, fusion_heads=4,
+                                    use_flash=False, **kw)
+        calib = jax.random.normal(jax.random.PRNGKey(4), (2, 1, 4, 28, 28))
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 1, 4, 28, 28))
+        params = model.init(jax.random.PRNGKey(6), calib)["params"]
+        qp = quantize_mst_params_int8(params, model, calib)
+        # static marker present on the fc2 node
+        assert "a_inv" in qp["encoder"]["blocks_0"]["mlp"]["fc2"]
+        ref = fused_mst_logits(params, x, model, dtype=jnp.float32)
+        out = fused_mst_logits(qp, x, model, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(jax.nn.softmax(out, -1)),
+            np.asarray(jax.nn.softmax(ref, -1)), atol=0.05)
+        assert (np.argmax(np.asarray(out), -1)
+                == np.argmax(np.asarray(ref), -1)).all()
+
+
+def test_calibrate_act_scales_structure():
+    """Calibration emits one positive finite scale per site per block."""
+    from mst_tpu.models.vit import build_vit
+    from mst_tpu.models.vit_fast import FastViTConfig
+    from mst_tpu.ops.fused_int8 import calibrate_act_scales_int8
+
+    vit = build_vit("tiny", patch_size=14, use_flash=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 28, 28, 3))
+    params = vit.init(jax.random.PRNGKey(1), x)["params"]
+    cfg = FastViTConfig(embed_dim=32, depth=2, num_heads=2,
+                        pos_embed_grid=37)
+    sc = calibrate_act_scales_int8(params, x, cfg)
+    assert set(sc) == {f"blocks_{i}" for i in range(2)}
+    for s in sc.values():
+        assert set(s) == {"attn_in", "attn_out", "mlp_in", "mlp_hidden"}
+        for v in s.values():
+            assert isinstance(v, float) and 0 < v < 1e4
+
+
+def test_int8_static_saturation_is_bounded():
+    """Inputs 3x beyond the calibration range saturate (clip at +-127)
+    without NaN/inf — the PTQ failure mode stays graceful."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4)
+    calib = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(8), calib)["params"]
+    qp = quantize_mst_params_int8(params, model, calib)
+    out = fused_mst_logits(qp, 3.0 * calib, model, dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_int8_cli_gates_cleanly(tmp_path):
     """--int8 with saliency modes or off-TPU exits with a clear message
     instead of crashing deep in the kernels."""

@@ -165,8 +165,20 @@ def main():
     print(f"int8 serving    argmax_agree={agree} max|dlogit|={drift:.3f}  "
           f"{'PASS' if ok_i8 else 'FAIL'}")
 
+    # Int8 STATIC scales: calibrated-fold path (zero in-kernel reductions)
+    # — calibrate on the eval input itself, check drift vs bf16.
+    sp = quantize_mst_params_int8(params, model, x)
+    ls = np.asarray(jax.jit(
+        lambda p, s: fused_mst_logits(p, s, model, dtype=jnp.float32)
+    )(sp, x))
+    agree_s = bool((ls.argmax(-1) == fused.argmax(-1)).all())
+    drift_s = float(np.abs(ls - fused).max())
+    ok_i8s = agree_s and drift_s < 0.1
+    print(f"int8 static     argmax_agree={agree_s} max|dlogit|={drift_s:.3f}  "
+          f"{'PASS' if ok_i8s else 'FAIL'}")
+
     return 0 if (ok_fwd and ok_bwd and ok_sal and ok_v3 and ok_v3s
-                 and ok_v3t and ok_ro and ok_i8) else 1
+                 and ok_v3t and ok_ro and ok_i8 and ok_i8s) else 1
 
 
 if __name__ == "__main__":
