@@ -81,11 +81,29 @@ def main(argv=None):
                     help="volumes per device program for plain eval "
                          "(saliency/segmentation modes run per case like "
                          "the reference, bs=1)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host eval: jax.distributed.initialize(); "
+                         "each process scores a disjoint test shard, rank 0 "
+                         "merges rows and writes the artifacts (shared FS, "
+                         "same contract as the trainer's checkpoints)")
+    ap.add_argument("--dist_coordinator", default=None)
+    ap.add_argument("--dist_num_processes", type=int, default=None)
+    ap.add_argument("--dist_process_id", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.int8 and (args.get_attention or args.get_segmentation):
         raise SystemExit("--int8 serves plain/TTA eval only; saliency "
                          "modes ride the full-precision kernels")
+
+    if args.distributed:
+        import jax
+
+        from mst_tpu.parallel.distributed import initialize
+
+        initialize(args.dist_coordinator, args.dist_num_processes,
+                   args.dist_process_id)
+        log.info("distributed eval: process %d/%d", jax.process_index(),
+                 jax.process_count())
 
     path_run = Path(args.run_folder)
     if not (path_run / "best_checkpoint.json").exists():
@@ -230,6 +248,29 @@ def main(argv=None):
             if "mask" in batch:
                 overlay_mask(src_np, np.asarray(batch["mask"]),
                              case_dir / "ground_truth.png")
+
+    if _jax.process_count() > 1:
+        # Merge shards through the shared run dir (the same contract the
+        # trainer's coordinated checkpoints rely on): every host writes its
+        # rows, a barrier syncs, rank 0 concatenates and emits artifacts.
+        rank = _jax.process_index()
+        pd.DataFrame(results).to_csv(
+            out_dir / f"results.shard{rank}.csv", index=False)
+        if results_seg:
+            pd.DataFrame(results_seg).to_csv(
+                out_dir / f"results_seg.shard{rank}.csv", index=False)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mst_predict_shards")
+        if rank != 0:
+            return out_dir
+        shards = sorted(out_dir.glob("results.shard*.csv"))
+        results = pd.concat([pd.read_csv(f) for f in shards],
+                            ignore_index=True).to_dict("records")
+        seg_shards = sorted(out_dir.glob("results_seg.shard*.csv"))
+        if seg_shards:
+            results_seg = pd.concat([pd.read_csv(f) for f in seg_shards],
+                                    ignore_index=True).to_dict("records")
 
     df = pd.DataFrame(results)
     df.to_csv(out_dir / "results.csv", index=False)

@@ -183,3 +183,66 @@ def test_shard_map_step_across_processes(tmp_path):
         state, jnp.asarray(full_src), jnp.asarray(full_tgt), None)
     np.testing.assert_allclose(losses[0], float(loss_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+WORKER_PREDICT = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid, run_dir, port = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %r)
+from scripts.main_predict import main
+out = main([
+    "--run_folder", run_dir, "--batch_size", "2",
+    "--distributed", "--dist_coordinator", "localhost:" + port,
+    "--dist_num_processes", "2", "--dist_process_id", str(pid),
+])
+print("RESULT " + str(out), flush=True)
+''' % str(REPO)
+
+
+@pytest.mark.slow
+def test_two_process_predict_matches_single_host(tmp_path):
+    """Multi-host eval (`main_predict --distributed`): two processes score
+    disjoint test shards, rank 0 merges rows through the shared run dir —
+    results.csv must equal the single-host run row-for-row (wrap-padding
+    duplicates dropped exactly)."""
+    import pandas as pd
+
+    from scripts.main_predict import main as predict_main
+    from scripts.main_train import main as train_main
+
+    run_dir, _ = train_main([
+        "--dataset", "Synthetic", "--model", "DinoV2ClassifierSlice",
+        "--model_size", "tiny", "--fusion_heads", "4", "--dtype", "float32",
+        "--max_epochs", "1", "--batch_size", "4", "--num_train_samples", "8",
+        "--run_dir", str(tmp_path)])
+
+    single_out = predict_main(["--run_folder", str(run_dir),
+                               "--batch_size", "2",
+                               "--output_dir", str(tmp_path / "single")])
+    df_single = pd.read_csv(Path(single_out) / "results.csv")
+
+    port = "23461"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_PREDICT, str(pid), str(run_dir),
+             port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-3000:]
+
+    df_multi = pd.read_csv(Path(run_dir) / "results" / "results.csv")
+    # same cases exactly once, same predictions
+    a = df_single.sort_values("uid").reset_index(drop=True)
+    b = df_multi.sort_values("uid").reset_index(drop=True)
+    assert list(a["uid"]) == list(b["uid"])
+    np.testing.assert_allclose(a["NN_pred"].to_numpy(),
+                               b["NN_pred"].to_numpy(), atol=1e-5)
+    assert (a["GT"].to_numpy() == b["GT"].to_numpy()).all()
