@@ -168,7 +168,8 @@ def _fold_static_scales(blk: dict, sc: dict, margin: float) -> None:
 
 
 def calibrate_act_scales_int8(encoder_params, x, cfg,
-                              dtype=jnp.bfloat16) -> dict:
+                              dtype=jnp.bfloat16,
+                              chunk: int = 16) -> dict:
     """Per-tensor abs-max at the four quantization sites of every block,
     from a pure-XLA mirror of the fused kernels' math (f32 sub-layer
     internals, `dtype` residual stream — the serving precision).
@@ -177,7 +178,25 @@ def calibrate_act_scales_int8(encoder_params, x, cfg,
     `quantize_mst_params_int8(..., calib_source=...)` for [B,C,D,H,W]
     volumes); cfg: `vit_fast.FastViTConfig`. Returns
     {"blocks_i": {"attn_in", "attn_out", "mlp_in", "mlp_hidden"}} floats.
+
+    Slice images flow through the encoder independently, so calibration
+    chunks over N (`chunk` slices at a time, running max) — the explicit
+    [n, heads, S, S] f32 attention stays bounded even at giant2 width.
     """
+    stats = None
+    for lo in range(0, x.shape[0], chunk):
+        cs = _calibrate_chunk(encoder_params, x[lo:lo + chunk], cfg, dtype)
+        if stats is None:
+            stats = cs
+        else:
+            stats = {name: {k: jnp.maximum(stats[name][k], v)
+                            for k, v in s.items()}
+                     for name, s in cs.items()}
+    return {name: {k: float(v) for k, v in s.items()}
+            for name, s in jax.device_get(stats).items()}
+
+
+def _calibrate_chunk(encoder_params, x, cfg, dtype) -> dict:
     from mst_tpu.models.vit_fast import prepare_vit_tokens
     from mst_tpu.ops.fused_block import _pair_swap_matrix
 
@@ -250,8 +269,7 @@ def calibrate_act_scales_int8(encoder_params, x, cfg,
             y = y * jnp.asarray(blk["ls2"]["gamma"], jnp.float32)
         h = (xf + y).astype(dtype)
         stats[f"blocks_{i}"] = s
-    return {name: {k: float(v) for k, v in s.items()}
-            for name, s in jax.device_get(stats).items()}
+    return stats
 
 
 def quantize_mst_params_int8(params, model=None, calib_source=None,

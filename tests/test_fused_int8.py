@@ -184,6 +184,13 @@ def test_calibrate_act_scales_structure():
         assert set(s) == {"attn_in", "attn_out", "mlp_in", "mlp_hidden"}
         for v in s.values():
             assert isinstance(v, float) and 0 < v < 1e4
+    # chunked calibration (the giant2 memory guard) is exact: running max
+    # over per-slice stats == the one-shot stats
+    sc1 = calibrate_act_scales_int8(params, x, cfg, chunk=1)
+    for name in sc:
+        for k in sc[name]:
+            np.testing.assert_allclose(sc1[name][k], sc[name][k],
+                                       rtol=1e-6)
 
 
 def test_int8_static_saturation_is_bounded():
