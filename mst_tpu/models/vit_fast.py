@@ -193,11 +193,12 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             # int8-quantized block (`ops/fused_int8.quantize_encoder_int8`)
             # — W8A8 token-wise matmuls on the MXU's doubled int8 rate;
             # serving only (incl. the rope/DINOv3 config: rope applies to
-            # the dequantised bf16 q/k), no CLS-row/rollout emission.
-            if train or want_row_here or want_rollout:
+            # the dequantised bf16 q/k; CLS-row / rollout emission for the
+            # explainability modes rides the same kernels).
+            if train:
                 raise ValueError(
-                    "int8-quantized params serve the plain forward only "
-                    "(train / saliency ride the bf16 kernels)")
+                    "int8-quantized params serve only (training rides the "
+                    "bf16 kernels)")
             from mst_tpu.ops.fused_int8 import (
                 fused_attention_sublayer_i8,
                 fused_mlp_sublayer_i8,
@@ -210,11 +211,19 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             ffn2 = (blk["mlp"]["w3"] if cfg.ffn_layer == "swiglu"
                     else blk["mlp"]["fc2"])
             static = "a_inv" in ffn2
-            h = fused_attention_sublayer_i8(
+            attn_out = fused_attention_sublayer_i8(
                 h, blk["norm1"]["scale"], blk["norm1"]["bias"],
                 blk["attn"]["qkv"], blk["attn"]["proj"], ls1,
                 cfg.num_heads, cfg.norm_eps,
-                rope_cos=rope_cos, rope_sin=rope_sin, static=static)
+                rope_cos=rope_cos, rope_sin=rope_sin, static=static,
+                want_row=want_row_here,
+                carry=carry if want_rollout else None)
+            if want_rollout:
+                h, carry = attn_out
+            elif want_row_here:
+                h, last_row = attn_out
+            else:
+                h = attn_out
             if cfg.ffn_layer == "swiglu":
                 h = fused_swiglu_sublayer_i8(
                     h, blk["norm2"]["scale"], blk["norm2"]["bias"],

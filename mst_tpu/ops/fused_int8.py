@@ -329,23 +329,36 @@ def _dot_i8(aq, wq):
 
 
 def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
-                    has_rope: bool = False, static_act: bool = False):
+                    has_rope: bool = False, static_act: bool = False,
+                    want_row: bool = False, carry: bool = False):
     """y = x + ls * proj_i8(MHSA_bf16([RoPE](qkv_i8(LN(x))))) — W8A8 qkv +
     proj, bf16 softmax attention. RoPE (the DINOv3 config) applies to the
     DEQUANTISED bf16 q/k, so the rotation is exactly the bf16 path's.
 
     static_act: both activation scales are folded offline (input into LN
     gamma/beta + qkv dequant; output into the v-columns + proj dequant) —
-    quantization is round+saturate only, zero reductions."""
+    quantization is round+saturate only, zero reductions.
+
+    want_row / carry mirror the bf16 `_attn_any_kernel`: emit the per-head
+    CLS softmax row and/or advance the in-VMEM rollout carry — int8
+    explainability serving. With static_act the v-columns arrive
+    pre-scaled by 1/a_out, which cancels in softmax rows (they are built
+    from q/k only), so the rows match the dynamic path's exactly."""
+    idx = 1
+    x_ref = refs[0]
+    carry_ref = None
+    if carry:
+        carry_ref = refs[1]
+        idx = 2
+    (lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+     wproj_ref, sproj_ref, bproj_ref, ls_ref) = refs[idx:idx + 9]
+    idx += 9
+    rope = None
     if has_rope:
-        (x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-         wproj_ref, sproj_ref, bproj_ref, ls_ref,
-         cos_ref, sin_ref, pmat_ref, o_ref) = refs
+        cos_ref, sin_ref, pmat_ref = refs[idx:idx + 3]
+        idx += 3
         rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
-    else:
-        (x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-         wproj_ref, sproj_ref, bproj_ref, ls_ref, o_ref) = refs
-        rope = None
+    out_refs = refs[idx:]
     K, S, E = x_ref.shape
     x = x_ref[:].reshape(K * S, E)
     cd = x.dtype
@@ -362,7 +375,18 @@ def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
         hq, hs = _quant_rows(h)
         qkv = (_dot_i8(hq, wqkv_ref[:]).astype(jnp.float32)
                * hs * sqkv_ref[0] + bqkv_ref[0]).astype(cd)
-    o = _mhsa(qkv, E, hd, num_heads, cd, S=S, rope=rope)
+    out = _mhsa(qkv, E, hd, num_heads, cd, S=S, rope=rope,
+                want_row=want_row,
+                carry_row=carry_ref[:] if carry else None)
+    new_carry = rows = None
+    if carry and want_row:
+        o, rows, new_carry = out
+    elif carry:
+        o, new_carry = out
+    elif want_row:
+        o, rows = out
+    else:
+        o = out
     if static_act:
         oq = _quant_static(o.astype(jnp.float32))
         y = (_dot_i8(oq, wproj_ref[:]).astype(jnp.float32)
@@ -373,7 +397,13 @@ def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
              * osc * sproj_ref[0] + bproj_ref[0])
     if has_ls:
         y = y * ls_ref[0]
-    o_ref[:] = (xf + y).astype(o_ref.dtype).reshape(K, S, E)
+    out_refs[0][:] = (xf + y).astype(out_refs[0].dtype).reshape(K, S, E)
+    oi = 1
+    if want_row:
+        out_refs[oi][:] = rows  # [K, heads, S]
+        oi += 1
+    if carry:
+        out_refs[oi][:] = new_carry  # [K, heads, S]
 
 
 def _mlp_i8_kernel(*refs, approximate: bool, has_ls: bool, eps: float,
@@ -478,13 +508,16 @@ def _call_i8(kernel, x, operands, block_n):
 def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
                                 num_heads, eps=1e-6,
                                 rope_cos=None, rope_sin=None,
-                                static=False):
+                                static=False, want_row=False, carry=None):
     """qkv_node/proj_node: {"q8", "scale", "bias"} from
     `quantize_encoder_int8`. Optional rope_cos/rope_sin ([S, hd] f32,
     `ops.rotary.rope_2d_angles` convention) select the DINOv3 variant.
     static=True: the nodes carry FOLDED activation scales (calibrated
-    tree) — the attn kernel then needs no extra operands at all."""
-    from mst_tpu.ops.fused_block import _pair_swap_matrix
+    tree) — the attn kernel then needs no extra operands at all.
+    want_row emits the per-head CLS softmax row [N, heads, S] f32;
+    carry ([N, heads, S] f32) advances the rollout chain in-VMEM —
+    the int8 explainability serving path (returns (y[, row][, carry]))."""
+    from mst_tpu.ops.fused_block import _call_fused_multi, _pair_swap_matrix
 
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
@@ -499,13 +532,27 @@ def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
                            x.dtype)
         operands += [jnp.asarray(rope_cos, jnp.float32),
                      jnp.asarray(rope_sin, jnp.float32), pmat]
-    return _call_i8(
-        functools.partial(_attn_i8_kernel, num_heads=num_heads,
-                          has_ls=has_ls, eps=eps, has_rope=has_rope,
-                          static_act=static),
-        x,
-        operands,
-        block_n=_pick_block(*x.shape),
+    kernel = functools.partial(_attn_i8_kernel, num_heads=num_heads,
+                               has_ls=has_ls, eps=eps, has_rope=has_rope,
+                               static_act=static, want_row=want_row,
+                               carry=carry is not None)
+    if not want_row and carry is None:
+        return _call_i8(kernel, x, operands, block_n=_pick_block(*x.shape))
+    N, S, E = x.shape
+    out_shapes = [(S, E)]
+    out_dtypes = [x.dtype]
+    if want_row:
+        out_shapes.append((num_heads, S))
+        out_dtypes.append(jnp.float32)
+    if carry is not None:
+        out_shapes.append((num_heads, S))
+        out_dtypes.append(jnp.float32)
+    return _call_fused_multi(
+        kernel, x, operands,
+        out_shapes=out_shapes, out_dtypes=out_dtypes,
+        block_n=_pick_block(N, S, E),
+        grid_inputs=[jnp.asarray(carry, jnp.float32)]
+        if carry is not None else (),
     )
 
 

@@ -54,6 +54,15 @@ def _find_sowed(tree, name):
     return found
 
 
+def _has_int8(params) -> bool:
+    """True when the encoder carries int8-quantized blocks
+    (`ops/fused_int8.quantize_encoder_int8`) — those trees only run on the
+    fused serving path."""
+    enc = params.get("encoder", {})
+    return any("q8" in blk.get("attn", {}).get("qkv", {})
+               for name, blk in enc.items() if name.startswith("blocks_"))
+
+
 def _forward_with_saliency(model, variables, source, mask,
                            plane_mode: str = "last",
                            force_flax: bool = False):
@@ -89,6 +98,11 @@ def _forward_with_saliency(model, variables, source, mask,
         return fused_mst_saliency(variables["params"], source, model,
                                   src_key_padding_mask=mask,
                                   dtype=model.dtype, plane_mode=plane_mode)
+    if _has_int8(variables["params"]):
+        raise ValueError(
+            "int8-quantized params need the fused TPU serving path; this "
+            "saliency mode/config falls back to the flax composition "
+            "(rollout_abnar and oversized slice tokens stay bf16)")
     logits, aux = model.apply(
         variables, source, mask,
         deterministic=True,
@@ -209,9 +223,7 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
             return fused_mst_logits(variables["params"], source, model,
                                     src_key_padding_mask=mask,
                                     dtype=model.dtype)
-        enc = variables["params"].get("encoder", {})
-        if any("q8" in blk.get("attn", {}).get("qkv", {})
-               for name, blk in enc.items() if name.startswith("blocks_")):
+        if _has_int8(variables["params"]):
             # int8-quantized params only exist for the fused path; a clear
             # error beats a flax missing-'kernel' crash mid-jit (e.g. a
             # slice resolution above FUSED_MAX_TOKENS)

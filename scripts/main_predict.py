@@ -70,8 +70,10 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--int8", action="store_true",
                     help="serve the encoder with W8A8 int8 kernels (2x MXU "
-                         "rate on TPU; plain/TTA eval only — saliency modes "
-                         "and rope configs stay full precision)")
+                         "rate on TPU) — plain/TTA eval, --get_attention/"
+                         "--get_segmentation and --use_rollout included "
+                         "(the CLS-row/rollout emission rides the int8 "
+                         "kernels; --rollout_abnar stays full precision)")
     ap.add_argument("--int8_calib", type=int, default=0, metavar="N",
                     help="with --int8: calibrate STATIC activation scales "
                          "on the first N eval volumes and fold them into "
@@ -91,9 +93,10 @@ def main(argv=None):
     ap.add_argument("--dist_process_id", type=int, default=None)
     args = ap.parse_args(argv)
 
-    if args.int8 and (args.get_attention or args.get_segmentation):
-        raise SystemExit("--int8 serves plain/TTA eval only; saliency "
-                         "modes ride the full-precision kernels")
+    if args.int8 and args.rollout_abnar:
+        raise SystemExit("--int8 serves the plain/TTA/saliency/rollout "
+                         "modes; --rollout_abnar stays on the "
+                         "full-precision flax path")
 
     if args.distributed:
         import jax

@@ -94,7 +94,7 @@ def test_int8_model_logits_track_bf16():
             == np.argmax(np.asarray(ref), -1)).all()
 
 
-def test_int8_rejects_saliency_and_train():
+def test_int8_rejects_train_but_serves_saliency():
     from mst_tpu.models.mst import DinoSliceClassifier
     from mst_tpu.models.vit_fast import FastViTConfig, fused_vit_cls
 
@@ -107,9 +107,40 @@ def test_int8_rejects_saliency_and_train():
     xs = jnp.ones((2, 28, 28, 3))
     with pytest.raises(ValueError):
         fused_vit_cls(qp["encoder"], xs, cfg, jnp.float32, train=True)
-    with pytest.raises(ValueError):
-        fused_vit_cls(qp["encoder"], xs, cfg, jnp.float32,
-                      want_last_row=True)
+    # CLS-row and rollout emission ride the int8 kernels (since round 3)
+    cls, row = fused_vit_cls(qp["encoder"], xs, cfg, jnp.float32,
+                             want_last_row=True)
+    S = 1 + (28 // 14) ** 2
+    assert row.shape == (2, cfg.num_heads, S)
+    np.testing.assert_allclose(np.asarray(row).sum(-1),
+                               np.ones((2, cfg.num_heads)), rtol=1e-4)
+
+
+def test_int8_saliency_tracks_bf16():
+    """Explainability serving on int8 kernels (dynamic AND static trees):
+    the saliency maps track the bf16 fused path within the quantization
+    envelope, for both plane modes."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_saliency
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(10), x)["params"]
+    for qp in (quantize_mst_params_int8(params),
+               quantize_mst_params_int8(params, model, x)):
+        for mode in ("last", "rollout"):
+            p_ref, s_ref = fused_mst_saliency(params, x, model,
+                                              dtype=jnp.float32,
+                                              plane_mode=mode)
+            p_q, s_q = fused_mst_saliency(qp, x, model, dtype=jnp.float32,
+                                          plane_mode=mode)
+            np.testing.assert_allclose(np.asarray(p_q), np.asarray(p_ref),
+                                       atol=0.05)
+            scale = max(float(np.abs(np.asarray(s_ref)).max()), 1e-9)
+            rel = float(np.abs(np.asarray(s_q)
+                               - np.asarray(s_ref)).max()) / scale
+            assert rel < 0.05, (mode, rel)
 
 
 def test_int8_dinov3_rope_logits_track_bf16():
@@ -209,8 +240,8 @@ def test_int8_static_saturation_is_bounded():
 
 
 def test_int8_cli_gates_cleanly(tmp_path):
-    """--int8 with saliency modes or off-TPU exits with a clear message
-    instead of crashing deep in the kernels."""
+    """--int8 with the unsupported rollout_abnar mode exits with a clear
+    message instead of crashing deep in the kernels."""
     import json
 
     from scripts.main_predict import main as predict_main
@@ -220,7 +251,7 @@ def test_int8_cli_gates_cleanly(tmp_path):
     (run / "best_checkpoint.json").write_text(
         json.dumps({"best_model_path": "epoch=0"}))
     with pytest.raises(SystemExit) as e:
-        predict_main(["--run_folder", str(run), "--int8",
-                      "--get_attention"])
+        predict_main(["--run_folder", str(run), "--int8", "--get_attention",
+                      "--use_rollout", "--rollout_abnar"])
     msg = str(e.value)
     assert "int8" in msg

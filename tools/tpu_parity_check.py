@@ -177,8 +177,20 @@ def main():
     print(f"int8 static     argmax_agree={agree_s} max|dlogit|={drift_s:.3f}  "
           f"{'PASS' if ok_i8s else 'FAIL'}")
 
+    # Int8 explainability: the CLS-row emission from the int8 kernels vs
+    # the bf16 fused saliency.
+    _, sal_q = jax.jit(
+        lambda p, s: fused_mst_saliency(p, s, model, dtype=jnp.float32)
+    )(sp, x)
+    q_scale = max(float(np.abs(np.asarray(sal_f)).max()), 1e-9)
+    err_q = float(np.abs(np.asarray(sal_q) - np.asarray(sal_f)).max())
+    ok_i8sal = err_q / q_scale < 5e-2
+    print(f"int8 saliency   rel|dmap|={err_q / q_scale:.2e}  "
+          f"{'PASS' if ok_i8sal else 'FAIL'}")
+
     return 0 if (ok_fwd and ok_bwd and ok_sal and ok_v3 and ok_v3s
-                 and ok_v3t and ok_ro and ok_i8 and ok_i8s) else 1
+                 and ok_v3t and ok_ro and ok_i8 and ok_i8s
+                 and ok_i8sal) else 1
 
 
 if __name__ == "__main__":
