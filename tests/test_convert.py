@@ -171,6 +171,7 @@ def test_mha_rotary_free_parity_with_torch():
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_monai_medicalnet_resnet_converter():
     """VERDICT r2 #4b: a MedicalNet/MONAI `ResNetFeatures`-layout
     state_dict (3D conv kernels, DataParallel "module." prefix) converts

@@ -508,6 +508,7 @@ def test_fused_paths_honor_nondefault_eps_and_theta():
                                        atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_multislice_packing_k8_parity():
     """N=8 picks block_n=8 (`_pick_block`): the multi-slice
     weight-stationary program must match the reference composition exactly —
@@ -698,6 +699,7 @@ def test_frozen_fused_train_grads_match_flax():
                                        atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_fused_rollout_saliency_matches_flax():
     """VERDICT r2 #8: fused rollout serving — the in-VMEM carry-row chain
     equals the flax `--use_rollout` path (12 sowed [N,heads,T,T] tensors),

@@ -116,6 +116,7 @@ def test_int8_rejects_train_but_serves_saliency():
                                np.ones((2, cfg.num_heads)), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_int8_saliency_tracks_bf16():
     """Explainability serving on int8 kernels (dynamic AND static trees):
     the saliency maps track the bf16 fused path within the quantization
