@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from mst_tpu.models.vit import _VIT_CONFIGS, interpolate_pos_embed
 from mst_tpu.ops.fused_block import (
     fused_attention_sublayer,
+    fused_attention_sublayer_abnar,
     fused_attention_sublayer_rollout,
     fused_attention_sublayer_rope,
     fused_attention_sublayer_rope_with_row,
@@ -153,7 +154,8 @@ def prepare_vit_tokens(params, x, cfg: FastViTConfig, dtype=jnp.bfloat16):
 def fused_vit_cls(params, x, cfg: FastViTConfig,
                   dtype=jnp.bfloat16, train: bool = False,
                   want_last_row: bool = False,
-                  want_rollout: bool = False):
+                  want_rollout: bool = False,
+                  want_abnar: bool = False):
     """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E].
 
     train=True routes through the residual-sharing kernel variants whose
@@ -167,10 +169,21 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     chain's CLS row through every block in-VMEM
     (`fused_attention_sublayer_rollout`) and returns (cls, chain_row) —
     the reference `get_attention_cls` chain without the 12 sowed
-    [N, heads, S, S] tensors."""
+    [N, heads, S, S] tensors.
+    want_abnar=True (serving) collects each block's Abnar rollout factor
+    emitted in-kernel ([N, S, S] f32, head-meaned + identity +
+    row-normalised) and returns (cls, factors) — the newest-first Abnar
+    product cannot thread a forward carry, so the factors chain in XLA
+    (`ops/saliency.attention_rollout_from_factors`)."""
     N = x.shape[0]
     h, rope_cos, rope_sin = prepare_vit_tokens(params, x, cfg, dtype)
 
+    if sum((want_last_row, want_rollout, want_abnar)) > 1:
+        raise ValueError("want_last_row / want_rollout / want_abnar are "
+                         "mutually exclusive saliency modes")
+    if want_abnar and train:
+        raise ValueError("want_abnar is a serving-only path")
+    abnar_factors = []
     attn_fn = fused_attention_sublayer_train if train else \
         fused_attention_sublayer
     mlp_fn = fused_mlp_sublayer_train if train else fused_mlp_sublayer
@@ -216,12 +229,15 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
                 blk["attn"]["qkv"], blk["attn"]["proj"], ls1,
                 cfg.num_heads, cfg.norm_eps,
                 rope_cos=rope_cos, rope_sin=rope_sin, static=static,
-                want_row=want_row_here,
+                want_row=want_row_here, abnar=want_abnar,
                 carry=carry if want_rollout else None)
             if want_rollout:
                 h, carry = attn_out
             elif want_row_here:
                 h, last_row = attn_out
+            elif want_abnar:
+                h, amat = attn_out
+                abnar_factors.append(amat)
             else:
                 h = attn_out
             if cfg.ffn_layer == "swiglu":
@@ -244,6 +260,11 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             h, carry = fused_attention_sublayer_rollout(
                 *attn_args, carry, cfg.num_heads, cfg.norm_eps,
                 rope_cos=rope_cos, rope_sin=rope_sin)
+        elif want_abnar:
+            h, amat = fused_attention_sublayer_abnar(
+                *attn_args, cfg.num_heads, cfg.norm_eps,
+                rope_cos=rope_cos, rope_sin=rope_sin)
+            abnar_factors.append(amat)
         elif rope_cos is not None:
             if want_row_here:
                 h, last_row = fused_attention_sublayer_rope_with_row(
@@ -287,6 +308,8 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     cls = hf[:, 0].astype(dtype)
     if want_rollout:
         return cls, carry
+    if want_abnar:
+        return cls, abnar_factors
     if want_last_row:
         return cls, last_row
     return cls
@@ -322,6 +345,7 @@ def fused_mst_saliency(params, source, model, src_key_padding_mask=None,
     `plane_attention_from_row` consumes one [N, heads, S] row and the
     tiny fusion layer's probs come from its XLA softmax."""
     from mst_tpu.ops.saliency import (
+        attention_rollout_from_factors,
         combined_saliency,
         plane_attention_from_row,
         slice_attention,
@@ -330,7 +354,7 @@ def fused_mst_saliency(params, source, model, src_key_padding_mask=None,
 
     B, C, D, H, W = source.shape
     p = model.patch_size
-    logits, last_row, fusion_probs = _fused_mst(
+    logits, sal_data, fusion_probs = _fused_mst(
         params, source, model, src_key_padding_mask, dtype,
         want_saliency=True, plane_mode=plane_mode)
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
@@ -339,7 +363,12 @@ def fused_mst_saliency(params, source, model, src_key_padding_mask=None,
     else:
         sw = slice_attention(fusion_probs)
     n_prefix = 1 + model.num_register_tokens
-    pw = plane_attention_from_row(last_row, n_prefix, (H // p, W // p))
+    gh, gw = H // p, W // p
+    if plane_mode == "rollout_abnar":
+        pw = attention_rollout_from_factors(sal_data, n_prefix
+                                            ).reshape(-1, gh, gw)
+    else:
+        pw = plane_attention_from_row(sal_data, n_prefix, (gh, gw))
     sal = combined_saliency(sw, pw)
     return probs, upsample_saliency(sal, (D, H, W))
 
@@ -360,6 +389,9 @@ def _fused_mst(params, source, model, src_key_padding_mask=None,
     if want_saliency and plane_mode == "rollout":
         feats, last_row = fused_vit_cls(params["encoder"], x, cfg, dtype,
                                         want_rollout=True)
+    elif want_saliency and plane_mode == "rollout_abnar":
+        feats, last_row = fused_vit_cls(params["encoder"], x, cfg, dtype,
+                                        want_abnar=True)
     elif want_saliency:
         feats, last_row = fused_vit_cls(params["encoder"], x, cfg, dtype,
                                         want_last_row=True)

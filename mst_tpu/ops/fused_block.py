@@ -167,7 +167,7 @@ def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000) -> int:
 
 
 def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
-          carry_row=None):
+          carry_row=None, want_abnar=False):
     """Per-head softmax attention over a packed [K*S, 3E] qkv block of K
     independent slice images (`S` tokens each; S=None means one slice).
     `want_row=True` additionally returns the CLS (query 0) softmax row per
@@ -198,15 +198,24 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
     swap (x[2j], x[2j+1]) -> (-x[2j+1], x[2j]) runs as a matmul with the
     constant block-diagonal `pmat` [hd, hd] — an MXU-friendly formulation
     (a strided lane shuffle would be a VPU worst case).
+
+    `want_abnar=True` additionally returns this layer's Abnar & Zuidema
+    rollout factor per slice, [K, S, S] f32: head-MEAN of the softmax
+    probabilities + full identity, row-normalised (`ops/saliency.
+    attention_rollout`). The Abnar product multiplies NEWEST-layer-first
+    (A_{L-1} @ ... @ A_0), so unlike the reference chain it cannot thread
+    a forward carry row — the factors are emitted (12x smaller than the
+    flax path's per-head sows) and chained in XLA.
     """
     scale = 1.0 / math.sqrt(hd) * _LOG2E
     T = qkv.shape[0]
     S = T if S is None else S
     K = T // S
-    outs, rows, carries = [], [], []
+    outs, rows, carries, abnars = [], [], [], []
     for sl in range(K):
         lo = sl * S
         souts, srows, scarries = [], [], []
+        ab = None
         for i in range(num_heads):
             q = qkv[lo:lo + S, i * hd:(i + 1) * hd]
             k = qkv[lo:lo + S, E + i * hd: E + (i + 1) * hd]
@@ -235,6 +244,9 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
             souts.append(o.astype(cd))
             if want_row:
                 srows.append(p[:1] / l[:1])  # CLS softmax row [1, S], f32
+            if want_abnar:
+                pn = p / l  # normalised probs [S, S] f32
+                ab = pn if ab is None else ab + pn
             if carry_row is not None:
                 # r_new[j] = sum_i r[i] * softmax(p)[i, j]: fold the row
                 # normaliser into r, then multiply-reduce over rows.
@@ -243,26 +255,34 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
         outs.append(jnp.concatenate(souts, axis=-1))  # [S, E]
         if want_row:
             rows.append(jnp.concatenate(srows, axis=0))  # [heads, S]
+        if want_abnar:
+            a = ab * (1.0 / num_heads) + jnp.eye(S, dtype=jnp.float32)
+            abnars.append(a / jnp.sum(a, axis=-1, keepdims=True))
         if carry_row is not None:
             carries.append(jnp.stack(scarries, axis=0))  # [heads, S]
     out = jnp.concatenate(outs, axis=0)  # [K*S, E]
     ret = (out,)
     if want_row:
         ret += (jnp.stack(rows, axis=0),)  # [K, heads, S]
+    if want_abnar:
+        ret += (jnp.stack(abnars, axis=0),)  # [K, S, S]
     if carry_row is not None:
         ret += (jnp.stack(carries, axis=0),)  # [K, heads, S]
     return ret if len(ret) > 1 else out
 
 
 def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
-                     has_rope: bool, want_row: bool, carry: bool = False):
+                     has_rope: bool, want_row: bool, carry: bool = False,
+                     abnar: bool = False):
     """The serving attention sub-layer kernel, one body for all its
-    variants (plain / RoPE / CLS-row / rollout-carry — static flags pick
-    the ref layout and outputs): y = x + ls * proj(MHSA([RoPE](LN(x)))),
-    optionally emitting the per-head CLS softmax row [heads, S] (f32) for
-    the explainability path and/or updating the in-VMEM rollout carry row
-    (see `_mhsa`). RoPE angles from `ops.rotary.rope_2d_angles`; the pair
-    swap runs as a matmul with the constant block-diagonal `pmat`."""
+    variants (plain / RoPE / CLS-row / rollout-carry / Abnar-factor —
+    static flags pick the ref layout and outputs): y = x + ls *
+    proj(MHSA([RoPE](LN(x)))), optionally emitting the per-head CLS
+    softmax row [heads, S] (f32) for the explainability path, the Abnar
+    rollout factor [S, S] (f32), and/or updating the in-VMEM rollout
+    carry row (see `_mhsa`). RoPE angles from `ops.rotary.rope_2d_angles`;
+    the pair swap runs as a matmul with the constant block-diagonal
+    `pmat`."""
     idx = 1
     x_ref = refs[0]
     carry_ref = None
@@ -292,16 +312,17 @@ def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)  # [K*S, 3E]
     out = _mhsa(qkv, E, hd, num_heads, x.dtype, rope=rope, want_row=want_row,
-                S=S, carry_row=carry_ref[:] if carry else None)
-    new_carry = rows = None
-    if carry and want_row:
-        o, rows, new_carry = out
-    elif carry:
-        o, new_carry = out
-    elif want_row:
-        o, rows = out
-    else:
-        o = out
+                S=S, carry_row=carry_ref[:] if carry else None,
+                want_abnar=abnar)
+    new_carry = rows = amat = None
+    rest = list(out[1:]) if isinstance(out, tuple) else []
+    o = out[0] if isinstance(out, tuple) else out
+    if want_row:
+        rows = rest.pop(0)
+    if abnar:
+        amat = rest.pop(0)
+    if carry:
+        new_carry = rest.pop(0)
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -312,6 +333,9 @@ def _attn_any_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
     oi = 1
     if want_row:
         out_refs[oi][:] = rows  # [K, heads, S]
+        oi += 1
+    if abnar:
+        out_refs[oi][:] = amat  # [K, S, S]
         oi += 1
     if carry:
         out_refs[oi][:] = new_carry  # [K, heads, S]
@@ -1374,6 +1398,38 @@ def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
         out_shapes=[(S, E), (num_heads, S)],
+        out_dtypes=[x.dtype, jnp.float32],
+        block_n=_pick_block(N, S, E),
+    )
+
+
+def fused_attention_sublayer_abnar(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                   bproj, ls, num_heads, eps=1e-6,
+                                   rope_cos=None, rope_sin=None):
+    """(y, abnar_factor): the fused attention sub-layer plus this layer's
+    Abnar & Zuidema rollout factor [N, S, S] f32 (head-meaned probs + full
+    identity, row-normalised — `ops/saliency.attention_rollout` per-layer
+    term, computed in-kernel). The Abnar product multiplies newest-first,
+    so the factors are emitted and chained in XLA
+    (`ops/saliency.attention_rollout_from_factors`) — still 12x smaller
+    than the flax path's per-head [N, heads, S, S] sows. Serving only."""
+    has_ls = ls is not None
+    ls_arg = _vec(ls) if has_ls else jnp.zeros((1, x.shape[-1]), jnp.float32)
+    N, S, E = x.shape
+    has_rope = rope_cos is not None
+    operands = [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype),
+                _vec(bqkv), jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg]
+    if has_rope:
+        pmat = jnp.asarray(_pair_swap_matrix(E // num_heads), x.dtype)
+        operands += [jnp.asarray(rope_cos, jnp.float32),
+                     jnp.asarray(rope_sin, jnp.float32), pmat]
+    return _call_fused_multi(
+        functools.partial(_attn_any_kernel, num_heads=num_heads,
+                          has_ls=has_ls, eps=eps, has_rope=has_rope,
+                          want_row=False, abnar=True),
+        x,
+        operands,
+        out_shapes=[(S, E), (S, S)],
         out_dtypes=[x.dtype, jnp.float32],
         block_n=_pick_block(N, S, E),
     )

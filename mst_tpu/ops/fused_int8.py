@@ -330,7 +330,8 @@ def _dot_i8(aq, wq):
 
 def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
                     has_rope: bool = False, static_act: bool = False,
-                    want_row: bool = False, carry: bool = False):
+                    want_row: bool = False, carry: bool = False,
+                    abnar: bool = False):
     """y = x + ls * proj_i8(MHSA_bf16([RoPE](qkv_i8(LN(x))))) — W8A8 qkv +
     proj, bf16 softmax attention. RoPE (the DINOv3 config) applies to the
     DEQUANTISED bf16 q/k, so the rotation is exactly the bf16 path's.
@@ -376,17 +377,17 @@ def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
         qkv = (_dot_i8(hq, wqkv_ref[:]).astype(jnp.float32)
                * hs * sqkv_ref[0] + bqkv_ref[0]).astype(cd)
     out = _mhsa(qkv, E, hd, num_heads, cd, S=S, rope=rope,
-                want_row=want_row,
+                want_row=want_row, want_abnar=abnar,
                 carry_row=carry_ref[:] if carry else None)
-    new_carry = rows = None
-    if carry and want_row:
-        o, rows, new_carry = out
-    elif carry:
-        o, new_carry = out
-    elif want_row:
-        o, rows = out
-    else:
-        o = out
+    new_carry = rows = amat = None
+    rest = list(out[1:]) if isinstance(out, tuple) else []
+    o = out[0] if isinstance(out, tuple) else out
+    if want_row:
+        rows = rest.pop(0)
+    if abnar:
+        amat = rest.pop(0)
+    if carry:
+        new_carry = rest.pop(0)
     if static_act:
         oq = _quant_static(o.astype(jnp.float32))
         y = (_dot_i8(oq, wproj_ref[:]).astype(jnp.float32)
@@ -401,6 +402,9 @@ def _attn_i8_kernel(*refs, num_heads: int, has_ls: bool, eps: float,
     oi = 1
     if want_row:
         out_refs[oi][:] = rows  # [K, heads, S]
+        oi += 1
+    if abnar:
+        out_refs[oi][:] = amat  # [K, S, S]
         oi += 1
     if carry:
         out_refs[oi][:] = new_carry  # [K, heads, S]
@@ -508,7 +512,8 @@ def _call_i8(kernel, x, operands, block_n):
 def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
                                 num_heads, eps=1e-6,
                                 rope_cos=None, rope_sin=None,
-                                static=False, want_row=False, carry=None):
+                                static=False, want_row=False, carry=None,
+                                abnar=False):
     """qkv_node/proj_node: {"q8", "scale", "bias"} from
     `quantize_encoder_int8`. Optional rope_cos/rope_sin ([S, hd] f32,
     `ops.rotary.rope_2d_angles` convention) select the DINOv3 variant.
@@ -535,14 +540,17 @@ def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
     kernel = functools.partial(_attn_i8_kernel, num_heads=num_heads,
                                has_ls=has_ls, eps=eps, has_rope=has_rope,
                                static_act=static, want_row=want_row,
-                               carry=carry is not None)
-    if not want_row and carry is None:
+                               carry=carry is not None, abnar=abnar)
+    if not want_row and carry is None and not abnar:
         return _call_i8(kernel, x, operands, block_n=_pick_block(*x.shape))
     N, S, E = x.shape
     out_shapes = [(S, E)]
     out_dtypes = [x.dtype]
     if want_row:
         out_shapes.append((num_heads, S))
+        out_dtypes.append(jnp.float32)
+    if abnar:
+        out_shapes.append((S, S))
         out_dtypes.append(jnp.float32)
     if carry is not None:
         out_shapes.append((num_heads, S))

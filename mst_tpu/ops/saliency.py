@@ -99,6 +99,23 @@ def attention_cls_rollout(
     return result
 
 
+def attention_rollout_from_factors(
+    factors: Sequence[jax.Array],  # each [B, T, T], already headmean+I+norm
+    num_prefix_tokens: int,
+) -> jax.Array:
+    """`attention_rollout` when each layer's factor (head-mean + identity +
+    row-normalise) was already computed — what the fused serving kernel
+    emits (`ops/fused_block.fused_attention_sublayer_abnar`). Same
+    newest-first product and CLS-row read."""
+    result = None
+    for a in factors:
+        result = a if result is None else jnp.einsum("bij,bjk->bik",
+                                                     a, result)
+    cls_row = result[:, 0, num_prefix_tokens:]
+    return cls_row / jnp.clip(jnp.sum(cls_row, axis=-1, keepdims=True),
+                              1e-12)
+
+
 def attention_rollout(
     probs_per_layer: Sequence[jax.Array],  # each [B, heads, T, T]
     num_prefix_tokens: int,

@@ -82,7 +82,7 @@ def _forward_with_saliency(model, variables, source, mask,
     )
 
     if (not force_flax
-            and plane_mode in ("last", "rollout")
+            and plane_mode in ("last", "rollout", "rollout_abnar")
             and fused_config_supported(model)
             and fused_seq_len_ok(model, H, W)
             and "batch_stats" not in variables
@@ -90,9 +90,10 @@ def _forward_with_saliency(model, variables, source, mask,
         # Fused explainability serving: "last" — the last encoder block's
         # kernel emits the CLS attention row in-VMEM; "rollout" — the
         # reference chain's CLS row is threaded through every block's
-        # kernel. Either way no [B*D, heads, T, T] probabilities are sown
-        # (the flax rollout path materialises 12 of them: ~1.2 GB f32 for
-        # one 32-slice LIDC volume).
+        # kernel; "rollout_abnar" — per-block head-meaned factors emitted
+        # in-kernel, chained in XLA. No [B*D, heads, T, T] probabilities
+        # are sown (the flax rollout paths materialise 12 of them:
+        # ~1.2 GB f32 for one 32-slice LIDC volume).
         from mst_tpu.models.vit_fast import fused_mst_saliency
 
         return fused_mst_saliency(variables["params"], source, model,
@@ -102,7 +103,7 @@ def _forward_with_saliency(model, variables, source, mask,
         raise ValueError(
             "int8-quantized params need the fused TPU serving path; this "
             "saliency mode/config falls back to the flax composition "
-            "(rollout_abnar and oversized slice tokens stay bf16)")
+            "(oversized slice tokens stay bf16)")
     logits, aux = model.apply(
         variables, source, mask,
         deterministic=True,

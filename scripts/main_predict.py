@@ -71,9 +71,9 @@ def main(argv=None):
     ap.add_argument("--int8", action="store_true",
                     help="serve the encoder with W8A8 int8 kernels (2x MXU "
                          "rate on TPU) — plain/TTA eval, --get_attention/"
-                         "--get_segmentation and --use_rollout included "
-                         "(the CLS-row/rollout emission rides the int8 "
-                         "kernels; --rollout_abnar stays full precision)")
+                         "--get_segmentation and both rollout variants "
+                         "included (CLS-row / rollout-carry / Abnar-factor "
+                         "emission rides the int8 kernels)")
     ap.add_argument("--int8_calib", type=int, default=0, metavar="N",
                     help="with --int8: calibrate STATIC activation scales "
                          "on the first N eval volumes and fold them into "
@@ -93,10 +93,6 @@ def main(argv=None):
     ap.add_argument("--dist_process_id", type=int, default=None)
     args = ap.parse_args(argv)
 
-    if args.int8 and args.rollout_abnar:
-        raise SystemExit("--int8 serves the plain/TTA/saliency/rollout "
-                         "modes; --rollout_abnar stays on the "
-                         "full-precision flax path")
 
     if args.distributed:
         import jax

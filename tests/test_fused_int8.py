@@ -240,19 +240,30 @@ def test_int8_static_saturation_is_bounded():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_int8_cli_gates_cleanly(tmp_path):
-    """--int8 with the unsupported rollout_abnar mode exits with a clear
-    message instead of crashing deep in the kernels."""
-    import json
+def test_int8_abnar_factors_match_flax_rollout():
+    """want_abnar: the in-kernel Abnar factors chained in XLA reproduce
+    the flax attention_rollout map (interpret mode)."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_saliency
+    from mst_tpu.train.predictor import _forward_with_saliency
 
-    from scripts.main_predict import main as predict_main
-
-    run = tmp_path / "Synthetic" / "DinoV2ClassifierSlice_x"
-    run.mkdir(parents=True)
-    (run / "best_checkpoint.json").write_text(
-        json.dumps({"best_model_path": "epoch=0"}))
-    with pytest.raises(SystemExit) as e:
-        predict_main(["--run_folder", str(run), "--int8", "--get_attention",
-                      "--use_rollout", "--rollout_abnar"])
-    msg = str(e.value)
-    assert "int8" in msg
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 1, 2, 28, 28))
+    params = model.init(jax.random.PRNGKey(12), x)["params"]
+    p_ref, s_ref = _forward_with_saliency(
+        model, {"params": params}, x, None, plane_mode="rollout_abnar",
+        force_flax=True)
+    p_f, s_f = fused_mst_saliency(params, x, model, dtype=jnp.float32,
+                                  plane_mode="rollout_abnar")
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref),
+                               atol=1e-4)
+    scale = max(float(np.abs(np.asarray(s_ref)).max()), 1e-9)
+    rel = float(np.abs(np.asarray(s_f) - np.asarray(s_ref)).max()) / scale
+    assert rel < 1e-2, rel
+    # int8 tree serves the same mode within the quantization envelope
+    p_q, s_q = fused_mst_saliency(quantize_mst_params_int8(params), x,
+                                  model, dtype=jnp.float32,
+                                  plane_mode="rollout_abnar")
+    rel_q = float(np.abs(np.asarray(s_q) - np.asarray(s_ref)).max()) / scale
+    assert rel_q < 0.05, rel_q
