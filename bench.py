@@ -75,7 +75,7 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     sweep = {}
     best_batch, best_vps = batch, vps
     if on_tpu:
-        for b in (4, 8, 16, 32):
+        for b in (4, 8, 16, 32, 64):
             if b == batch:
                 bdt = dt
                 src_b = source

@@ -49,13 +49,23 @@ def fused_config_supported(model, train: bool = False) -> bool:
     Fusion-rotary / non-transformer-fusion configs use flax modules the
     fused kernels do not implement. Since round 3 the residual-sharing
     train kernels carry rope (DINOv3) and runtime-eps plumbing, so the
-    train gate equals the serving gate."""
+    train gate equals the serving gate.
+
+    The encoder width must be lane-aligned (embed_dim % 128): Mosaic
+    cannot lower the kernels' (K, S, E)->(K*S, E) collapse for narrower
+    widths (measured on v5e: the test-only 32-wide "tiny" config fails
+    `infer-vector-layout: unsupported shape cast`; every reference size
+    — 384/768/1024/1536 — compiles at any token count). Narrow configs
+    route to the flax composition instead of crashing the compile."""
     del train  # train/serve support parity since round 3
+    width = _VIT_CONFIGS.get(getattr(model, "model_size", ""), {}).get(
+        "embed_dim", 0)
     return (
         type(model).__name__ == "DinoSliceClassifier"
         and getattr(model, "rotary", 1) is None
         and getattr(model, "slice_fusion", "") == "transformer"
         and getattr(model, "fusion_layers", 0) >= 1
+        and width >= 128 and width % 128 == 0
     )
 
 

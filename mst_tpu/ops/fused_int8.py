@@ -101,12 +101,16 @@ def quantize_encoder_int8(encoder_params, act_scales=None,
     activations (they saturate at ±127 beyond it)."""
 
     def _conv(tree):
+        # pass-through leaves are COPIED, not aliased: the quantized tree
+        # must outlive the source params (frozen int8 TRAINING closes over
+        # it while the train step donates state.params — aliased leaves
+        # would be deleted by the first step's buffer donation)
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
                 out[k] = _conv(v)
             else:
-                out[k] = v
+                out[k] = jnp.array(v, copy=True)
         return out
 
     params = _conv(encoder_params)
@@ -182,7 +186,14 @@ def calibrate_act_scales_int8(encoder_params, x, cfg,
     Slice images flow through the encoder independently, so calibration
     chunks over N (`chunk` slices at a time, running max) — the explicit
     [n, heads, S, S] f32 attention stays bounded even at giant2 width.
+    A ragged tail chunk is padded by wrapping around to the front of x
+    (duplicate slices cannot change an abs-max), so every chunk hits the
+    same jitted program.
     """
+    n = x.shape[0]
+    if n % chunk and n > chunk:
+        pad = chunk - n % chunk
+        x = jnp.concatenate([x, x[:pad]], axis=0)
     stats = None
     for lo in range(0, x.shape[0], chunk):
         cs = _calibrate_chunk(encoder_params, x[lo:lo + chunk], cfg, dtype)
@@ -196,7 +207,11 @@ def calibrate_act_scales_int8(encoder_params, x, cfg,
             for name, s in jax.device_get(stats).items()}
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def _calibrate_chunk(encoder_params, x, cfg, dtype) -> dict:
+    # jitted with the config static: eager execution dispatches ~20 ops x
+    # depth per chunk individually, which at giant2 width over a tunneled
+    # device link turns a one-volume calibration into tens of minutes.
     from mst_tpu.models.vit_fast import prepare_vit_tokens
     from mst_tpu.ops.fused_block import _pair_swap_matrix
 

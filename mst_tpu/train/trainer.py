@@ -127,7 +127,7 @@ def _is_pure_data_mesh(mesh) -> bool:
 
 
 def make_train_step(model, has_batch_stats: bool = False, mesh=None,
-                    spmd: str = "auto"):
+                    spmd: str = "auto", int8_encoder=None):
     # TPU training path: the residual-sharing fused kernels
     # (fused_block.py `*_train` variants — the forward saves qkv/probs/
     # hidden, the backward is pure XLA matmul math, no forward recompute).
@@ -148,8 +148,27 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
     # `spmd`: "auto" (shard_map exactly when the fused multi-chip case
     # applies) | "shard_map" (force, used by tests/dryrun to validate the
     # plumbing with the flax loss on the CPU mesh) | "jit" (force off).
+    #
+    # `int8_encoder`: a quantized encoder subtree
+    # (`ops/fused_int8.quantize_encoder_int8`) for FROZEN-encoder training:
+    # the forward swaps it in for `params["encoder"]`, so the stop-gradient
+    # encoder rides the W8A8 serving kernels while fusion/head train in
+    # full precision against the exact features int8 serving will produce.
+    # Grads w.r.t. the (unused) bf16 encoder params are zero — the same
+    # contract `make_optimizer(freeze_encoder=True)` enforces. Checkpoints
+    # keep the bf16 params; re-quantize on resume.
     use_fused = should_use_fused_train(model, has_batch_stats,
                                        jax.default_backend())
+    if int8_encoder is not None:
+        if not getattr(model, "freeze", False):
+            raise ValueError(
+                "int8_encoder requires a frozen encoder (model.freeze): "
+                "training THROUGH int8 weights is not supported — the "
+                "quantized forward has no meaningful weight gradients")
+        if not use_fused:
+            raise ValueError(
+                "int8_encoder requires the fused TPU train path "
+                "(should_use_fused_train must hold for this model/backend)")
     multi_device = mesh is not None and int(
         np.prod(list(mesh.shape.values()))) > 1
     if spmd == "auto":
@@ -168,7 +187,8 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
         # mesh the flax path is the partitionable program.
         use_fused = False
 
-    def loss_and_logits(params, batch_stats, source, target, mask, rngs):
+    def loss_and_logits(params, batch_stats, source, target, mask, rngs,
+                        i8enc):
         variables = {"params": params}
         if has_batch_stats:
             variables["batch_stats"] = batch_stats
@@ -184,6 +204,12 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
         if use_fused and fused_seq_len_ok(model, *source.shape[-2:]):
             from mst_tpu.models.vit_fast import fused_mst_logits
 
+            if i8enc is not None:
+                # frozen int8 forward: the quantized tree is not part of
+                # `params`, so the bf16 encoder leaves are unused and
+                # their grads are exactly zero
+                params = dict(params)
+                params["encoder"] = i8enc
             # rngs unused: the model has no dropout knobs (all rates 0,
             # matching the reference defaults), so the deterministic
             # fused program is the training program.
@@ -195,24 +221,25 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
                                  deterministic=False, rngs=rngs)
         return cross_entropy_loss(logits, target), (logits, None)
 
-    def grads_of(params, batch_stats, source, target, mask, rngs):
+    def grads_of(params, batch_stats, source, target, mask, rngs, i8enc):
         (loss, (logits, updates)), grads = jax.value_and_grad(
             loss_and_logits, has_aux=True
-        )(params, batch_stats, source, target, mask, rngs)
+        )(params, batch_stats, source, target, mask, rngs, i8enc)
         return loss, logits, updates, grads
 
     if use_shard_map:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        def grads_spmd(params, batch_stats, source, target, mask, rngs):
+        def grads_spmd(params, batch_stats, source, target, mask, rngs,
+                       i8enc):
             # decorrelate per-shard randomness (dropout/drop_path masks
             # must differ across data shards like they do across a full
             # single-program batch)
             shard = jax.lax.axis_index("data")
             rngs = {k: jax.random.fold_in(v, shard) for k, v in rngs.items()}
             loss, logits, updates, grads = grads_of(
-                params, batch_stats, source, target, mask, rngs)
+                params, batch_stats, source, target, mask, rngs, i8enc)
             # equal shards => pmean of per-shard CE means == global mean
             loss = jax.lax.pmean(loss, "data")
             grads = jax.lax.pmean(grads, "data")
@@ -220,22 +247,23 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
                 updates = jax.lax.pmean(updates, "data")
             return loss, logits, updates, grads
 
-        def run_grads(params, batch_stats, source, target, mask, rngs):
+        def run_grads(params, batch_stats, source, target, mask, rngs,
+                      i8enc):
             if source.shape[0] % mesh.shape["data"] != 0:
                 # indivisible batch (shard_batch commits these replicated —
                 # tiny remainders): run the single-program step, matching
                 # the pre-shard_map behavior
                 return grads_of(params, batch_stats, source, target, mask,
-                                rngs)
+                                rngs, i8enc)
             batch = P("data")
             in_specs = (P(), P(), batch, batch,
-                        P() if mask is None else batch, P())
+                        P() if mask is None else batch, P(), P())
             out_specs = (P(), batch, P(), P())
             return shard_map(
                 grads_spmd, mesh=mesh,
                 in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
-            )(params, batch_stats, source, target, mask, rngs)
+            )(params, batch_stats, source, target, mask, rngs, i8enc)
     else:
         run_grads = grads_of
 
@@ -243,7 +271,8 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
         rng = jax.random.fold_in(state.dropout_rng, state.step)
         rngs = {"dropout": rng, "drop_path": jax.random.fold_in(rng, 1)}
         loss, logits, updates, grads = run_grads(
-            state.params, state.batch_stats, source, target, mask, rngs)
+            state.params, state.batch_stats, source, target, mask, rngs,
+            int8_encoder)
         state = state.apply_gradients(grads=grads)
         if has_batch_stats:
             state = state.replace(batch_stats=updates["batch_stats"])
@@ -252,12 +281,14 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(model, mesh=None):
+def make_eval_step(model, mesh=None, int8_encoder=None):
     """Validation forward. On TPU the standard Dino configs ride the fused
     serving kernels (same gate as the predictor's plain path); on a
     multi-device pure-DP mesh the fused forward runs under shard_map for
     the same partitioning reason as the train step. Everything else uses
-    the flax composition."""
+    the flax composition. `int8_encoder` (frozen int8 training,
+    make_train_step) swaps the quantized encoder into the eval forward so
+    validation scores the exact features the fusion head is learning on."""
     from mst_tpu.models.vit_fast import fused_config_supported
 
     fused_ok = (fused_config_supported(model)
@@ -266,6 +297,8 @@ def make_eval_step(model, mesh=None):
         np.prod(list(mesh.shape.values()))) > 1
     if fused_ok and multi_device and not _is_pure_data_mesh(mesh):
         fused_ok = False  # flax path partitions under tensor/slice meshes
+    if int8_encoder is not None and not fused_ok:
+        raise ValueError("int8_encoder requires the fused TPU eval path")
 
     def forward(params, batch_stats, source, mask):
         variables = {"params": params}
@@ -277,6 +310,9 @@ def make_eval_step(model, mesh=None):
                 and fused_seq_len_ok(model, *source.shape[-2:])):
             from mst_tpu.models.vit_fast import fused_mst_logits
 
+            if int8_encoder is not None:
+                params = dict(params)
+                params["encoder"] = int8_encoder
             return fused_mst_logits(params, source, model,
                                     src_key_padding_mask=mask,
                                     dtype=model.dtype)
@@ -324,6 +360,8 @@ class Trainer:
         keep_last: bool = True,
         profile_dir=None,
         num_sanity_val_steps: int = 2,
+        int8: bool = False,
+        int8_calib: int = 0,
     ):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -337,6 +375,8 @@ class Trainer:
         self.keep_last = keep_last
         self.profile_dir = profile_dir
         self.num_sanity_val_steps = num_sanity_val_steps
+        self.int8 = int8
+        self.int8_calib = int8_calib
 
     def init_state(self, model, example_batch, tx, seed: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(seed)
@@ -354,9 +394,46 @@ class Trainer:
             hparams: Optional[Dict] = None, start_epoch: int = 0,
             resume_meta: Optional[Dict] = None) -> tuple:
         has_bs = state.batch_stats is not None
+        int8_enc = None
+        if self.int8:
+            # Frozen-encoder int8 training (`--int8` on the train CLI):
+            # quantize the frozen encoder ONCE and ride the W8A8 serving
+            # kernels under stop_gradient — fusion/head learn on the exact
+            # features int8 serving will produce (train/serve consistency).
+            # Checkpoints keep the bf16 encoder; resume re-quantizes here.
+            if not getattr(model, "freeze", False):
+                raise ValueError(
+                    "--int8 training requires --freeze (only the frozen "
+                    "encoder forward may run quantized)")
+            if should_use_fused_train(model, has_bs, jax.default_backend()):
+                from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+
+                calib = None
+                if self.int8_calib:
+                    vols, seen = [], 0
+                    for batch in dm.train_dataloader():
+                        vols.append(np.asarray(batch["source"]))
+                        seen += vols[-1].shape[0]
+                        if seen >= self.int8_calib:
+                            break
+                    if vols:
+                        calib = jnp.asarray(
+                            np.concatenate(vols, 0)[:self.int8_calib])
+                q = quantize_mst_params_int8(
+                    {"encoder": state.params["encoder"]}, model, calib)
+                int8_enc = q["encoder"]
+                log.info(
+                    "frozen encoder trains on int8 (W8A8) serving kernels"
+                    " (%s activation scales)",
+                    "static calibrated" if calib is not None else
+                    "dynamic per-token")
+            else:
+                log.warning("--int8 ignored: fused train path unavailable "
+                            "for this model/backend")
         train_step = make_train_step(model, has_batch_stats=has_bs,
-                                     mesh=self.mesh)
-        eval_step = make_eval_step(model, mesh=self.mesh)
+                                     mesh=self.mesh, int8_encoder=int8_enc)
+        eval_step = make_eval_step(model, mesh=self.mesh,
+                                   int8_encoder=int8_enc)
         best, best_epoch, stale = -np.inf, -1, 0
         if resume_meta:  # continue the early-stop bookkeeping exactly
             best = float(resume_meta.get("best", best))

@@ -56,6 +56,15 @@ def main(argv=None):
     ap.add_argument("--use_bottleneck", action="store_true")
     ap.add_argument("--use_slice_pos_emb", action="store_true")
     ap.add_argument("--freeze", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --freeze: run the frozen encoder forward on "
+                         "the int8 (W8A8) serving kernels during training — "
+                         "fusion/head learn on the exact features int8 "
+                         "serving produces (checkpoints stay bf16)")
+    ap.add_argument("--int8_calib", type=int, default=0,
+                    help="with --int8: calibrate static activation scales "
+                         "on this many training volumes (0 = dynamic "
+                         "per-token scales)")
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--max_epochs", type=int, default=1000)
     ap.add_argument("--num_train_samples", type=int, default=2000)
@@ -211,6 +220,7 @@ def main(argv=None):
         run_dir, max_epochs=args.max_epochs, patience=args.patience,
         limit_val_batches=min(len(ds_val), 200),
         profile_dir=args.profile_dir,
+        int8=args.int8, int8_calib=args.int8_calib,
     )
     example = next(iter(dm.val_dataloader()))
     state = trainer.init_state(model, example, tx, seed=args.seed)

@@ -489,8 +489,13 @@ def test_fused_paths_honor_nondefault_eps_and_theta():
     # the fused train path must match the flax composition
     from mst_tpu.train.trainer import should_use_fused_train
 
-    assert should_use_fused_train(m1, False, "tpu")
-    assert should_use_fused_train(m2, False, "tpu")
+    # gate checks on lane-aligned (model_size small) clones: the 32-wide
+    # tiny config itself is width-rejected on real TPU (vit_fast.
+    # fused_config_supported), but eps/rope admission is what's asserted
+    assert should_use_fused_train(
+        m1.clone(model_size="small"), False, "tpu")
+    assert should_use_fused_train(
+        m2.clone(model_size="small"), False, "tpu")
 
     for m, p, xx in ((m1, p1, x), (m2, p2, x2)):
         def loss_fused(pp, _m=m, _x=xx):

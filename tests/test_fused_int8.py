@@ -267,3 +267,99 @@ def test_int8_abnar_factors_match_flax_rollout():
                                   plane_mode="rollout_abnar")
     rel_q = float(np.abs(np.asarray(s_q) - np.asarray(s_ref)).max()) / scale
     assert rel_q < 0.05, rel_q
+
+
+def test_int8_frozen_train_grads_and_forward_consistency():
+    """Frozen int8 training (trainer `--int8`): the train-time forward must
+    equal the int8 SERVING forward exactly (train/serve consistency is the
+    point of the feature), grads w.r.t. the bf16 encoder must be exactly
+    zero, and fusion/head grads must track the bf16 frozen step within the
+    quantization error envelope."""
+    import optax
+
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4, freeze=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    target = jnp.array([0, 1])
+    qenc = quantize_mst_params_int8(
+        {"encoder": params["encoder"]})["encoder"]
+
+    def loss_fn(p, enc):
+        fp = dict(p)
+        if enc is not None:
+            fp["encoder"] = enc
+        logits = fused_mst_logits(fp, x, model, dtype=jnp.float32,
+                                  train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, target).mean(), logits
+
+    (_, logits_q), grads_q = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, qenc)
+
+    # 1. train forward == int8 serving forward
+    fp = dict(params)
+    fp["encoder"] = qenc
+    serve = fused_mst_logits(fp, x, model, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(logits_q), np.asarray(serve))
+
+    # 2. the (swapped-out) bf16 encoder gets exactly-zero grads
+    for leaf in jax.tree_util.tree_leaves(grads_q["encoder"]):
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0
+
+    # 3. fusion/head grads track the bf16 frozen step
+    _, grads_b = jax.value_and_grad(loss_fn, has_aux=True)(params, None)
+    for key in ("head", "fusion_0"):
+        a = np.concatenate([np.ravel(l) for l in
+                            jax.tree_util.tree_leaves(grads_q[key])])
+        b = np.concatenate([np.ravel(l) for l in
+                            jax.tree_util.tree_leaves(grads_b[key])])
+        cos = np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b),
+                                 1e-12)
+        assert cos > 0.98, (key, cos)
+
+
+def test_make_train_step_int8_gate():
+    """int8_encoder is rejected for unfrozen models, and (on this CPU
+    host) when the fused TPU train path is unavailable."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train.trainer import make_train_step
+
+    unfrozen = DinoSliceClassifier(out_ch=2, model_size="tiny",
+                                   patch_size=14, use_flash=False,
+                                   fusion_heads=4)
+    with pytest.raises(ValueError, match="frozen"):
+        make_train_step(unfrozen, int8_encoder={})
+    frozen = DinoSliceClassifier(out_ch=2, model_size="tiny",
+                                 patch_size=14, use_flash=False,
+                                 fusion_heads=4, freeze=True)
+    if jax.default_backend() != "tpu":
+        with pytest.raises(ValueError, match="fused"):
+            make_train_step(frozen, int8_encoder={})
+
+
+def test_quantized_tree_survives_source_donation():
+    """The quantized tree must not alias the source params: frozen int8
+    training closes over it while the jitted train step DONATES
+    state.params — aliased pass-through leaves (pos_embed, LN, biases)
+    would be freed by the first step's buffer donation (regression: the
+    --int8 train CLI crashed with "Array has been deleted" at epoch 0 on
+    real TPU)."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4, freeze=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 3, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    fp = dict(params)
+    fp["encoder"] = quantize_mst_params_int8(
+        {"encoder": params["encoder"]})["encoder"]
+    # simulate donation of the source params
+    for leaf in jax.tree_util.tree_leaves(params["encoder"]):
+        leaf.delete()
+    logits = fused_mst_logits(fp, x, model, dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -83,13 +83,19 @@ def test_should_use_fused_train_gate():
     from mst_tpu.models.resnet import ResNet3DClassifier
     from mst_tpu.train.trainer import should_use_fused_train
 
-    base = dict(out_ch=2, model_size="tiny", patch_size=14, fusion_heads=4)
+    base = dict(out_ch=2, model_size="small", patch_size=14, fusion_heads=4)
     m = DinoSliceClassifier(**base)
     assert should_use_fused_train(m, False, "tpu")
     assert not should_use_fused_train(m, False, "cpu")
     assert not should_use_fused_train(m, True, "tpu")
     assert not should_use_fused_train(
         DinoSliceClassifier(rotary="RoPE", **base), False, "tpu")
+    # the test-only 32-wide "tiny" config is rejected: Mosaic cannot
+    # lower the fused kernels' token collapse below 128 lanes (measured
+    # on v5e) — narrow widths take the flax path instead of crashing
+    assert not should_use_fused_train(
+        DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                            fusion_heads=4), False, "tpu")
     # round 3: rope (DINOv3) and frozen configs now ride the fused train
     # path (rope/eps train kernels + serving-kernels-under-stop_gradient)
     assert should_use_fused_train(

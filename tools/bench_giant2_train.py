@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(batch: int = 2, iters: int = 6):
+def main(batch: int = 2, iters: int = 6, int8: bool = False):
     from mst_tpu.models.mst import DinoSliceClassifier
     from mst_tpu.train.trainer import (
         TrainState,
@@ -33,11 +33,20 @@ def main(batch: int = 2, iters: int = 6):
     key = jax.random.PRNGKey(0)
     source = jax.random.normal(key, (batch, 1, 32, 224, 224), jnp.float32)
     params = model.init(key, source[:1, :, :1, :28, :28])["params"]
+    int8_enc = None
+    if int8:
+        # frozen int8 training: the encoder forward rides the W8A8 serving
+        # kernels (static scales calibrated on the bench batch), backward
+        # only through fusion + head — trainer `--int8 --int8_calib`
+        from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+
+        int8_enc = quantize_mst_params_int8(
+            {"encoder": params["encoder"]}, model, source[:1])["encoder"]
     state = TrainState.create(
         apply_fn=model.apply, params=params,
         tx=make_optimizer(1e-6, freeze_encoder=True),
         dropout_rng=jax.random.PRNGKey(1))
-    step = make_train_step(model)
+    step = make_train_step(model, int8_encoder=int8_enc)
     target = jnp.zeros((batch,), jnp.int32)
     state, loss, _ = step(state, source, target, None)
     float(loss)
@@ -46,7 +55,8 @@ def main(batch: int = 2, iters: int = 6):
         state, loss, _ = step(state, source, target, None)
     float(loss)  # forced host sync
     dt = (time.perf_counter() - t0) / iters
-    row = {"metric": "giant2 frozen-encoder train throughput",
+    row = {"metric": "giant2 frozen-encoder train throughput"
+                     + (" (int8 encoder)" if int8 else ""),
            "value": round(batch / dt, 3), "unit": "volumes/sec/chip",
            "step_ms": round(dt * 1e3, 1), "batch": batch,
            "backend": jax.default_backend()}
@@ -55,4 +65,4 @@ def main(batch: int = 2, iters: int = 6):
 
 
 if __name__ == "__main__":
-    main()
+    main(int8="--int8" in sys.argv)

@@ -188,9 +188,34 @@ def main():
     print(f"int8 saliency   rel|dmap|={err_q / q_scale:.2e}  "
           f"{'PASS' if ok_i8sal else 'FAIL'}")
 
+    # Int8 FROZEN TRAINING (trainer `--int8`): the train step's forward
+    # must equal int8 serving exactly, and the swapped-out bf16 encoder
+    # must get exactly-zero grads.
+    frozen = dino_v2_classifier_slice(out_ch=2, model_size="small",
+                                      dtype=jnp.float32, use_flash=False,
+                                      freeze=True)
+
+    def loss_i8(p):
+        fp = dict(p)
+        fp["encoder"] = qp["encoder"]
+        logits = fused_mst_logits(fp, x, frozen, dtype=jnp.float32,
+                                  train=True)
+        return (optax.softmax_cross_entropy_with_integer_labels(
+            logits, t).mean(), logits)
+
+    (_, ltr), gq = jax.jit(jax.value_and_grad(loss_i8, has_aux=True))(params)
+    enc_zero = all(
+        float(np.abs(np.asarray(leaf)).max()) == 0.0
+        for leaf in jax.tree_util.tree_leaves(gq["encoder"]))
+    fwd_match = float(np.abs(np.asarray(ltr) - lq).max())
+    ok_i8t = enc_zero and fwd_match < 1e-5
+    print(f"int8 frozen trn enc_grads_zero={enc_zero} "
+          f"max|fwd-serve|={fwd_match:.1e}  "
+          f"{'PASS' if ok_i8t else 'FAIL'}")
+
     return 0 if (ok_fwd and ok_bwd and ok_sal and ok_v3 and ok_v3s
                  and ok_v3t and ok_ro and ok_i8 and ok_i8s
-                 and ok_i8sal) else 1
+                 and ok_i8sal and ok_i8t) else 1
 
 
 if __name__ == "__main__":
