@@ -208,82 +208,97 @@ def calibrate_act_scales_int8(encoder_params, x, cfg,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def _calibrate_chunk(encoder_params, x, cfg, dtype) -> dict:
-    # jitted with the config static: eager execution dispatches ~20 ops x
-    # depth per chunk individually, which at giant2 width over a tunneled
-    # device link turns a one-volume calibration into tens of minutes.
+def _calib_prepare(encoder_params, x, cfg, dtype):
     from mst_tpu.models.vit_fast import prepare_vit_tokens
-    from mst_tpu.ops.fused_block import _pair_swap_matrix
 
-    h, rope_cos, rope_sin = prepare_vit_tokens(encoder_params, x, cfg,
-                                               dtype)
-    nh = cfg.num_heads
-    E = cfg.embed_dim
+    return prepare_vit_tokens(encoder_params, x, cfg, dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "approximate", "nh", "dtype"))
+def _calib_block(blk, h, rope, *, eps, approximate, nh, dtype):
+    """One transformer block's calibration forward: f32 sub-layer
+    internals, `dtype` residual stream — the serving precision. Returns
+    (next_h, per-site abs-max dict). Jitted PER BLOCK, not per encoder:
+    uniform-depth encoders compile one block program and reuse it depth
+    times — jitting the whole unrolled encoder produced XLA graphs the
+    remote compiler chewed on for tens of minutes at giant2 width."""
+    E = h.shape[-1]
     hd = E // nh
-    approximate = cfg.gelu_approximate
-    pmat = (jnp.asarray(_pair_swap_matrix(hd), jnp.float32)
-            if rope_cos is not None else None)
 
-    def _ln(xf, prm, eps):
+    def _ln(xf, prm):
         m = xf.mean(-1, keepdims=True)
         v = ((xf - m) ** 2).mean(-1, keepdims=True)
         return ((xf - m) * jax.lax.rsqrt(v + eps)
                 * jnp.asarray(prm["scale"], jnp.float32)
                 + jnp.asarray(prm["bias"], jnp.float32))
 
+    s = {}
+    xf = h.astype(jnp.float32)
+    hn = _ln(xf, blk["norm1"])
+    s["attn_in"] = jnp.max(jnp.abs(hn))
+    qkv = (hn @ jnp.asarray(blk["attn"]["qkv"]["kernel"], jnp.float32)
+           + jnp.asarray(blk["attn"]["qkv"]["bias"], jnp.float32))
+    N, S, _ = qkv.shape
+    qkv = qkv.reshape(N, S, 3, nh, hd)
+    q = jnp.moveaxis(qkv[:, :, 0], 1, 2)  # [N, nh, S, hd]
+    k = jnp.moveaxis(qkv[:, :, 1], 1, 2)
+    v = jnp.moveaxis(qkv[:, :, 2], 1, 2)
+    if rope is not None:
+        cos, sin, pmat = rope
+        q = q * cos + (q @ pmat) * sin
+        k = k * cos + (k @ pmat) * sin
+    att = jnp.einsum("nhqd,nhkd->nhqk", q, k) / math.sqrt(hd)
+    p = jax.nn.softmax(att, -1)
+    o = jnp.einsum("nhqk,nhkd->nhqd", p, v)
+    o = jnp.moveaxis(o, 1, 2).reshape(N, S, E)
+    s["attn_out"] = jnp.max(jnp.abs(o))
+    y = (o @ jnp.asarray(blk["attn"]["proj"]["kernel"], jnp.float32)
+         + jnp.asarray(blk["attn"]["proj"]["bias"], jnp.float32))
+    if "ls1" in blk:
+        y = y * jnp.asarray(blk["ls1"]["gamma"], jnp.float32)
+    h = (xf + y).astype(dtype)
+
+    xf = h.astype(jnp.float32)
+    hn = _ln(xf, blk["norm2"])
+    s["mlp_in"] = jnp.max(jnp.abs(hn))
+    if "w12" in blk["mlp"]:  # swiglu
+        h12 = (hn @ jnp.asarray(blk["mlp"]["w12"]["kernel"], jnp.float32)
+               + jnp.asarray(blk["mlp"]["w12"]["bias"], jnp.float32))
+        hidden = h12.shape[-1] // 2
+        h1, h2 = h12[..., :hidden], h12[..., hidden:]
+        u = h1 * jax.nn.sigmoid(h1) * h2
+        s["mlp_hidden"] = jnp.max(jnp.abs(u))
+        y = (u @ jnp.asarray(blk["mlp"]["w3"]["kernel"], jnp.float32)
+             + jnp.asarray(blk["mlp"]["w3"]["bias"], jnp.float32))
+    else:
+        a = (hn @ jnp.asarray(blk["mlp"]["fc1"]["kernel"], jnp.float32)
+             + jnp.asarray(blk["mlp"]["fc1"]["bias"], jnp.float32))
+        u = jax.nn.gelu(a, approximate=approximate)
+        s["mlp_hidden"] = jnp.max(jnp.abs(u))
+        y = (u @ jnp.asarray(blk["mlp"]["fc2"]["kernel"], jnp.float32)
+             + jnp.asarray(blk["mlp"]["fc2"]["bias"], jnp.float32))
+    if "ls2" in blk:
+        y = y * jnp.asarray(blk["ls2"]["gamma"], jnp.float32)
+    return (xf + y).astype(dtype), s
+
+
+def _calibrate_chunk(encoder_params, x, cfg, dtype) -> dict:
+    from mst_tpu.ops.fused_block import _pair_swap_matrix
+
+    h, rope_cos, rope_sin = _calib_prepare(encoder_params, x, cfg, dtype)
+    rope = None
+    if rope_cos is not None:
+        hd = cfg.embed_dim // cfg.num_heads
+        rope = (jnp.asarray(rope_cos, jnp.float32),
+                jnp.asarray(rope_sin, jnp.float32),
+                jnp.asarray(_pair_swap_matrix(hd), jnp.float32))
     stats = {}
     for i in range(cfg.depth):
-        blk = encoder_params[f"blocks_{i}"]
-        s = {}
-        xf = h.astype(jnp.float32)
-        hn = _ln(xf, blk["norm1"], cfg.norm_eps)
-        s["attn_in"] = jnp.max(jnp.abs(hn))
-        qkv = (hn @ jnp.asarray(blk["attn"]["qkv"]["kernel"], jnp.float32)
-               + jnp.asarray(blk["attn"]["qkv"]["bias"], jnp.float32))
-        N, S, _ = qkv.shape
-        qkv = qkv.reshape(N, S, 3, nh, hd)
-        q = jnp.moveaxis(qkv[:, :, 0], 1, 2)  # [N, nh, S, hd]
-        k = jnp.moveaxis(qkv[:, :, 1], 1, 2)
-        v = jnp.moveaxis(qkv[:, :, 2], 1, 2)
-        if rope_cos is not None:
-            cos = jnp.asarray(rope_cos, jnp.float32)
-            sin = jnp.asarray(rope_sin, jnp.float32)
-            q = q * cos + (q @ pmat) * sin
-            k = k * cos + (k @ pmat) * sin
-        att = jnp.einsum("nhqd,nhkd->nhqk", q, k) / math.sqrt(hd)
-        p = jax.nn.softmax(att, -1)
-        o = jnp.einsum("nhqk,nhkd->nhqd", p, v)
-        o = jnp.moveaxis(o, 1, 2).reshape(N, S, E)
-        s["attn_out"] = jnp.max(jnp.abs(o))
-        y = (o @ jnp.asarray(blk["attn"]["proj"]["kernel"], jnp.float32)
-             + jnp.asarray(blk["attn"]["proj"]["bias"], jnp.float32))
-        if "ls1" in blk:
-            y = y * jnp.asarray(blk["ls1"]["gamma"], jnp.float32)
-        h = (xf + y).astype(dtype)
-
-        xf = h.astype(jnp.float32)
-        hn = _ln(xf, blk["norm2"], cfg.norm_eps)
-        s["mlp_in"] = jnp.max(jnp.abs(hn))
-        if "w12" in blk["mlp"]:  # swiglu
-            h12 = (hn @ jnp.asarray(blk["mlp"]["w12"]["kernel"], jnp.float32)
-                   + jnp.asarray(blk["mlp"]["w12"]["bias"], jnp.float32))
-            hidden = h12.shape[-1] // 2
-            h1, h2 = h12[..., :hidden], h12[..., hidden:]
-            u = h1 * jax.nn.sigmoid(h1) * h2
-            s["mlp_hidden"] = jnp.max(jnp.abs(u))
-            y = (u @ jnp.asarray(blk["mlp"]["w3"]["kernel"], jnp.float32)
-                 + jnp.asarray(blk["mlp"]["w3"]["bias"], jnp.float32))
-        else:
-            a = (hn @ jnp.asarray(blk["mlp"]["fc1"]["kernel"], jnp.float32)
-                 + jnp.asarray(blk["mlp"]["fc1"]["bias"], jnp.float32))
-            u = jax.nn.gelu(a, approximate=approximate)
-            s["mlp_hidden"] = jnp.max(jnp.abs(u))
-            y = (u @ jnp.asarray(blk["mlp"]["fc2"]["kernel"], jnp.float32)
-                 + jnp.asarray(blk["mlp"]["fc2"]["bias"], jnp.float32))
-        if "ls2" in blk:
-            y = y * jnp.asarray(blk["ls2"]["gamma"], jnp.float32)
-        h = (xf + y).astype(dtype)
-        stats[f"blocks_{i}"] = s
+        h, stats[f"blocks_{i}"] = _calib_block(
+            encoder_params[f"blocks_{i}"], h, rope, eps=cfg.norm_eps,
+            approximate=cfg.gelu_approximate, nh=cfg.num_heads,
+            dtype=dtype)
     return stats
 
 

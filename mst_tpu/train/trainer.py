@@ -267,18 +267,27 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
     else:
         run_grads = grads_of
 
-    def step(state: TrainState, source, target, mask):
+    def step(state: TrainState, source, target, mask, i8enc):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
         rngs = {"dropout": rng, "drop_path": jax.random.fold_in(rng, 1)}
         loss, logits, updates, grads = run_grads(
             state.params, state.batch_stats, source, target, mask, rngs,
-            int8_encoder)
+            i8enc)
         state = state.apply_gradients(grads=grads)
         if has_batch_stats:
             state = state.replace(batch_stats=updates["batch_stats"])
         return state, loss, logits
 
-    return jax.jit(step, donate_argnums=(0,))
+    # the quantized tree rides as a runtime ARGUMENT, not a closure: jit
+    # embeds closed-over arrays as HLO constants, and a giant2-sized int8
+    # tree (~1.1 GB) as literal constants blows the compile up from
+    # minutes to unbounded (measured: the remote compiler never returned)
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state, source, target, mask):
+        return jitted(state, source, target, mask, int8_encoder)
+
+    return run
 
 
 def make_eval_step(model, mesh=None, int8_encoder=None):
@@ -300,7 +309,7 @@ def make_eval_step(model, mesh=None, int8_encoder=None):
     if int8_encoder is not None and not fused_ok:
         raise ValueError("int8_encoder requires the fused TPU eval path")
 
-    def forward(params, batch_stats, source, mask):
+    def forward(params, batch_stats, source, mask, i8enc):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
@@ -310,15 +319,15 @@ def make_eval_step(model, mesh=None, int8_encoder=None):
                 and fused_seq_len_ok(model, *source.shape[-2:])):
             from mst_tpu.models.vit_fast import fused_mst_logits
 
-            if int8_encoder is not None:
+            if i8enc is not None:
                 params = dict(params)
-                params["encoder"] = int8_encoder
+                params["encoder"] = i8enc
             return fused_mst_logits(params, source, model,
                                     src_key_padding_mask=mask,
                                     dtype=model.dtype)
         return model.apply(variables, source, mask, deterministic=True)
 
-    def step(params, batch_stats, source, mask):
+    def step(params, batch_stats, source, mask, i8enc):
         if (fused_ok and multi_device and batch_stats is None
                 and source.shape[0] % mesh.shape["data"] == 0):
             from jax import shard_map
@@ -328,12 +337,19 @@ def make_eval_step(model, mesh=None, int8_encoder=None):
             return shard_map(
                 forward, mesh=mesh,
                 in_specs=(P(), P(), batch,
-                          P() if mask is None else batch),
+                          P() if mask is None else batch, P()),
                 out_specs=batch, check_vma=False,
-            )(params, batch_stats, source, mask)
-        return forward(params, batch_stats, source, mask)
+            )(params, batch_stats, source, mask, i8enc)
+        return forward(params, batch_stats, source, mask, i8enc)
 
-    return jax.jit(step)
+    # int8_encoder as a runtime argument, not a closure constant — see
+    # make_train_step
+    jitted = jax.jit(step)
+
+    def run(params, batch_stats, source, mask):
+        return jitted(params, batch_stats, source, mask, int8_encoder)
+
+    return run
 
 
 @dataclass

@@ -40,16 +40,22 @@ def main(batch: int = 2, iters: int = 6, int8: bool = False):
         # only through fusion + head — trainer `--int8 --int8_calib`
         from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
 
+        t_q = time.perf_counter()
         int8_enc = quantize_mst_params_int8(
             {"encoder": params["encoder"]}, model, source[:1])["encoder"]
+        print(f"# quantize+calibrate: {time.perf_counter() - t_q:.1f}s",
+              file=sys.stderr, flush=True)
     state = TrainState.create(
         apply_fn=model.apply, params=params,
         tx=make_optimizer(1e-6, freeze_encoder=True),
         dropout_rng=jax.random.PRNGKey(1))
     step = make_train_step(model, int8_encoder=int8_enc)
     target = jnp.zeros((batch,), jnp.int32)
+    t_c = time.perf_counter()
     state, loss, _ = step(state, source, target, None)
     float(loss)
+    print(f"# first step (compile): {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = step(state, source, target, None)
