@@ -242,11 +242,13 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         v3_train_vps = batch / ((time.perf_counter() - t0) / train_iters)
 
     # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
-    # biggest encoder the reference supports (`dino.py` model_size 'g').
-    giant2_vps = giant2_i8_vps = None
+    # biggest encoder the reference supports (`dino.py` model_size 'g') —
+    # plus the frozen-encoder TRAIN step on the int8 encoder (`--int8`).
+    giant2_vps = giant2_i8_vps = giant2_i8_train_vps = None
     if on_tpu:
         try:
-            giant2_vps, giant2_i8_vps = _bench_giant2(depth, hw)
+            giant2_vps, giant2_i8_vps, giant2_i8_train_vps = _bench_giant2(
+                depth, hw)
         except Exception as e:  # noqa: BLE001 — OOM/compile limits: report n/a
             print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
                   flush=True)
@@ -294,6 +296,9 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         detail["giant2_volumes_per_sec"] = round(giant2_vps, 3)
     if giant2_i8_vps is not None:
         detail["giant2_int8_volumes_per_sec"] = round(giant2_i8_vps, 3)
+    if giant2_i8_train_vps is not None:
+        detail["giant2_int8_train_volumes_per_sec"] = round(
+            giant2_i8_train_vps, 3)
     return {
         "metric": "MST-DINOv2 ViT-S/14 LIDC inference throughput",
         "value": round(headline, 3),
@@ -305,9 +310,11 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
 
 def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     """ViT-g2 per-volume inference throughput (batch 1, fused path):
-    (bf16 vol/s, int8 vol/s | None). The int8 leg matters most at giant
-    scale — the quantise/dequantise VPU overhead amortises over E=1536
-    matmuls far better than at ViT-S width."""
+    (bf16 vol/s, int8 vol/s | None, int8 frozen-train vol/s | None). The
+    int8 legs matter most at giant scale — the quantise/dequantise VPU
+    overhead amortises over E=1536 matmuls far better than at ViT-S
+    width; the train leg is the reference's giant workflow (frozen
+    encoder, `dino.py:69-71`) on the `--int8` trainer path."""
     from mst_tpu.models.mst import DinoSliceClassifier
     from mst_tpu.models.vit_fast import fused_mst_logits
 
@@ -336,12 +343,11 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     float(jnp.sum(out).astype(jnp.float32))  # forced host sync (relay)
     bf16_vps = 1.0 / ((time.perf_counter() - t0) / iters)
 
-    i8_vps = None
+    i8_vps = i8_train_vps = None
     try:
         from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
 
-        qparams = quantize_mst_params_int8(params)
-        del params  # 2.2 GB bf16 + 1.1 GB int8 both resident otherwise
+        qparams = quantize_mst_params_int8(params, model, source)
         forward_q = jax.jit(lambda p, s: fused_mst_logits(p, s, model))
         float(jnp.sum(forward_q(qparams, source)).astype(jnp.float32))
         t0 = time.perf_counter()
@@ -352,7 +358,40 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     except Exception as e:  # noqa: BLE001
         print(f"# giant2 int8 leg skipped: {type(e).__name__}: {e}",
               flush=True)
-    return bf16_vps, i8_vps
+
+    try:
+        if i8_vps is not None:
+            # frozen-encoder TRAIN on the int8 encoder (trainer `--int8
+            # --int8_calib`): stop-gradient forward on the W8A8 serving
+            # kernels, backward through fusion + head only
+            from mst_tpu.train.trainer import (
+                TrainState,
+                make_optimizer,
+                make_train_step,
+            )
+
+            frozen = DinoSliceClassifier(out_ch=2, model_size="giant2",
+                                         dtype=jnp.bfloat16, freeze=True)
+            state = TrainState.create(
+                apply_fn=frozen.apply, params=params,
+                tx=make_optimizer(1e-6, freeze_encoder=True),
+                dropout_rng=jax.random.PRNGKey(8))
+            step_g = make_train_step(frozen,
+                                     int8_encoder=qparams["encoder"])
+            # batch 2 = the reference giant-workflow batch (main_train bs=2)
+            src2 = jnp.concatenate([source, source], axis=0)
+            tgt = jnp.zeros((2,), jnp.int32)
+            state, loss_g, _ = step_g(state, src2, tgt, None)
+            float(loss_g)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, loss_g, _ = step_g(state, src2, tgt, None)
+            float(loss_g)  # forced host sync
+            i8_train_vps = 2.0 / ((time.perf_counter() - t0) / iters)
+    except Exception as e:  # noqa: BLE001
+        print(f"# giant2 int8 train leg skipped: {type(e).__name__}: {e}",
+              flush=True)
+    return bf16_vps, i8_vps, i8_train_vps
 
 
 if __name__ == "__main__":

@@ -179,16 +179,20 @@ def bench(variant: str, N: int, S: int, E: int, num_heads: int,
             h = h * jnp.asarray(0.5, h.dtype)
         return h
 
-    run(x, *operands).block_until_ready()
-    # distinct inputs per timed dispatch (defeats dispatch memoization)
+    float(jnp.sum(run(x, *operands)).astype(jnp.float32))
+    # distinct inputs per timed dispatch, and a forced DEVICE->HOST value
+    # sync inside the timed region: block_until_ready has been observed
+    # returning early through the axon relay (BASELINE.md), which measured
+    # this very kernel at an impossible 30 PFLOP/s
     xs = [x + jnp.asarray(i + 1, x.dtype) for i in range(iters)]
     dts = []
+    checksum = 0.0
     for i in range(iters):
         t0 = time.perf_counter()
         h = run(xs[i], *operands)
-        h.block_until_ready()
+        checksum = float(jnp.sum(h).astype(jnp.float32))
         dts.append(time.perf_counter() - t0)
-        assert bool(jnp.isfinite(h).all()), "non-finite bench output"
+    assert math.isfinite(checksum), "non-finite bench output"
     dt = min(dts)
     # MACs per sublayer: qkv + proj + scores + context
     macs = DEPTH * N * (S * E * 4 * E + 2 * S * S * E)
