@@ -140,15 +140,24 @@ def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
 _LOG2E = math.log2(math.e)
 
 
-def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000) -> int:
+def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000,
+                cap: int = 8) -> int:
     """Slices per program for the multi-slice ("weight-stationary") fused
     kernels: the largest k in {8,4,2,1} dividing N whose [k*S, E] activation
     block stays within a VMEM-friendly element budget. Packing k slices
     flattens the token-wise matmuls to M = k*S rows, retiring the
     257->272 sublane padding (bf16 tiles are 16 rows) and amortising
-    per-program launch/pipeline overhead — measured +~7% on the ViT-S
-    serving chain (round 3). k=1 reproduces the single-slice kernels
-    bit-for-bit."""
+    per-program launch/pipeline overhead. k=1 reproduces the single-slice
+    kernels bit-for-bit.
+
+    `cap` bounds the pick per sub-layer KIND: the token-wise MLP/SwiGLU
+    programs keep the full packing, but ATTENTION programs pass cap=1 —
+    packing measured **-25%** on the serving attention sub-layer at ViT-S
+    shapes (10.32 -> 8.27 ms for 12 layers at N=128, round-3
+    MST_FUSED_BLOCK_N A/B of tools/bench_sublayer_parts.py): the K-packed
+    per-head scores/context working set evicts the pipeline's double
+    buffers, same mechanism that pinned the train kernels at block 1. The
+    env override still wins for A/B."""
     import os
 
     force = os.environ.get("MST_FUSED_BLOCK_N")  # perf A/B override
@@ -161,7 +170,7 @@ def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000) -> int:
             return k
         # invalid/non-dividing override: fall through to the automatic pick
     for k in (8, 4, 2, 1):
-        if N % k == 0 and k * S * E <= max_elems:
+        if k <= cap and N % k == 0 and k * S * E <= max_elems:
             return k
     return 1
 
@@ -1237,7 +1246,7 @@ def fused_attention_sublayer(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
         x,
         [_vec(ln_s), _vec(ln_b), jnp.asarray(wqkv, x.dtype), _vec(bqkv),
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
-        block_n=_pick_block(*x.shape),
+        block_n=_pick_block(*x.shape, cap=1),
     )
 
 
@@ -1354,7 +1363,7 @@ def fused_attention_sublayer_rope(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg,
          jnp.asarray(rope_cos, jnp.float32), jnp.asarray(rope_sin, jnp.float32),
          pmat],
-        block_n=_pick_block(*x.shape),
+        block_n=_pick_block(*x.shape, cap=1),
     )
 
 
@@ -1399,7 +1408,7 @@ def fused_attention_sublayer_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
          jnp.asarray(wproj, x.dtype), _vec(bproj), ls_arg],
         out_shapes=[(S, E), (num_heads, S)],
         out_dtypes=[x.dtype, jnp.float32],
-        block_n=_pick_block(N, S, E),
+        block_n=_pick_block(N, S, E, cap=1),
     )
 
 
@@ -1431,7 +1440,7 @@ def fused_attention_sublayer_abnar(x, ln_s, ln_b, wqkv, bqkv, wproj,
         operands,
         out_shapes=[(S, E), (S, S)],
         out_dtypes=[x.dtype, jnp.float32],
-        block_n=_pick_block(N, S, E),
+        block_n=_pick_block(N, S, E, cap=1),
     )
 
 
@@ -1477,7 +1486,7 @@ def fused_attention_sublayer_rollout(x, ln_s, ln_b, wqkv, bqkv, wproj,
         operands,
         out_shapes=out_shapes,
         out_dtypes=out_dtypes,
-        block_n=_pick_block(N, S, E),
+        block_n=_pick_block(N, S, E, cap=1),
         grid_inputs=[jnp.asarray(carry, jnp.float32)],
     )
 
@@ -1503,5 +1512,5 @@ def fused_attention_sublayer_rope_with_row(x, ln_s, ln_b, wqkv, bqkv, wproj,
          jnp.asarray(rope_sin, jnp.float32), pmat],
         out_shapes=[(S, E), (num_heads, S)],
         out_dtypes=[x.dtype, jnp.float32],
-        block_n=_pick_block(N, S, E),
+        block_n=_pick_block(N, S, E, cap=1),
     )

@@ -572,7 +572,7 @@ def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
                                static_act=static, want_row=want_row,
                                carry=carry is not None, abnar=abnar)
     if not want_row and carry is None and not abnar:
-        return _call_i8(kernel, x, operands, block_n=_pick_block(*x.shape))
+        return _call_i8(kernel, x, operands, block_n=_pick_block(*x.shape, cap=1))
     N, S, E = x.shape
     out_shapes = [(S, E)]
     out_dtypes = [x.dtype]
@@ -588,7 +588,7 @@ def fused_attention_sublayer_i8(x, ln_s, ln_b, qkv_node, proj_node, ls,
     return _call_fused_multi(
         kernel, x, operands,
         out_shapes=out_shapes, out_dtypes=out_dtypes,
-        block_n=_pick_block(N, S, E),
+        block_n=_pick_block(N, S, E, cap=1),
         grid_inputs=[jnp.asarray(carry, jnp.float32)]
         if carry is not None else (),
     )

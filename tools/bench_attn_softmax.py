@@ -109,12 +109,14 @@ def run_variant(variant, x, wqkv, wproj, num_heads):
 
     fn = jax.jit(chain)
     out = fn(x)
-    jax.block_until_ready(out)
+    # forced device->host VALUE read: block_until_ready has been observed
+    # returning early through the axon relay (BASELINE.md)
+    float(jnp.sum(out).astype(jnp.float32))
     t0 = time.perf_counter()
     iters = 30
     for _ in range(iters):
         out = fn(x)
-    jax.block_until_ready(out)
+    float(jnp.sum(out).astype(jnp.float32))
     return (time.perf_counter() - t0) / iters, out
 
 

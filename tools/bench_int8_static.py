@@ -64,13 +64,15 @@ def main():
     outs, rates = {}, {}
     for name, prm in variants.items():
         fwd = jax.jit(lambda s, p=prm: fused_mst_logits(p, s, model))
-        out = fwd(src).block_until_ready()
+        # forced device->host VALUE reads: block_until_ready has been
+        # observed returning early through the axon relay (BASELINE.md)
+        out = fwd(src)
         for _ in range(3):
-            fwd(src).block_until_ready()
+            float(jnp.sum(fwd(src)).astype(jnp.float32))
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fwd(src)
-        out.block_until_ready()
+        float(jnp.sum(out).astype(jnp.float32))
         dt = (time.perf_counter() - t0) / args.iters
         outs[name] = np.asarray(out, np.float32)
         rates[name] = args.batch / dt

@@ -26,11 +26,13 @@ from mst_tpu.ops.fused_block import fused_mlp_sublayer
 
 def timeit(fn, *args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    # forced device->host VALUE read: block_until_ready has been observed
+    # returning early through the axon relay (BASELINE.md)
+    float(jnp.sum(out).astype(jnp.float32))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out).astype(jnp.float32))
     return (time.perf_counter() - t0) / iters
 
 

@@ -62,7 +62,7 @@ def main(argv=None):
     # warmup (compile)
     b = shard_batch(batch0, mesh)
     state, loss, _ = step(state, b["source"], jnp.asarray(b["target"]), None)
-    jax.block_until_ready(loss)
+    float(loss)  # value read: relay-safe sync (BASELINE.md)
 
     n_steps = 0
     t0 = time.perf_counter()
@@ -73,7 +73,7 @@ def main(argv=None):
         n_steps += 1
         if n_steps >= args.steps:
             break
-    jax.block_until_ready(loss)
+    float(loss)  # value read: relay-safe sync (BASELINE.md)
     dt = (time.perf_counter() - t0) / n_steps
 
     print(json.dumps({

@@ -120,9 +120,9 @@ def main():
             h = h * jnp.asarray(0.5, h.dtype)
         return h
 
-    prod(x).block_until_ready()
+    float(jnp.sum(prod(x)).astype(jnp.float32))
     t0 = time.perf_counter()
-    prod(x + 1.0).block_until_ready()
+    float(jnp.sum(prod(x + 1.0)).astype(jnp.float32))  # relay-safe sync
     dt_prod = time.perf_counter() - t0
 
     kern = bi.make_kernel("A", nh)
@@ -145,9 +145,9 @@ def main():
             h = h * jnp.asarray(0.5, h.dtype)
         return h
 
-    deep_a(x, *operands).block_until_ready()
+    float(jnp.sum(deep_a(x, *operands)).astype(jnp.float32))
     t0 = time.perf_counter()
-    deep_a(x + 1.0, *operands).block_until_ready()
+    float(jnp.sum(deep_a(x + 1.0, *operands)).astype(jnp.float32))
     dt_a = time.perf_counter() - t0
     print(f"12-layer dispatch: production bf16 {dt_prod * 1e3:.2f} ms, "
           f"bench-A {dt_a * 1e3:.2f} ms  (N={N})")
