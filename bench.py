@@ -244,11 +244,11 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
     # biggest encoder the reference supports (`dino.py` model_size 'g') —
     # plus the frozen-encoder TRAIN step on the int8 encoder (`--int8`).
-    giant2_vps = giant2_i8_vps = giant2_i8_train_vps = None
+    giant2_vps = giant2_i8_vps = giant2_i8s_vps = giant2_i8_train_vps = None
     if on_tpu:
         try:
-            giant2_vps, giant2_i8_vps, giant2_i8_train_vps = _bench_giant2(
-                depth, hw)
+            (giant2_vps, giant2_i8_vps, giant2_i8s_vps,
+             giant2_i8_train_vps) = _bench_giant2(depth, hw)
         except Exception as e:  # noqa: BLE001 — OOM/compile limits: report n/a
             print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
                   flush=True)
@@ -296,6 +296,8 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         detail["giant2_volumes_per_sec"] = round(giant2_vps, 3)
     if giant2_i8_vps is not None:
         detail["giant2_int8_volumes_per_sec"] = round(giant2_i8_vps, 3)
+    if giant2_i8s_vps is not None:
+        detail["giant2_int8_static_volumes_per_sec"] = round(giant2_i8s_vps, 3)
     if giant2_i8_train_vps is not None:
         detail["giant2_int8_train_volumes_per_sec"] = round(
             giant2_i8_train_vps, 3)
@@ -343,24 +345,35 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     float(jnp.sum(out).astype(jnp.float32))  # forced host sync (relay)
     bf16_vps = 1.0 / ((time.perf_counter() - t0) / iters)
 
-    i8_vps = i8_train_vps = None
+    i8_vps = i8s_vps = i8_train_vps = None
     try:
         from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
 
-        qparams = quantize_mst_params_int8(params, model, source)
         forward_q = jax.jit(lambda p, s: fused_mst_logits(p, s, model))
+        # dynamic per-token scales — the historical giant2_int8 key keeps
+        # its meaning; static scales get their own key below
+        qdyn = quantize_mst_params_int8(params)
+        float(jnp.sum(forward_q(qdyn, source)).astype(jnp.float32))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward_q(qdyn, source)
+        float(jnp.sum(out).astype(jnp.float32))  # forced host sync
+        i8_vps = 1.0 / ((time.perf_counter() - t0) / iters)
+        del qdyn
+        # calibrated static scales (also feeds the frozen-train leg)
+        qparams = quantize_mst_params_int8(params, model, source)
         float(jnp.sum(forward_q(qparams, source)).astype(jnp.float32))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = forward_q(qparams, source)
         float(jnp.sum(out).astype(jnp.float32))  # forced host sync
-        i8_vps = 1.0 / ((time.perf_counter() - t0) / iters)
+        i8s_vps = 1.0 / ((time.perf_counter() - t0) / iters)
     except Exception as e:  # noqa: BLE001
         print(f"# giant2 int8 leg skipped: {type(e).__name__}: {e}",
               flush=True)
 
     try:
-        if i8_vps is not None:
+        if i8s_vps is not None:
             # frozen-encoder TRAIN on the int8 encoder (trainer `--int8
             # --int8_calib`): stop-gradient forward on the W8A8 serving
             # kernels, backward through fusion + head only
@@ -391,7 +404,7 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     except Exception as e:  # noqa: BLE001
         print(f"# giant2 int8 train leg skipped: {type(e).__name__}: {e}",
               flush=True)
-    return bf16_vps, i8_vps, i8_train_vps
+    return bf16_vps, i8_vps, i8s_vps, i8_train_vps
 
 
 if __name__ == "__main__":

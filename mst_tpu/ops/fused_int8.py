@@ -101,17 +101,25 @@ def quantize_encoder_int8(encoder_params, act_scales=None,
     activations (they saturate at ±127 beyond it)."""
 
     def _conv(tree):
-        # pass-through leaves are COPIED, not aliased: the quantized tree
-        # must outlive the source params (frozen int8 TRAINING closes over
-        # it while the train step donates state.params — aliased leaves
-        # would be deleted by the first step's buffer donation)
         out = {}
         for k, v in tree.items():
-            if isinstance(v, dict):
-                out[k] = _conv(v)
-            else:
-                out[k] = jnp.array(v, copy=True)
+            out[k] = _conv(v) if isinstance(v, dict) else v
         return out
+
+    def _copy_surviving_aliases(out, src):
+        # Leaves that SURVIVE into the quantized tree are COPIED, not
+        # aliased: the tree must outlive the source params (frozen int8
+        # TRAINING holds it while the train step donates state.params —
+        # aliased leaves would be deleted by the first step's buffer
+        # donation). Copying happens AFTER quantization so the big matmul
+        # kernels — replaced by q8 nodes — are never duplicated (at giant2
+        # they are ~2.2 GB of the tree).
+        for k, v in out.items():
+            sv = src.get(k) if isinstance(src, dict) else None
+            if isinstance(v, dict):
+                _copy_surviving_aliases(v, sv if isinstance(sv, dict) else {})
+            elif v is sv:
+                out[k] = jnp.array(v, copy=True)
 
     params = _conv(encoder_params)
     for name, blk in params.items():
@@ -130,6 +138,7 @@ def quantize_encoder_int8(encoder_params, act_scales=None,
                               "bias": jnp.asarray(leaf["bias"], jnp.float32)}
         if act_scales is not None:
             _fold_static_scales(blk, act_scales[name], margin)
+    _copy_surviving_aliases(params, encoder_params)
     return params
 
 

@@ -159,16 +159,11 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
     # keep the bf16 params; re-quantize on resume.
     use_fused = should_use_fused_train(model, has_batch_stats,
                                        jax.default_backend())
-    if int8_encoder is not None:
-        if not getattr(model, "freeze", False):
-            raise ValueError(
-                "int8_encoder requires a frozen encoder (model.freeze): "
-                "training THROUGH int8 weights is not supported — the "
-                "quantized forward has no meaningful weight gradients")
-        if not use_fused:
-            raise ValueError(
-                "int8_encoder requires the fused TPU train path "
-                "(should_use_fused_train must hold for this model/backend)")
+    if int8_encoder is not None and not getattr(model, "freeze", False):
+        raise ValueError(
+            "int8_encoder requires a frozen encoder (model.freeze): "
+            "training THROUGH int8 weights is not supported — the "
+            "quantized forward has no meaningful weight gradients")
     multi_device = mesh is not None and int(
         np.prod(list(mesh.shape.values()))) > 1
     if spmd == "auto":
@@ -186,6 +181,14 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
         # The fused kernels assume replicated params; under a tensor/slice
         # mesh the flax path is the partitionable program.
         use_fused = False
+    if int8_encoder is not None and not use_fused:
+        # checked AFTER the mesh downgrade: a tensor/slice mesh silently
+        # dropping to the flax path would otherwise train on bf16 features
+        # while the user asked for int8 train/serve consistency
+        raise ValueError(
+            "int8_encoder requires the fused TPU train path "
+            "(should_use_fused_train must hold for this model/backend, "
+            "and tensor/slice-sharded meshes route through the flax path)")
 
     def loss_and_logits(params, batch_stats, source, target, mask, rngs,
                         i8enc):
@@ -217,6 +220,14 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
                                       src_key_padding_mask=mask,
                                       dtype=model.dtype, train=True)
         else:
+            if i8enc is not None:
+                # trace-time (shape-dependent): never silently train the
+                # fusion head on bf16 flax features when the user asked
+                # for int8 train/serve consistency
+                raise ValueError(
+                    "int8 frozen training: this input exceeds the fused "
+                    "kernels' token budget (vit_fast.fused_seq_len_ok) — "
+                    "the flax fallback cannot run the quantized encoder")
             logits = model.apply(variables, source, mask,
                                  deterministic=False, rngs=rngs)
         return cross_entropy_loss(logits, target), (logits, None)
@@ -325,6 +336,13 @@ def make_eval_step(model, mesh=None, int8_encoder=None):
             return fused_mst_logits(params, source, model,
                                     src_key_padding_mask=mask,
                                     dtype=model.dtype)
+        if i8enc is not None:
+            # trace-time, mirrors make_train_step: never silently score
+            # validation on bf16 flax features during int8 training
+            raise ValueError(
+                "int8 frozen training: this eval input exceeds the fused "
+                "kernels' token budget (vit_fast.fused_seq_len_ok) — the "
+                "flax fallback cannot run the quantized encoder")
         return model.apply(variables, source, mask, deterministic=True)
 
     def step(params, batch_stats, source, mask, i8enc):
@@ -426,18 +444,41 @@ class Trainer:
 
                 calib = None
                 if self.int8_calib:
+                    # The calibration read must NOT consume a sampling
+                    # epoch: train_dataloader() bumps dm._epoch, which
+                    # would shift every training epoch's (seed, epoch)
+                    # index stream and break bit-identical --resume.
+                    ep0 = getattr(dm, "_epoch", None)
                     vols, seen = [], 0
                     for batch in dm.train_dataloader():
                         vols.append(np.asarray(batch["source"]))
                         seen += vols[-1].shape[0]
                         if seen >= self.int8_calib:
                             break
+                    if ep0 is not None and hasattr(dm, "set_epoch"):
+                        dm.set_epoch(ep0)
                     if vols:
-                        calib = jnp.asarray(
-                            np.concatenate(vols, 0)[:self.int8_calib])
+                        calib = np.concatenate(vols, 0)[:self.int8_calib]
+                        if jax.process_count() > 1:
+                            # every host samples a DISJOINT shard — gather
+                            # so all hosts calibrate on the same union set
+                            # and fold identical scales (SPMD replication)
+                            from jax.experimental import multihost_utils
+
+                            calib = np.concatenate(
+                                multihost_utils.process_allgather(
+                                    jnp.asarray(calib)), 0)
+                        calib = jnp.asarray(calib)
                 q = quantize_mst_params_int8(
                     {"encoder": state.params["encoder"]}, model, calib)
                 int8_enc = q["encoder"]
+                if jax.process_count() > 1 and self.mesh is not None:
+                    # jitted inputs must be global arrays under a
+                    # multi-process mesh (same contract as `state` below)
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    int8_enc = jax.device_put(
+                        int8_enc, NamedSharding(self.mesh, PartitionSpec()))
                 log.info(
                     "frozen encoder trains on int8 (W8A8) serving kernels"
                     " (%s activation scales)",

@@ -363,3 +363,73 @@ def test_quantized_tree_survives_source_donation():
         leaf.delete()
     logits = fused_mst_logits(fp, x, model, dtype=jnp.float32)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_int8_calibration_read_does_not_consume_a_sampling_epoch(
+        tmp_path, monkeypatch):
+    """Trainer `--int8_calib` pulls calibration volumes through
+    dm.train_dataloader(), which bumps the (seed, epoch) sampling counter —
+    the read must restore it, or every training epoch samples a shifted
+    index stream and bit-identical --resume breaks (code-review r3)."""
+    from mst_tpu.data.datamodule import DataModule
+    from mst_tpu.data.datasets.synthetic import Synthetic_Dataset3D
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train import trainer as trainer_mod
+    from mst_tpu.train.trainer import Trainer, make_optimizer
+
+    # force the fused gate so the CPU run reaches the calibration block
+    # (interpret-mode kernels execute it; tiny shapes keep it quick); the
+    # eval step keeps its own TPU-only gate — stub it with the flax forward
+    monkeypatch.setattr(trainer_mod, "should_use_fused_train",
+                        lambda *a: True)
+
+    def fake_eval_factory(model, mesh=None, int8_encoder=None):
+        def step(params, batch_stats, source, mask):
+            return model.apply({"params": params}, source, mask,
+                               deterministic=True)
+        return jax.jit(step)
+
+    monkeypatch.setattr(trainer_mod, "make_eval_step", fake_eval_factory)
+    ds = Synthetic_Dataset3D(num_samples=4, shape_cdhw=(1, 2, 28, 28))
+    dm = DataModule(ds_train=ds, ds_val=ds, batch_size=2, seed=0)
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4,
+                                freeze=True, dtype=jnp.float32)
+    tr = Trainer(tmp_path, max_epochs=1, num_sanity_val_steps=0,
+                 int8=True, int8_calib=2)
+    state = tr.init_state(model, next(iter(dm.val_dataloader())),
+                          make_optimizer(1e-6, freeze_encoder=True))
+    tr.fit(model, state, dm)
+    # one training epoch ran -> exactly one train_dataloader() consumption
+    assert dm._epoch == 1
+
+
+def test_int8_train_step_rejects_over_budget_seq_len(monkeypatch):
+    """With int8_encoder set, inputs beyond the fused kernels' token
+    budget must raise at trace time instead of silently training the
+    fusion head on bf16 flax features (code-review r3)."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train import trainer as trainer_mod
+    from mst_tpu.train.trainer import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    monkeypatch.setattr(trainer_mod, "should_use_fused_train",
+                        lambda *a: True)
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                use_flash=False, fusion_heads=4,
+                                freeze=True, dtype=jnp.float32)
+    small = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 2, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), small)["params"]
+    qenc = quantize_mst_params_int8({"encoder": params["encoder"]})["encoder"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=make_optimizer(1e-6, freeze_encoder=True),
+        dropout_rng=jax.random.PRNGKey(2))
+    step = make_train_step(model, int8_encoder=qenc)
+    # (322/14)^2 + 1 = 530 tokens > FUSED_MAX_TOKENS
+    big = jnp.zeros((1, 1, 2, 322, 322), jnp.float32)
+    with pytest.raises(ValueError, match="token budget"):
+        step(state, big, jnp.zeros((1,), jnp.int32), None)

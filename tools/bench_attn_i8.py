@@ -145,7 +145,9 @@ def bench(variant: str, N: int, S: int, E: int, num_heads: int,
     wproj = jax.random.randint(key, (E, E), -127, 128, jnp.int8)
     sproj = jnp.full((1, E), 2e-3, jnp.float32)
     bproj = jnp.zeros((1, E), jnp.float32)
-    block_n = _pick_block(N, S, E)
+    # cap=1 matches production: attention serving programs run UNPACKED
+    # since the late-r3 rebalance (_pick_block docstring)
+    block_n = _pick_block(N, S, E, cap=1)
     operands = [lns, lnb, wqkv, sqkv, bqkv, wproj, sproj, bproj]
     in_specs = [pl.BlockSpec((block_n, S, E), lambda n: (n, 0, 0),
                              memory_space=pltpu.VMEM)]
