@@ -190,11 +190,24 @@ def _saliency_fn_for(model):
 
 
 def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
-                    batch_stats=None, plane_mode: str = "last"):
+                    batch_stats=None, plane_mode: str = "last", mesh=None):
     """Returns jitted fn(params, source [B,C,D,H,W], mask) ->
     (probs [B,n], saliency [B,D,H,W] | None).
 
-    plane_mode applies to the Dino saliency path ("last" | "rollout")."""
+    plane_mode applies to the Dino saliency path ("last" | "rollout").
+
+    mesh: an optional pure-data `jax.sharding.Mesh` for multi-chip
+    data-parallel serving (e.g. all 8 chips of a v5e-8 host). The batch
+    axis shards over `data` and every shard runs the full per-volume
+    program — including the fused Pallas / int8 kernels, which are opaque
+    Mosaic custom calls to XLA's auto-partitioner and therefore run under
+    `shard_map` (the same explicit-SPMD recipe as the fused train step,
+    trainer.make_train_step). Serving is embarrassingly parallel over
+    volumes: params replicate, no collectives are needed, outputs come
+    back batch-sharded. Batches not divisible by the mesh's `data` size
+    fall back to the single-program path at trace time (one compile per
+    distinct batch shape, as before). The reference has no analogue — its
+    predict loop is single-GPU bs=1 (`main_predict.py:204-223`)."""
     saliency_fn = _saliency_fn_for(model)
     if saliency_fn is _forward_with_saliency and plane_mode != "last":
         saliency_fn = functools.partial(_forward_with_saliency,
@@ -273,4 +286,32 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
             sal = jnp.stack(unflipped).mean(0)
         return probs, sal
 
-    return jax.jit(fn)
+    n_data = 0
+    if mesh is not None:
+        sizes = dict(mesh.shape)
+        n_data = int(sizes.get("data", 1))
+        extra = {k: v for k, v in sizes.items() if k != "data" and v > 1}
+        if extra:
+            raise ValueError(
+                f"make_predict_fn(mesh=...) is data-parallel serving only; "
+                f"non-trivial axes {extra} are not supported (TP serving "
+                f"routes through the flax path + param_shardings instead)")
+    if n_data <= 1:
+        return jax.jit(fn)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def dispatch(params, source, mask):
+        if source.shape[0] % n_data != 0:
+            # indivisible batch (e.g. the loader's last partial batch):
+            # single-program fallback, identical to the mesh-less path
+            return fn(params, source, mask)
+        in_specs = (P(), P("data"), P() if mask is None else P("data"))
+        # out_specs is a one-spec prefix: every output leaf (probs and,
+        # when present, the saliency volume) is batch-sharded
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P("data"), check_vma=False)(
+                             params, source, mask)
+
+    return jax.jit(dispatch)

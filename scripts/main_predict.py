@@ -83,6 +83,14 @@ def main(argv=None):
                     help="volumes per device program for plain eval "
                          "(saliency/segmentation modes run per case like "
                          "the reference, bs=1)")
+    ap.add_argument("--num_devices", type=int, default=1, metavar="N",
+                    help="data-parallel serving over N local chips (-1 = "
+                         "all): plain/TTA eval batches shard over a pure-"
+                         "data mesh, each chip runs the full fused/int8 "
+                         "per-volume program (make --batch_size a multiple "
+                         "of N; indivisible batches fall back to one chip). "
+                         "Single-process only — with --distributed each "
+                         "host already scores its own shard")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host eval: jax.distributed.initialize(); "
                          "each process scores a disjoint test shard, rank 0 "
@@ -153,8 +161,28 @@ def main(argv=None):
                 and jax.default_backend() == "tpu"):
             raise SystemExit("--int8 needs the fused TPU serving path "
                              "(Dino transformer-fusion config, TPU backend)")
+    mesh = None
+    if args.num_devices != 1:
+        import jax
+
+        if jax.process_count() > 1:
+            raise SystemExit(
+                "--num_devices is single-process data-parallel serving; "
+                "in --distributed runs each host already scores a disjoint "
+                "shard on its own devices")
+        devs = jax.local_devices()
+        n_dev = len(devs) if args.num_devices < 0 else args.num_devices
+        if n_dev > len(devs):
+            raise SystemExit(f"--num_devices {n_dev}: only {len(devs)} "
+                             "local devices are attached")
+        if n_dev > 1:
+            from mst_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh((("data", n_dev),), devices=devs[:n_dev])
+            log.info("serving data-parallel over %d local devices", n_dev)
     predict = make_predict_fn(model, tta=args.use_tta, with_saliency=want_sal,
-                              batch_stats=batch_stats, plane_mode=plane_mode)
+                              batch_stats=batch_stats, plane_mode=plane_mode,
+                              mesh=mesh)
 
     from mst_tpu.data.datamodule import DataModule
 

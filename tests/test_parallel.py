@@ -304,3 +304,49 @@ def test_sharded_pod_restore_no_full_materialisation(tmp_path):
         np.asarray(mu_qkv),
         np.asarray(ref_mu["blocks_0"]["attn"]["qkv"]["kernel"]))
     assert int(restored.step) == 1
+
+
+def test_predict_fn_mesh_matches_single_device():
+    """Data-parallel serving (`make_predict_fn(mesh=...)`): the batch axis
+    shards over a pure-data mesh via shard_map (the fused/int8 Pallas
+    serving kernels are opaque to the auto-partitioner on real TPU meshes),
+    probs AND the saliency volume equal the single-device program, and
+    indivisible batches fall back in-trace to the one-program path."""
+    from mst_tpu.models.mst import DinoSliceClassifier
+    from mst_tpu.train.predictor import make_predict_fn
+
+    model = DinoSliceClassifier(out_ch=2, model_size="tiny", patch_size=14,
+                                fusion_heads=4, use_flash=False)
+    src = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 2, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), src)["params"]
+
+    ref = make_predict_fn(model, with_saliency=True)
+    probs_ref, sal_ref = ref(params, src, None)
+
+    mesh = make_mesh((("data", 4),), devices=jax.devices()[:4])
+    pred = make_predict_fn(model, with_saliency=True, mesh=mesh)
+    probs, sal = pred(params, src, None)
+    assert probs.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sal), np.asarray(sal_ref),
+                               atol=1e-5)
+
+    # indivisible batch: single-program fallback inside the same callable
+    probs3, _ = pred(params, src[:3], None)
+    np.testing.assert_allclose(np.asarray(probs3),
+                               np.asarray(probs_ref)[:3], atol=1e-5)
+
+    # TTA / probs-only mode (None saliency leaf) + key-padding mask shard
+    mask = jnp.zeros((4, src.shape[2]), bool)
+    pred_tta = make_predict_fn(model, tta=True, with_saliency=False,
+                               mesh=mesh)
+    ref_tta = make_predict_fn(model, tta=True, with_saliency=False)
+    probs_t, sal_none = pred_tta(params, src, mask)
+    probs_tr, _ = ref_tta(params, src, mask)
+    assert sal_none is None
+    np.testing.assert_allclose(np.asarray(probs_t), np.asarray(probs_tr),
+                               atol=1e-5)
+
+    with pytest.raises(ValueError):
+        make_predict_fn(model, mesh=make_mesh((("data", 2), ("tensor", 4))))

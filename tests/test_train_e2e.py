@@ -283,3 +283,28 @@ def test_predict_batched(trained_run):
     np.testing.assert_allclose(df1["NN_pred"].to_numpy(),
                                df5["NN_pred"].to_numpy(), atol=1e-5)
     assert (df1["NN"].to_numpy() == df5["NN"].to_numpy()).all()
+
+
+def test_predict_data_parallel_devices(trained_run):
+    """--num_devices N: plain eval shards batches over a local pure-data
+    mesh (shard_map serving); rows equal the single-device run, including
+    the remainder batch that falls back to one program."""
+    import pandas as pd
+
+    from scripts.main_predict import main as predict_main
+
+    run_dir, _ = trained_run
+    out1 = predict_main(["--run_folder", str(run_dir),
+                         "--output_dir", str(Path(run_dir) / "res_dp1")])
+    # bs=6 over 16 rows on 2 devices: batches of 6, 6, 4 — all divisible,
+    # all take the shard_map path (the indivisible fallback is covered by
+    # tests/test_parallel.py::test_predict_fn_mesh_matches_single_device)
+    out2 = predict_main(["--run_folder", str(run_dir), "--batch_size", "6",
+                         "--num_devices", "2",
+                         "--output_dir", str(Path(run_dir) / "res_dp2")])
+    df1 = pd.read_csv(Path(out1) / "results.csv").sort_values("uid")
+    df2 = pd.read_csv(Path(out2) / "results.csv").sort_values("uid")
+    assert len(df2) == len(df1) == 16
+    np.testing.assert_allclose(df1["NN_pred"].to_numpy(),
+                               df2["NN_pred"].to_numpy(), atol=1e-5)
+    assert (df1["NN"].to_numpy() == df2["NN"].to_numpy()).all()
