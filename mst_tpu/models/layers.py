@@ -174,9 +174,11 @@ class Block(nn.Module):
     use_flash: bool = True
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True,
+    def __call__(self, x, deterministic: bool = True,
                  return_weights: bool = False,
                  rope_angles=None):
+        # args are positional-capable (no keyword-only marker) so nn.remat
+        # can mark deterministic/return_weights static via static_argnums
         def ls(name):
             if self.layerscale_init is None:
                 return lambda y: y

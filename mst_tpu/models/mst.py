@@ -89,6 +89,9 @@ class DinoSliceClassifier(nn.Module):
     gelu_approximate: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    # per-block gradient rematerialisation for UNFROZEN training of models
+    # whose activations exceed HBM (ViT-L/giant2); see vit.py / vit_fast.py
+    remat: bool = False
 
     def setup(self):
         ffn_kw = {} if self.ffn_layer is None else {"ffn_layer": self.ffn_layer}
@@ -108,6 +111,7 @@ class DinoSliceClassifier(nn.Module):
             gelu_approximate=self.gelu_approximate,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            remat=self.remat,
             name="encoder",
         )
         emb = self.encoder.embed_dim

@@ -122,6 +122,14 @@ class VisionTransformer(nn.Module):
     gelu_approximate: bool = True  # tanh-GELU (2x cheaper, <=4.3e-4 abs dev)
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True
+    # Per-block gradient rematerialisation (jax.checkpoint via nn.remat):
+    # the backward recomputes each block's interior instead of storing its
+    # activations, cutting train activation memory from O(depth * tokens *
+    # ~8E) to O(depth * tokens * E) block inputs — what lets ViT-L/giant2
+    # train UNFROZEN inside one chip's HBM at ~fwd/3 extra FLOPs. Applies
+    # only to blocks that don't sow attention weights (saliency paths keep
+    # the plain block).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -193,15 +201,27 @@ class VisionTransformer(nn.Module):
             want_weights = return_weights == "all" or (
                 return_weights == "last" and i == self.depth - 1
             )
-            h = Block(
-                self.embed_dim, self.num_heads, mlp_ratio=self.mlp_ratio,
+            blk_cfg = dict(
+                mlp_ratio=self.mlp_ratio,
                 layerscale_init=self.layerscale_init, drop_path_rate=dpr[i],
                 ffn_layer=self.ffn_layer, ffn_hidden=self.ffn_hidden,
                 norm_eps=self.norm_eps,
                 gelu_approximate=self.gelu_approximate, dtype=self.dtype,
                 use_flash=self.use_flash, name=f"blocks_{i}",
-            )(h, deterministic=deterministic, return_weights=want_weights,
-              rope_angles=rope)
+            )
+            if self.remat and not want_weights and not deterministic:
+                # remat pays off only when a backward will run; eval
+                # forwards keep the plain block (no prevent_cse barriers)
+                # static_argnums counts self as 0: deterministic=2,
+                # return_weights=3 (both drive Python control flow inside
+                # Block); the param tree is identical to the plain block
+                blk = nn.remat(Block, static_argnums=(2, 3))(
+                    self.embed_dim, self.num_heads, **blk_cfg)
+                h = blk(h, deterministic, False, rope)
+            else:
+                h = Block(self.embed_dim, self.num_heads, **blk_cfg)(
+                    h, deterministic=deterministic,
+                    return_weights=want_weights, rope_angles=rope)
             if return_layers is not None and i in return_layers:
                 intermediates.append(h)
 

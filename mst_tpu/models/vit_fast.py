@@ -12,6 +12,7 @@ VJPs, but the explainability / bias / rope paths use the flax modules).
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Optional
@@ -161,11 +162,48 @@ def prepare_vit_tokens(params, x, cfg: FastViTConfig, dtype=jnp.bfloat16):
     return h, rope_cos, rope_sin
 
 
+def _fused_train_block(h, blk, rope_cos, rope_sin, *, cfg: FastViTConfig):
+    """One encoder block on the residual-sharing train kernels as a pure
+    function of (tokens, block params) — the unit `jax.checkpoint` wraps
+    for `remat=True`. Under remat the kernels' saved residuals (qkv [S,3E],
+    pre-proj o [S,E], pre-activation hidden) are produced during the
+    backward's recompute and consumed immediately, instead of being stored
+    across the whole forward: activation memory drops from ~8-9E per token
+    per block to the E-wide block inputs, which is what lets ViT-L/giant2
+    train UNFROZEN in one chip's HBM (~+fwd/3 FLOPs)."""
+    ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
+    ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
+    attn_args = (h, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                 blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"],
+                 blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"],
+                 ls1)
+    if rope_cos is not None:
+        h = fused_attention_sublayer_train_rope(
+            *attn_args, rope_cos, rope_sin, cfg.num_heads, cfg.norm_eps)
+    else:
+        h = fused_attention_sublayer_train(*attn_args, cfg.num_heads,
+                                           cfg.norm_eps)
+    if cfg.ffn_layer == "swiglu":
+        h = fused_swiglu_sublayer_train(
+            h, blk["norm2"]["scale"], blk["norm2"]["bias"],
+            blk["mlp"]["w12"]["kernel"], blk["mlp"]["w12"]["bias"],
+            blk["mlp"]["w3"]["kernel"], blk["mlp"]["w3"]["bias"],
+            ls2, cfg.norm_eps)
+    else:
+        h = fused_mlp_sublayer_train(
+            h, blk["norm2"]["scale"], blk["norm2"]["bias"],
+            blk["mlp"]["fc1"]["kernel"], blk["mlp"]["fc1"]["bias"],
+            blk["mlp"]["fc2"]["kernel"], blk["mlp"]["fc2"]["bias"],
+            ls2, cfg.gelu_approximate, cfg.norm_eps)
+    return h
+
+
 def fused_vit_cls(params, x, cfg: FastViTConfig,
                   dtype=jnp.bfloat16, train: bool = False,
                   want_last_row: bool = False,
                   want_rollout: bool = False,
-                  want_abnar: bool = False):
+                  want_abnar: bool = False,
+                  remat: bool = False):
     """params: the VisionTransformer subtree; x: [N, H, W, 3] -> CLS [N, E].
 
     train=True routes through the residual-sharing kernel variants whose
@@ -205,8 +243,15 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
         S_tot = h.shape[1]
         carry = jnp.zeros((N, cfg.num_heads, S_tot), jnp.float32
                           ).at[:, :, 0].set(1.0)  # e_0: chain starts empty
+    ckpt_block = None
+    if train and remat:
+        ckpt_block = jax.checkpoint(
+            functools.partial(_fused_train_block, cfg=cfg))
     for i in range(cfg.depth):
         blk = params[f"blocks_{i}"]
+        if ckpt_block is not None:
+            h = ckpt_block(h, blk, rope_cos, rope_sin)
+            continue
         ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
         ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
         want_row_here = want_last_row and i == cfg.depth - 1
@@ -414,7 +459,8 @@ def _fused_mst(params, source, model, src_key_padding_mask=None,
         feats = jax.lax.stop_gradient(
             fused_vit_cls(params["encoder"], x, cfg, dtype, train=False))
     else:
-        feats = fused_vit_cls(params["encoder"], x, cfg, dtype, train=train)
+        feats = fused_vit_cls(params["encoder"], x, cfg, dtype, train=train,
+                              remat=train and getattr(model, "remat", False))
         if frozen:
             feats = jax.lax.stop_gradient(feats)
     E = feats.shape[-1]

@@ -298,6 +298,10 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
     def run(state, source, target, mask):
         return jitted(state, source, target, mask, int8_encoder)
 
+    # AOT introspection hook: tools/bench_remat.py lowers the jitted step
+    # to read XLA's memory analysis (temp bytes) without executing it
+    run.jitted = jitted
+    run.int8_encoder = int8_encoder
     return run
 
 

@@ -56,6 +56,12 @@ def main(argv=None):
     ap.add_argument("--use_bottleneck", action="store_true")
     ap.add_argument("--use_slice_pos_emb", action="store_true")
     ap.add_argument("--freeze", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block gradient rematerialisation "
+                         "(jax.checkpoint): the backward recomputes each "
+                         "encoder block instead of storing its activations "
+                         "— UNFROZEN ViT-L/giant2 fine-tuning fits one "
+                         "chip's HBM at ~fwd/3 extra FLOPs (Dino models)")
     ap.add_argument("--int8", action="store_true",
                     help="with --freeze: run the frozen encoder forward on "
                          "the int8 (W8A8) serving kernels during training — "
@@ -142,13 +148,16 @@ def main(argv=None):
         model_size=args.model_size, slice_fusion=args.slice_fusion,
         rotary=args.rotary, use_bottleneck=args.use_bottleneck,
         use_slice_pos_emb=args.use_slice_pos_emb, freeze=args.freeze,
-        fusion_heads=args.fusion_heads,
+        fusion_heads=args.fusion_heads, remat=args.remat,
     )
     if args.use_registers:
         model_kw["num_register_tokens"] = 4
     if args.patch_size is not None:
         model_kw["patch_size"] = args.patch_size
     if args.model.startswith("ResNet"):
+        if args.remat:
+            raise SystemExit("--remat applies to the Dino ViT encoders; the "
+                             "ResNet activations fit HBM without it")
         model_kw = {"freeze": args.freeze}
 
     pretrained_sd = None
