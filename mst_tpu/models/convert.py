@@ -373,6 +373,23 @@ def convert_torch_resnet(sd: Dict, variant: int) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def convert_reference_resnet3d(sd: Dict, variant: int = 18
+                               ) -> Tuple[Dict, Dict]:
+    """Reference 3-D `ResNet` state_dict (the from-scratch MONAI path,
+    `mst/models/resnet.py:51-53`: `nets.resnet{N}(n_input_channels,
+    spatial_dims=3, num_classes)` under the `model.` attribute) ->
+    (params, batch_stats) for our `ResNet3DClassifier` — backbone plus the
+    final `fc` head."""
+    bb_sd = {k[len("model."):]: v for k, v in sd.items()
+             if k.startswith("model.")}
+    fc_w = bb_sd.pop("fc.weight")
+    fc_b = bb_sd.pop("fc.bias")
+    bb_params, bb_stats = convert_torch_resnet(bb_sd, variant)
+    params = {"backbone": bb_params,
+              "fc": {"kernel": _t(fc_w), "bias": np.asarray(fc_b)}}
+    return params, {"backbone": bb_stats}
+
+
 def convert_reference_mst(sd: Dict, depth: int = 12,
                           fusion_layers: int = 1) -> Dict:
     """Reference `DinoV2ClassifierSlice` state_dict -> our

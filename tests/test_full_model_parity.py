@@ -163,3 +163,56 @@ def test_full_resnet_slice_trans_parity():
                           jnp.asarray(vol.numpy()), jnp.asarray(mask.numpy()))
     np.testing.assert_allclose(np.asarray(out_masked), ref_masked,
                                atol=3e-3, rtol=3e-3)
+
+
+def test_full_resnet3d_gradcam_parity():
+    """FULL-MODEL 3D ResNet baseline parity vs the live reference
+    (`mst/models/resnet.py:25-122`) on shared random weights: logits AND
+    the Grad-CAM++ saliency map. The reference's hook dance (forward hooks
+    on every ReLU, argmax-logit backward inside `forward(save_attn=True)`,
+    eq.19 weights, last-map selection, min/max normalisation,
+    `resnet.py:56-122`) must equal our hook-free `jax.vjp` pipeline
+    (`ops/gradcam.argmax_logit_gradcam`). The 3D backbone runs on the stub
+    machinery's MONAI-named torch implementation (see
+    `reference_baseline._install_stubs` for the topology caveat)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from reference_baseline import _install_stubs
+
+    _install_stubs()
+    sys.path.insert(0, str(REF))
+    from mst.models.resnet import ResNet as RefResNet
+
+    torch.manual_seed(3)
+    tmodel = RefResNet(in_ch=1, out_ch=2, spatial_dims=3, model=18,
+                       pretrained=False).eval()
+    # /32 total stride: 64^3 input -> a [2,2,2] final map (a smaller volume
+    # degenerates to one cell, whose min==max normalisation NaNs in the
+    # reference)
+    vol = torch.randn(1, 1, 64, 64, 64)
+    ref_logits = tmodel(vol, save_attn=True).detach().numpy()
+    ref_map = tmodel.get_attention_maps().detach().numpy()  # [1,1,D',H',W']
+
+    import jax.numpy as jnp
+
+    from mst_tpu.models.convert import convert_reference_resnet3d
+    from mst_tpu.models.resnet import ResNet3DClassifier
+    from mst_tpu.ops.gradcam import argmax_logit_gradcam
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, batch_stats = convert_reference_resnet3d(sd, variant=18)
+    jm = ResNet3DClassifier(out_ch=2, variant=18)
+    variables = {"params": params, "batch_stats": batch_stats}
+    x = jnp.asarray(vol.numpy())
+
+    logits = jm.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-3, rtol=3e-3)
+
+    logits2, cam = argmax_logit_gradcam(
+        lambda v: jm.apply(variables, v, method="features"),
+        lambda a: jm.apply(variables, a, method="classify"), x)
+    np.testing.assert_allclose(np.asarray(logits2), ref_logits,
+                               atol=3e-3, rtol=3e-3)
+    assert cam.shape == ref_map.shape
+    np.testing.assert_allclose(np.asarray(cam), ref_map,
+                               atol=3e-3, rtol=3e-3)

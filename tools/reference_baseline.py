@@ -93,30 +93,40 @@ def _install_stubs():
             pass
 
     mod("torchmetrics", MeanSquaredError=_Metric, Accuracy=_Metric, AUROC=_Metric)
-    mod("monai")
-    mod("monai.networks")
-    nets = mod("monai.networks.nets")
-    stub_attr(nets, "ResNetFeatures", _Anything())
-    stub_attr(nets, "resnet50", _Anything())
-    # torchvision.models.resnet{18,34}: a REAL torch implementation with
-    # torchvision-compatible module names (conv1/bn1/layerX.i.*/downsample/
-    # fc) so the reference's ResNetSliceTrans 2D slice path runs for live
-    # random-weights parity tests (torchvision itself is not in the image;
-    # weights="DEFAULT" yields random init — no egress to download any).
+    # torchvision.models.resnet{18,34} and monai.networks.nets.resnet{18,34}:
+    # a REAL torch implementation (2D or 3D via `dim`) with the shared
+    # torchvision/MONAI module names (conv1/bn1/layerX.i.*/downsample/fc) so
+    # the reference's ResNetSliceTrans 2D slice path AND its from-scratch 3D
+    # `ResNet` path run for live random-weights parity tests (neither
+    # torchvision nor MONAI is in this image; weights stay random — no
+    # egress). Caveat: real MONAI's default 3D stem strides the depth axis
+    # by conv1_t_stride=1 and biases the downsample convs; this stub keeps
+    # the torchvision topology in 3D, which is also what
+    # `mst_tpu.models.resnet.ResNetBackbone` implements — the parity under
+    # test is the classifier/Grad-CAM++ pipeline on shared random weights,
+    # not MedicalNet checkpoint loading (that layout is covered by
+    # `convert_torch_resnet`'s MONAI key mapping + its unit test).
+    def _nd(dim):
+        if dim == 3:
+            return (torch.nn.Conv3d, torch.nn.BatchNorm3d,
+                    torch.nn.MaxPool3d, torch.nn.AdaptiveAvgPool3d)
+        return (torch.nn.Conv2d, torch.nn.BatchNorm2d,
+                torch.nn.MaxPool2d, torch.nn.AdaptiveAvgPool2d)
+
     class _TVBasicBlock(torch.nn.Module):
-        def __init__(self, inplanes, planes, stride=1):
+        def __init__(self, inplanes, planes, stride=1, dim=2):
             super().__init__()
-            self.conv1 = torch.nn.Conv2d(inplanes, planes, 3, stride, 1,
-                                         bias=False)
-            self.bn1 = torch.nn.BatchNorm2d(planes)
+            Conv, BN, _, _ = _nd(dim)
+            self.conv1 = Conv(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = BN(planes)
             self.relu = torch.nn.ReLU(inplace=True)
-            self.conv2 = torch.nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-            self.bn2 = torch.nn.BatchNorm2d(planes)
+            self.conv2 = Conv(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = BN(planes)
             self.downsample = None
             if stride != 1 or inplanes != planes:
                 self.downsample = torch.nn.Sequential(
-                    torch.nn.Conv2d(inplanes, planes, 1, stride, bias=False),
-                    torch.nn.BatchNorm2d(planes))
+                    Conv(inplanes, planes, 1, stride, bias=False),
+                    BN(planes))
 
         def forward(self, x):
             idn = x if self.downsample is None else self.downsample(x)
@@ -125,22 +135,23 @@ def _install_stubs():
             return self.relu(y + idn)
 
     class _TVResNet(torch.nn.Module):
-        def __init__(self, counts, num_classes=1000):
+        def __init__(self, counts, num_classes=1000, dim=2, in_ch=3):
             super().__init__()
-            self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-            self.bn1 = torch.nn.BatchNorm2d(64)
+            Conv, BN, MaxPool, AvgPool = _nd(dim)
+            self.conv1 = Conv(in_ch, 64, 7, 2, 3, bias=False)
+            self.bn1 = BN(64)
             self.relu = torch.nn.ReLU(inplace=True)
-            self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+            self.maxpool = MaxPool(3, 2, 1)
             widths = (64, 128, 256, 512)
             inp = 64
             for s, (w, n) in enumerate(zip(widths, counts)):
                 blocks = []
                 for i in range(n):
                     stride = 2 if (i == 0 and s > 0) else 1
-                    blocks.append(_TVBasicBlock(inp, w, stride))
+                    blocks.append(_TVBasicBlock(inp, w, stride, dim=dim))
                     inp = w
                 setattr(self, f"layer{s + 1}", torch.nn.Sequential(*blocks))
-            self.avgpool = torch.nn.AdaptiveAvgPool2d(1)
+            self.avgpool = AvgPool(1)
             self.fc = torch.nn.Linear(512, num_classes)
 
         def forward(self, x):
@@ -155,6 +166,24 @@ def _install_stubs():
             del weights, kw  # random init; no egress for real weights
             return _TVResNet(counts)
         return make
+
+    def _monai_factory(counts):
+        # MONAI resnet signature subset used by the reference's
+        # from-scratch path (`mst/models/resnet.py:51-53`)
+        def make(n_input_channels=3, spatial_dims=3, num_classes=400, **kw):
+            del kw  # kwargs_resnet passthrough (empty in the reference CLI)
+            return _TVResNet(counts, num_classes=num_classes,
+                             dim=spatial_dims, in_ch=n_input_channels)
+        return make
+
+    mod("monai")
+    mod("monai.networks")
+    nets = mod("monai.networks.nets")
+    stub_attr(nets, "ResNetFeatures", _Anything())
+    stub_attr(nets, "resnet18", _monai_factory((2, 2, 2, 2)))
+    stub_attr(nets, "resnet34", _monai_factory((3, 4, 6, 3)))
+    for name in ("resnet50", "resnet101", "resnet152"):  # bottleneck: unused
+        stub_attr(nets, name, _Anything())
 
     mod("torchvision")
     tvm = mod("torchvision.models")
