@@ -59,12 +59,22 @@ def make_optimizer(
     schedule: Optional[str] = None,  # None | "cosine" | "warmup_cosine"
     total_steps: int = 100_000,
     warmup_steps: int = 500,
+    optimizer: str = "adamw",  # adamw | adafactor
 ):
-    """AdamW with optional per-step LR schedule and encoder freezing.
+    """AdamW (reference default) with optional per-step LR schedule and
+    encoder freezing, or Adafactor for HBM-bound giant-model fine-tunes.
 
     The reference supports an arbitrary per-step `lr_scheduler`
     (`base_model.py:103-110`, default None == constant); the common
     choices are provided as optax schedules.
+
+    optimizer="adafactor" (Shazeer & Stern 2018): factored second moments
+    — O(rows+cols) statistics per matrix instead of AdamW's two full f32
+    moment trees (8.8 GB at giant2). Combined with `--remat` this is what
+    fits an UNFROZEN 1.1B giant2 train step on one 16 GB chip.
+    `multiply_by_parameter_scale=False` keeps Adam-like update semantics
+    at the reference's tiny constant lr (1e-6); decoupled weight decay
+    mirrors AdamW's.
     """
     if schedule == "cosine":
         lr = optax.cosine_decay_schedule(learning_rate, total_steps)
@@ -76,7 +86,13 @@ def make_optimizer(
         lr = learning_rate
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
-    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if optimizer == "adamw":
+        tx = optax.adamw(lr, weight_decay=weight_decay)
+    elif optimizer == "adafactor":
+        tx = optax.adafactor(lr, multiply_by_parameter_scale=False,
+                             weight_decay_rate=weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if not freeze_encoder:

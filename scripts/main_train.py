@@ -82,6 +82,12 @@ def main(argv=None):
                     help="write a jax.profiler trace of epoch 1 here")
     ap.add_argument("--lr_schedule", default=None,
                     choices=[None, "cosine", "warmup_cosine"])
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "adafactor"],
+                    help="adafactor: factored second moments — with "
+                         "--remat, an UNFROZEN giant2 (1.1B) fine-tune "
+                         "fits one 16GB chip (AdamW's full f32 moments "
+                         "alone are 8.8GB there)")
     ap.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (the functional analogue of "
                          "a sanitizer pass, SURVEY 5.2)")
@@ -224,7 +230,8 @@ def main(argv=None):
     lr = entry.learning_rate if args.lr is None else args.lr
     tx = make_optimizer(lr, entry.weight_decay,
                         freeze_encoder=args.freeze,
-                        schedule=args.lr_schedule)
+                        schedule=args.lr_schedule,
+                        optimizer=args.optimizer)
     trainer = Trainer(
         run_dir, max_epochs=args.max_epochs, patience=args.patience,
         limit_val_batches=min(len(ds_val), 200),

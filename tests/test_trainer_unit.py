@@ -71,6 +71,33 @@ def test_make_optimizer_schedules_and_freeze():
     assert float(np.abs(np.asarray(updates["head"]["w"])).sum()) > 0.0
 
 
+def test_make_optimizer_adafactor_factored_state():
+    """`--optimizer adafactor`: finite updates, factored second-moment
+    statistics (no full moment tree — for a [R, C] matrix the optimizer
+    state holds O(R)+O(C) vectors, the giant2-on-one-chip enabler), and
+    composition with freeze masking."""
+    mat = {"w": jnp.ones((256, 512))}
+    tx = make_optimizer(1e-3, optimizer="adafactor")
+    state = tx.init(mat)
+    sizes = sorted(int(np.prod(l.shape)) for l in jax.tree.leaves(state)
+                   if hasattr(l, "shape") and np.prod(l.shape) > 1)
+    assert sizes and max(sizes) <= 256 + 512, sizes  # factored, not full
+    updates, _ = tx.update(jax.tree.map(jnp.ones_like, mat), state, mat)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    assert float(np.abs(np.asarray(updates["w"])).sum()) > 0.0
+
+    params = {"encoder": {"w": jnp.ones((8, 8))}, "head": {"w": jnp.ones(3)}}
+    tx_f = make_optimizer(1e-3, optimizer="adafactor", freeze_encoder=True)
+    state = tx_f.init(params)
+    updates, _ = tx_f.update(jax.tree.map(jnp.ones_like, params), state,
+                             params)
+    np.testing.assert_array_equal(np.asarray(updates["encoder"]["w"]), 0.0)
+    assert float(np.abs(np.asarray(updates["head"]["w"])).sum()) > 0.0
+
+    with pytest.raises(ValueError):
+        make_optimizer(1e-3, optimizer="sgd")
+
+
 @pytest.mark.slow
 def test_history_contains_perf_stats(tmp_path):
     _fit(tmp_path, max_epochs=2, patience=5, lr=1e-3)

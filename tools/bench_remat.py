@@ -13,11 +13,15 @@ Per-block rematerialisation (`--remat`, jax.checkpoint around
 express at all (its Lightning loop has no activation-checkpoint knob;
 `mst/models/dino.py` trains ViT-L/giant only frozen in practice).
 
-For the non-remat arm the step is LOWERED AND COMPILED but not executed —
-XLA's memory analysis proves the >HBM temp allocation without risking a
-device OOM through the tunnel.
+The won't-fit arms are LOWERED AND COMPILED but not executed — XLA:TPU
+itself rejects >HBM programs at compile time ("Ran out of memory in
+memory space hbm"), which is the proof, recorded without risking a device
+OOM through the tunnel. `--giant2 --batch 2` switches to the 1.1B
+UNFROZEN arms: remat+AdamW (the f32 moment trees alone blow HBM) vs
+remat+Adafactor (factored second moments, `--optimizer adafactor`), which
+runs.
 
-    python tools/bench_remat.py [--batch N]  ->  JSON lines
+    python tools/bench_remat.py [--batch N] [--giant2]  ->  JSON lines
 """
 
 from __future__ import annotations
@@ -37,11 +41,25 @@ HBM_BYTES = 16 * 1024**3  # v5e
 
 
 def analyse(step, state, source, target):
+    """-> (memory dict, compiled executable | None). The executable is
+    reused for the timed run — a plain step() call would recompile from
+    scratch (jit dispatch does not consult AOT lower().compile() results),
+    minutes through the tunnel."""
+    import re
+
     lowered = step.jitted.lower(state, source, target, None,
                                 step.int8_encoder)
-    mem = lowered.compile().memory_analysis()
+    try:
+        compiled = lowered.compile()
+        mem = compiled.memory_analysis()
+    except Exception as e:  # XLA:TPU refuses to even compile >HBM programs
+        m = re.search(r"Used ([\d.]+[GMK]) of ([\d.]+[GMK]) hbm", str(e))
+        if m:  # e.g. "Ran out of memory ... Used 32.00G of 15.75G hbm"
+            return {"compile_oom": True, "needs": m.group(1),
+                    "hbm": m.group(2)}, None
+        raise
     if mem is None:
-        return None
+        return None, compiled
     return {
         "temp_gb": round(mem.temp_size_in_bytes / 1024**3, 2),
         "args_gb": round(mem.argument_size_in_bytes / 1024**3, 2),
@@ -49,10 +67,10 @@ def analyse(step, state, source, target):
                            + mem.argument_size_in_bytes
                            + mem.output_size_in_bytes
                            - mem.alias_size_in_bytes) / 1024**3, 2),
-    }
+    }, compiled
 
 
-def main(batch: int = 8, iters: int = 4):
+def main(batch: int = 8, iters: int = 4, giant2: bool = False):
     from mst_tpu.models.mst import DinoSliceClassifier
     from mst_tpu.train.trainer import (
         TrainState,
@@ -64,37 +82,54 @@ def main(batch: int = 8, iters: int = 4):
     source = jax.random.normal(key, (batch, 1, 32, 224, 224), jnp.float32)
     target = jnp.zeros((batch,), jnp.int32)
 
+    if giant2:
+        # 1.1B params UNFROZEN: both arms use --remat; the variable is the
+        # optimizer — AdamW's two full f32 moment trees (8.8 GB) + f32
+        # params + f32 grads cannot fit 16 GB even with remat'd
+        # activations; Adafactor's factored statistics can.
+        arms = [("adamw", True), ("adafactor", True)]
+        size, heads = "giant2", 24  # E=1536
+    else:
+        arms = [("adamw", False), ("adamw", True)]
+        size, heads = "large", 16  # E=1024
+
     rows = []
-    for remat in (False, True):
-        model = DinoSliceClassifier(out_ch=2, model_size="large",
-                                    fusion_heads=16,  # E=1024
+    for opt, remat in arms:
+        model = DinoSliceClassifier(out_ch=2, model_size=size,
+                                    fusion_heads=heads,
                                     remat=remat, dtype=jnp.bfloat16)
         params = model.init(key, source[:1, :, :1, :28, :28])["params"]
         state = TrainState.create(
             apply_fn=model.apply, params=params,
-            tx=make_optimizer(1e-6), dropout_rng=jax.random.PRNGKey(1))
+            tx=make_optimizer(1e-6, optimizer=opt),
+            dropout_rng=jax.random.PRNGKey(1))
         step = make_train_step(model)
         t_c = time.perf_counter()
-        mem = analyse(step, state, source, target)
-        print(f"# remat={remat}: compile+analysis "
+        mem, compiled = analyse(step, state, source, target)
+        print(f"# {size} opt={opt} remat={remat}: compile+analysis "
               f"{time.perf_counter() - t_c:.1f}s  {mem}",
               file=sys.stderr, flush=True)
-        fits = mem is None or mem["total_gb"] * 1024**3 < HBM_BYTES * 0.97
-        row = {"metric": "ViT-L UNFROZEN train (fused kernels"
+        fits = mem is None or (not mem.get("compile_oom")
+                               and mem["total_gb"] * 1024**3
+                               < HBM_BYTES * 0.97)
+        row = {"metric": f"{size} UNFROZEN train (fused kernels, {opt}"
                          + (", per-block remat)" if remat else ")"),
                "batch": batch, "memory": mem,
                "fits_16gb_hbm": bool(fits),
                "backend": jax.default_backend()}
-        if remat:
+        execute = (opt, remat) == arms[-1]
+        if execute:
             if not fits:
-                print("# remat arm does not fit — not executing",
+                print("# final arm does not fit — not executing",
                       file=sys.stderr, flush=True)
             else:
-                state, loss, _ = step(state, source, target, None)
+                state, loss, _ = compiled(state, source, target, None,
+                                          step.int8_encoder)
                 float(loss)
                 t0 = time.perf_counter()
                 for _ in range(iters):
-                    state, loss, _ = step(state, source, target, None)
+                    state, loss, _ = compiled(state, source, target, None,
+                                              step.int8_encoder)
                 float(loss)  # forced host sync
                 dt = (time.perf_counter() - t0) / iters
                 row["value"] = round(batch / dt, 2)
@@ -109,5 +144,9 @@ def main(batch: int = 8, iters: int = 4):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--giant2", action="store_true",
+                    help="1.1B UNFROZEN arms: remat+AdamW (proves the "
+                         "moment-tree OOM) vs remat+Adafactor (runs); "
+                         "use --batch 2")
     a = ap.parse_args()
-    main(batch=a.batch)
+    main(batch=a.batch, giant2=a.giant2)
