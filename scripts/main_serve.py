@@ -55,11 +55,25 @@ def build_server(args):
             raise SystemExit("--int8 needs the fused TPU serving path "
                              "(Dino transformer-fusion config, TPU backend)")
         if args.int8_calib:
+            # static scales must be calibrated on REAL activations: pull N
+            # volumes from the run's own val split (same contract as the
+            # predict CLI's first-N-eval-volumes calibration)
             import numpy as np
 
-            calib = jnp.asarray(np.random.default_rng(0).normal(
-                0, 1, (min(args.int8_calib, 4), 1, 32, 224, 224)
-            ).astype(np.float32))
+            from mst_tpu.registry import get_dataset
+
+            dataset_name = _Path(args.run_folder).parent.name
+            ds_kw = ({} if dataset_name == "Synthetic"
+                     else {"path_root": args.path_root})
+            if dataset_name != "Synthetic" and not args.path_root:
+                raise SystemExit(
+                    "--int8_calib needs --path_root to draw calibration "
+                    "volumes from the run's val split (or serve with "
+                    "dynamic scales: --int8 without --int8_calib)")
+            ds = get_dataset(dataset_name, split="val", **ds_kw)
+            n = min(args.int8_calib, len(ds))
+            calib = jnp.asarray(np.stack(
+                [np.asarray(ds[i]["source"], np.float32) for i in range(n)]))
             params = quantize_mst_params_int8(params, model, calib)
         else:
             params = quantize_mst_params_int8(params)
@@ -96,6 +110,9 @@ def build_server(args):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_folder", required=True)
+    ap.add_argument("--path_root", default=None,
+                    help="dataset root — only needed for --int8_calib "
+                         "(calibration volumes come from the val split)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8760)
     ap.add_argument("--batch_size", type=int, default=8,
@@ -112,9 +129,8 @@ def main(argv=None):
                     help="serve the encoder on the W8A8 int8 kernels")
     ap.add_argument("--int8_calib", type=int, default=0,
                     help="with --int8: calibrate static activation scales "
-                         "on N synthetic LIDC-shaped volumes (point real "
-                         "traffic at --int8 dynamic scales when no "
-                         "calibration set is mountable)")
+                         "on N volumes from the run's val split (needs "
+                         "--path_root); omit for dynamic per-token scales")
     args = ap.parse_args(argv)
 
     server, predictor = build_server(args)

@@ -59,6 +59,7 @@ def test_flax_remat_same_tree_logits_grads():
     _grads_close(jax.grad(loss(base))(params), jax.grad(loss(rem))(params))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("extra", [
     {},                                                    # mlp blocks
     {"ffn_layer": "swiglu"},                               # giant2 family

@@ -69,6 +69,34 @@ def main():
     print(f"training grads  max rel diff={worst:.2e} ({worst_key})  "
           f"{'PASS' if ok_bwd else 'FAIL'}")
 
+    # --remat: jax.checkpoint around the fused train blocks — the backward
+    # re-RUNS the real Mosaic forward kernels to regenerate residuals, so
+    # grads must match the stored-residual schedule (near bit-exact: same
+    # kernels, same inputs, only the schedule differs).
+    model_r = dino_v2_classifier_slice(out_ch=2, model_size="small",
+                                       dtype=jnp.float32, use_flash=False,
+                                       remat=True)
+
+    def loss_fused_remat(p):
+        logits = fused_mst_logits(p, x, model_r, dtype=jnp.float32,
+                                  train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, t).mean()
+
+    g3 = jax.jit(jax.grad(loss_fused_remat))(params)
+    worst_r, worst_rk = 0.0, ""
+    for (k1, v1), (_, v2) in zip(
+        jax.tree_util.tree_flatten_with_path(g2)[0],
+        jax.tree_util.tree_flatten_with_path(g3)[0],
+    ):
+        scale = max(float(np.abs(np.asarray(v1)).max()), 1e-6)
+        d = float(np.abs(np.asarray(v1) - np.asarray(v2)).max()) / scale
+        if d > worst_r:
+            worst_r, worst_rk = d, jax.tree_util.keystr(k1)
+    ok_remat = worst_r < 1e-3
+    print(f"remat grads     max rel diff={worst_r:.2e} ({worst_rk})  "
+          f"{'PASS' if ok_remat else 'FAIL'}")
+
     # Fused explainability (the CLS-row Mosaic kernel) vs the flax hooks.
     from mst_tpu.models.vit_fast import fused_mst_saliency
     from mst_tpu.train.predictor import _forward_with_saliency
@@ -213,8 +241,8 @@ def main():
           f"max|fwd-serve|={fwd_match:.1e}  "
           f"{'PASS' if ok_i8t else 'FAIL'}")
 
-    return 0 if (ok_fwd and ok_bwd and ok_sal and ok_v3 and ok_v3s
-                 and ok_v3t and ok_ro and ok_i8 and ok_i8s
+    return 0 if (ok_fwd and ok_bwd and ok_remat and ok_sal and ok_v3
+                 and ok_v3s and ok_v3t and ok_ro and ok_i8 and ok_i8s
                  and ok_i8sal and ok_i8t) else 1
 
 
