@@ -464,9 +464,14 @@ def _swiglu_train_kernel(x_ref, lns_ref, lnb_ref, w12_ref, b12_ref, w3_ref,
     ) + b12_ref[0]
     h12 = h12.astype(x.dtype)
     h12_ref[:] = h12.reshape(K, S, -1)
-    hidden = h12.shape[-1] // 2
-    h1 = h12[:, :hidden]
-    h2 = h12[:, hidden:]
+    # gate from the SAVED (rounded) h12, upcast to f32: bit-consistent with
+    # the backward's recompute, and Mosaic's logistic lowering rejects bf16
+    # operands (f32 constant broadcast into a bf16 vector fails the
+    # verifier — found compiling the giant2 UNFROZEN remat step)
+    h12f = h12.astype(jnp.float32)
+    hidden = h12f.shape[-1] // 2
+    h1 = h12f[:, :hidden]
+    h2 = h12f[:, hidden:]
     g = (h1 * jax.nn.sigmoid(h1) * h2).astype(x.dtype)
     y = jax.lax.dot_general(
         g, w3_ref[:], (((1,), (0,)), ((), ())),

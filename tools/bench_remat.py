@@ -123,9 +123,13 @@ def main(batch: int = 8, iters: int = 4, giant2: bool = False):
                 print("# final arm does not fit — not executing",
                       file=sys.stderr, flush=True)
             else:
+                t_e = time.perf_counter()
                 state, loss, _ = compiled(state, source, target, None,
                                           step.int8_encoder)
                 float(loss)
+                print(f"# first executed step: "
+                      f"{time.perf_counter() - t_e:.1f}s",
+                      file=sys.stderr, flush=True)
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     state, loss, _ = compiled(state, source, target, None,
