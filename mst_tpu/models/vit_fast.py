@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -198,6 +199,94 @@ def _fused_train_block(h, blk, rope_cos, rope_sin, *, cfg: FastViTConfig):
     return h
 
 
+def _cls_last_block(h, blk, rope_cos, rope_sin, *, cfg: FastViTConfig):
+    """The FINAL encoder block evaluated for the CLS token only.
+
+    The MST forward consumes nothing but the CLS feature after the last
+    block (`fused_vit_cls` returns `hf[:, 0]`; reference
+    `mst/models/dino.py:134-166` reads `encoder(x)` = the CLS embedding),
+    so the last block's patch-token outputs are dead code — in the
+    backward too (their cotangents are exactly zero). This computes only
+    what is live:
+
+    - LN + k/v projection over ALL tokens (CLS attends to everything),
+    - the q projection / attention row / proj for the CLS query alone,
+    - the MLP on the single CLS token.
+
+    That drops the block from ~1.01 GFLOP to ~0.16 GFLOP per ViT-S slice
+    (the S× factor disappears from scores/context/proj/MLP) — ~6-7% of
+    the whole encoder chain, on serving AND training. Pure XLA: at one
+    query token there is no kernel-fusion win left for Pallas to add.
+
+    Returns (cls_out [N, E] pre-final-norm, row [N, heads, S] f32) — the
+    row is the per-head CLS softmax row, exactly what the "last"
+    saliency mode consumes (`ops/saliency.plane_attention_from_row`), so
+    `want_last_row` serving gets it for free.
+    """
+    from mst_tpu.ops.fused_block import _ln
+
+    N, S, E = h.shape
+    nh = cfg.num_heads
+    hd = E // nh
+    dtype = h.dtype
+    ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
+    ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
+
+    hn = _ln(h, blk["norm1"]["scale"], blk["norm1"]["bias"],
+             cfg.norm_eps).astype(dtype)
+    wqkv = blk["attn"]["qkv"]["kernel"].astype(dtype)
+    bqkv = blk["attn"]["qkv"]["bias"].astype(dtype)
+    # qkv packing is [q | k | v] along the output dim (vit.Attention /
+    # fused_block._attn_ref reshape to [..., 3, heads, hd]).
+    q = hn[:, 0] @ wqkv[:, :E] + bqkv[:E]       # [N, E] — CLS query only
+    kv = hn @ wqkv[:, E:] + bqkv[E:]            # [N, S, 2E]
+    q = q.reshape(N, nh, hd)
+    kv = kv.reshape(N, S, 2, nh, hd)
+    k = jnp.moveaxis(kv[:, :, 0], 1, 2)         # [N, nh, S, hd]
+    v = jnp.moveaxis(kv[:, :, 1], 1, 2)
+
+    if rope_cos is not None:
+        def rot(t):  # interleaved pairs: (a, b) -> (-b, a)
+            tf = t.astype(jnp.float32).reshape(*t.shape[:-1], hd // 2, 2)
+            tr = jnp.stack([-tf[..., 1], tf[..., 0]], axis=-1)
+            return tr.reshape(*t.shape[:-1], hd)
+        # CLS is a prefix token: rope row 0 is the zero angle (identity),
+        # applied anyway so the math stays table-driven.
+        q = (q.astype(jnp.float32) * rope_cos[0] + rot(q) * rope_sin[0]
+             ).astype(dtype)
+        k = (k.astype(jnp.float32) * rope_cos + rot(k) * rope_sin
+             ).astype(dtype)
+
+    s = jnp.einsum("nhd,nhkd->nhk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    row = jax.nn.softmax(s, axis=-1)            # [N, nh, S] f32
+    o = jnp.einsum("nhk,nhkd->nhd", row.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    y = o.reshape(N, E) @ blk["attn"]["proj"]["kernel"].astype(dtype) + \
+        blk["attn"]["proj"]["bias"].astype(dtype)
+    if ls1 is not None:
+        y = y * ls1.astype(dtype)
+    c = h[:, 0] + y                             # [N, E]
+
+    cn = _ln(c, blk["norm2"]["scale"], blk["norm2"]["bias"],
+             cfg.norm_eps).astype(dtype)
+    if cfg.ffn_layer == "swiglu":
+        h12 = cn @ blk["mlp"]["w12"]["kernel"].astype(dtype) + \
+            blk["mlp"]["w12"]["bias"].astype(dtype)
+        h1, h2 = jnp.split(h12, 2, axis=-1)
+        m = (jax.nn.silu(h1) * h2) @ blk["mlp"]["w3"]["kernel"].astype(dtype) \
+            + blk["mlp"]["w3"]["bias"].astype(dtype)
+    else:
+        m = cn @ blk["mlp"]["fc1"]["kernel"].astype(dtype) + \
+            blk["mlp"]["fc1"]["bias"].astype(dtype)
+        m = jax.nn.gelu(m, approximate=cfg.gelu_approximate)
+        m = m @ blk["mlp"]["fc2"]["kernel"].astype(dtype) + \
+            blk["mlp"]["fc2"]["bias"].astype(dtype)
+    if ls2 is not None:
+        m = m * ls2.astype(dtype)
+    return c + m, row
+
+
 def fused_vit_cls(params, x, cfg: FastViTConfig,
                   dtype=jnp.bfloat16, train: bool = False,
                   want_last_row: bool = False,
@@ -243,11 +332,23 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
         S_tot = h.shape[1]
         carry = jnp.zeros((N, cfg.num_heads, S_tot), jnp.float32
                           ).at[:, :, 0].set(1.0)  # e_0: chain starts empty
+    if want_last_row and train:
+        raise ValueError("want_last_row is a serving-only path")
     ckpt_block = None
     if train and remat:
         ckpt_block = jax.checkpoint(
             functools.partial(_fused_train_block, cfg=cfg))
-    for i in range(cfg.depth):
+    # CLS-only last block (`_cls_last_block`): every mode whose only
+    # consumers are the CLS feature (+ optionally the last CLS row) skips
+    # the dead patch-token work of the final block. rollout/abnar need the
+    # full last-block attention matrix; int8-quantized last blocks (trees
+    # built with quantize_last=True) keep the full kernel path.
+    last_blk = params[f"blocks_{cfg.depth - 1}"]
+    cheap_last = (not want_rollout and not want_abnar
+                  and "q8" not in last_blk["attn"]["qkv"]
+                  and not os.environ.get("MST_NO_CHEAP_LAST"))
+    loop_depth = cfg.depth - 1 if cheap_last else cfg.depth
+    for i in range(loop_depth):
         blk = params[f"blocks_{i}"]
         if ckpt_block is not None:
             h = ckpt_block(h, blk, rope_cos, rope_sin)
@@ -355,12 +456,21 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
             )
             h = mlp_fn(*mlp_args, cfg.norm_eps)
 
+    if cheap_last:
+        last_fn = functools.partial(_cls_last_block, cfg=cfg)
+        if ckpt_block is not None:
+            last_fn = jax.checkpoint(last_fn)
+        cls_vec, row = last_fn(h, last_blk, rope_cos, rope_sin)
+        if want_last_row:
+            last_row = row
+    else:
+        cls_vec = h[:, 0]  # final LN is per-token: LN(h)[:, 0] == LN(h[:, 0])
     n = params["norm"]
-    hf = h.astype(jnp.float32)
+    hf = cls_vec.astype(jnp.float32)
     mean = hf.mean(-1, keepdims=True)
     var = ((hf - mean) ** 2).mean(-1, keepdims=True)
     hf = (hf - mean) * jax.lax.rsqrt(var + cfg.norm_eps) * n["scale"] + n["bias"]
-    cls = hf[:, 0].astype(dtype)
+    cls = hf.astype(dtype)
     if want_rollout:
         return cls, carry
     if want_abnar:

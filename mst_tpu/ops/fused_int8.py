@@ -84,7 +84,8 @@ def quantize_weight_int8(w) -> tuple:
 
 
 def quantize_encoder_int8(encoder_params, act_scales=None,
-                          margin: float = 1.05) -> dict:
+                          margin: float = 1.05,
+                          quantize_last: bool = False) -> dict:
     """Return a copy of the VisionTransformer param subtree where every
     block's token-wise matmul kernel (attn.qkv/attn.proj + mlp.fc1/fc2 or
     mlp.w12/w3) is replaced by {"q8": int8, "scale": [1,F] f32}. All other
@@ -98,7 +99,17 @@ def quantize_encoder_int8(encoder_params, act_scales=None,
     The FFN hidden site's runtime scale ships as "a_inv" on the fc2/w3
     node (also the static-mode marker `fused_vit_cls` dispatches on).
     `margin` widens every calibrated scale to absorb out-of-sample
-    activations (they saturate at ±127 beyond it)."""
+    activations (they saturate at ±127 beyond it).
+
+    The LAST block is left unquantized by default (`quantize_last=False`):
+    serving runs it through the CLS-only XLA block
+    (`vit_fast._cls_last_block`) where only ~0.16 of its ~1.01 GFLOP
+    survive — int8 has nothing left to accelerate there, and keeping it
+    bf16 removes a quantization site from the accuracy budget. Pass
+    `quantize_last=True` for trees that serve the rollout/abnar saliency
+    modes heavily (they need the full last block and would otherwise run
+    it bf16 — a ~1-2% throughput cost, the modes stay correct either
+    way: `fused_vit_cls` dispatches per block on the "q8" key)."""
 
     def _conv(tree):
         out = {}
@@ -122,9 +133,14 @@ def quantize_encoder_int8(encoder_params, act_scales=None,
                 out[k] = jnp.array(v, copy=True)
 
     params = _conv(encoder_params)
+    block_ids = [int(n.split("_", 1)[1]) for n in params
+                 if n.startswith("blocks_")]
+    last_id = max(block_ids) if block_ids else -1
     for name, blk in params.items():
         if not name.startswith("blocks_"):
             continue
+        if not quantize_last and int(name.split("_", 1)[1]) == last_id:
+            continue  # served by the CLS-only bf16 block (docstring)
         for path in (("attn", "qkv"), ("attn", "proj"), ("mlp", "fc1"),
                      ("mlp", "fc2"), ("mlp", "w12"), ("mlp", "w3")):
             node = blk
@@ -313,7 +329,8 @@ def _calibrate_chunk(encoder_params, x, cfg, dtype) -> dict:
 
 def quantize_mst_params_int8(params, model=None, calib_source=None,
                              margin: float = 1.05,
-                             dtype=jnp.bfloat16) -> dict:
+                             dtype=jnp.bfloat16,
+                             quantize_last: bool = False) -> dict:
     """Quantize the encoder inside a full DinoSliceClassifier param tree
     (checkpoint `params`); fusion layers / head / bottleneck stay full
     precision. The result feeds `vit_fast.fused_mst_logits` unchanged —
@@ -340,7 +357,8 @@ def quantize_mst_params_int8(params, model=None, calib_source=None,
             params["encoder"], x, cfg, dtype=dtype)
     out = dict(params)
     out["encoder"] = quantize_encoder_int8(params["encoder"], act_scales,
-                                           margin)
+                                           margin,
+                                           quantize_last=quantize_last)
     return out
 
 

@@ -60,9 +60,18 @@ def make_optimizer(
     total_steps: int = 100_000,
     warmup_steps: int = 500,
     optimizer: str = "adamw",  # adamw | adafactor
+    accumulate_steps: int = 1,
 ):
     """AdamW (reference default) with optional per-step LR schedule and
     encoder freezing, or Adafactor for HBM-bound giant-model fine-tunes.
+
+    accumulate_steps > 1 (Lightning's `accumulate_grad_batches`, which the
+    reference pins to 1 at `main_train.py:111`): optax.MultiSteps averages
+    the gradients of k consecutive micro-batches and applies ONE optimizer
+    update — the parameter trajectory of batch k×bs on a chip that only
+    fits bs. The k-1 skipped micro-steps are true no-ops on the params
+    (MultiSteps stores the running grad average in its state), so
+    `TrainState.step` still counts micro-batches.
 
     The reference supports an arbitrary per-step `lr_scheduler`
     (`base_model.py:103-110`, default None == constant); the common
@@ -95,20 +104,21 @@ def make_optimizer(
         raise ValueError(f"unknown optimizer {optimizer!r}")
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
-    if not freeze_encoder:
-        return tx
+    if freeze_encoder:
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "frozen"
+                if any(getattr(p, "key", None) == "encoder" for p in path)
+                else "train",
+                params,
+            )
 
-    def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "frozen"
-            if any(getattr(p, "key", None) == "encoder" for p in path)
-            else "train",
-            params,
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn
         )
-
-    return optax.multi_transform(
-        {"train": tx, "frozen": optax.set_to_zero()}, label_fn
-    )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
 
 
 def cross_entropy_loss(logits, targets):

@@ -88,6 +88,12 @@ def main(argv=None):
                          "--remat, an UNFROZEN giant2 (1.1B) fine-tune "
                          "fits one 16GB chip (AdamW's full f32 moments "
                          "alone are 8.8GB there)")
+    ap.add_argument("--accumulate_grad_batches", type=int, default=1,
+                    help="average the grads of N micro-batches into one "
+                         "optimizer update (Lightning's knob of the same "
+                         "name; the reference pins it to 1 at "
+                         "main_train.py:111) — the batch_size*N training "
+                         "trajectory on a chip that only fits batch_size")
     ap.add_argument("--debug_nans", action="store_true",
                     help="enable jax_debug_nans (the functional analogue of "
                          "a sanitizer pass, SURVEY 5.2)")
@@ -231,7 +237,8 @@ def main(argv=None):
     tx = make_optimizer(lr, entry.weight_decay,
                         freeze_encoder=args.freeze,
                         schedule=args.lr_schedule,
-                        optimizer=args.optimizer)
+                        optimizer=args.optimizer,
+                        accumulate_steps=args.accumulate_grad_batches)
     trainer = Trainer(
         run_dir, max_epochs=args.max_epochs, patience=args.patience,
         limit_val_batches=min(len(ds_val), 200),

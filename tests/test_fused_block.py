@@ -252,6 +252,65 @@ def test_fused_vit_cls_matches_encoder():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_cls_only_last_block_matches_full_path(monkeypatch):
+    """`_cls_last_block` (the CLS-only final block) == the full kernel
+    path forced via MST_NO_CHEAP_LAST, for the CLS feature, the "last"
+    saliency row, and train-mode gradients — v2 and rope (DINOv3) configs."""
+    import optax
+
+    for extra in ({}, dict(use_rope_2d=True, use_pos_embed=False,
+                           rope_normalized=True, num_register_tokens=2,
+                           norm_eps=1e-5)):
+        model = DinoSliceClassifier(out_ch=2, **TINY, **extra)
+        x = jax.random.normal(jax.random.PRNGKey(11), (2, 1, 2, 28, 28))
+        params = model.init(jax.random.PRNGKey(12), x)["params"]
+        imgs = jnp.repeat(
+            jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(4, 28, 28, 1), 3, -1)
+        cfg = FastViTConfig.from_model(model)
+
+        def run(want_row=False, train=False):
+            return fused_vit_cls(params["encoder"], imgs, cfg,
+                                 dtype=jnp.float32,
+                                 want_last_row=want_row, train=train)
+
+        monkeypatch.delenv("MST_NO_CHEAP_LAST", raising=False)
+        cls_cheap, row_cheap = run(want_row=True)
+        monkeypatch.setenv("MST_NO_CHEAP_LAST", "1")
+        cls_full, row_full = run(want_row=True)
+        np.testing.assert_allclose(np.asarray(cls_cheap),
+                                   np.asarray(cls_full),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(row_cheap),
+                                   np.asarray(row_full),
+                                   atol=1e-5, rtol=1e-5)
+
+        t = jnp.array([0, 1, 1, 0])
+
+        def loss(p, enc_params):
+            cls = fused_vit_cls(enc_params, imgs, cfg, dtype=jnp.float32,
+                                train=True)
+            logits = cls @ p
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, t).mean()
+
+        head = 0.1 * jax.random.normal(jax.random.PRNGKey(13),
+                                       (cls_cheap.shape[-1], 2))
+        monkeypatch.setenv("MST_NO_CHEAP_LAST", "1")
+        g_full = jax.grad(loss, argnums=(0, 1))(head, params["encoder"])
+        monkeypatch.delenv("MST_NO_CHEAP_LAST")
+        g_cheap = jax.grad(loss, argnums=(0, 1))(head, params["encoder"])
+        flat_f = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_flatten_with_path(g_full)[0]}
+        flat_c = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_flatten_with_path(g_cheap)[0]}
+        assert set(flat_f) == set(flat_c)
+        for k in flat_f:
+            np.testing.assert_allclose(np.asarray(flat_c[k]),
+                                       np.asarray(flat_f[k]),
+                                       atol=2e-4, rtol=2e-4, err_msg=k)
+
+
 def test_fused_gradients_match_flax_path():
     """Gradients through fused_mst_logits == gradients through the flax
     model (the fused op's VJP differentiates the equivalent composition)."""

@@ -71,6 +71,38 @@ def test_make_optimizer_schedules_and_freeze():
     assert float(np.abs(np.asarray(updates["head"]["w"])).sum()) > 0.0
 
 
+def test_make_optimizer_grad_accumulation():
+    """`--accumulate_grad_batches k`: k micro-batch updates == ONE
+    optimizer step on the mean gradient; the k-1 intermediate updates are
+    exact no-ops on the params."""
+    params = {"w": jnp.ones((4, 3))}
+    g1 = {"w": jnp.full((4, 3), 0.5)}
+    g2 = {"w": jnp.full((4, 3), 1.5)}
+    gmean = {"w": jnp.full((4, 3), 1.0)}
+
+    tx = make_optimizer(1e-3, accumulate_steps=2)
+    state = tx.init(params)
+    up1, state = tx.update(g1, state, params)
+    np.testing.assert_array_equal(np.asarray(up1["w"]), 0.0)  # no-op step
+    up2, state = tx.update(g2, state, params)
+
+    tx_ref = make_optimizer(1e-3)
+    sref = tx_ref.init(params)
+    upref, _ = tx_ref.update(gmean, sref, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]), np.asarray(upref["w"]),
+                               atol=1e-7, rtol=1e-6)
+
+    # composes with freeze masking (frozen leaves stay zero on apply steps)
+    p2 = {"encoder": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+    txf = make_optimizer(1e-3, freeze_encoder=True, accumulate_steps=2)
+    sf = txf.init(p2)
+    gs = jax.tree.map(jnp.ones_like, p2)
+    _, sf = txf.update(gs, sf, p2)
+    up, _ = txf.update(gs, sf, p2)
+    np.testing.assert_array_equal(np.asarray(up["encoder"]["w"]), 0.0)
+    assert float(np.abs(np.asarray(up["head"]["w"])).sum()) > 0.0
+
+
 def test_make_optimizer_adafactor_factored_state():
     """`--optimizer adafactor`: finite updates, factored second-moment
     statistics (no full moment tree — for a [R, C] matrix the optimizer
