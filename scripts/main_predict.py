@@ -99,8 +99,14 @@ def main(argv=None):
     ap.add_argument("--dist_coordinator", default=None)
     ap.add_argument("--dist_num_processes", type=int, default=None)
     ap.add_argument("--dist_process_id", type=int, default=None)
+    ap.add_argument("--compilation_cache", default=None,
+                    help="persistent XLA compile cache directory (also "
+                         "honours $MST_COMPILATION_CACHE)")
     args = ap.parse_args(argv)
 
+    from mst_tpu.export import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
 
     if args.distributed:
         import jax

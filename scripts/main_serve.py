@@ -40,8 +40,36 @@ def build_server(args):
     """-> (server, predictor); split from main() for in-process tests."""
     import jax
 
+    from mst_tpu.export import enable_compilation_cache
     from mst_tpu.serve import BatchingPredictor, load_run_model, serve_http
     from mst_tpu.train.predictor import make_predict_fn
+
+    enable_compilation_cache(getattr(args, "compilation_cache", None))
+
+    if getattr(args, "exported", None):
+        # AOT artifact (main_export.py): program + weights, no tracing.
+        from mst_tpu.export import load_exported
+
+        exported = load_exported(args.exported)
+        buckets = exported.buckets
+        if args.batch_size not in buckets:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} is not an exported bucket "
+                f"{buckets}; pick one or re-export with it included")
+        if args.num_devices != 1:
+            raise SystemExit("--exported serves the single-device program; "
+                             "use --run_folder for --num_devices sharding")
+        predictor = BatchingPredictor(exported, exported.params,
+                                      batch_size=args.batch_size,
+                                      max_wait_ms=args.max_wait_ms)
+        server = serve_http(
+            predictor, host=args.host, port=args.port,
+            info={"model": exported.meta.get("model"),
+                  "backend": jax.default_backend(),
+                  "batch_size": args.batch_size,
+                  "exported": str(args.exported),
+                  "int8": bool(exported.meta.get("int8"))})
+        return server, predictor
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, params, batch_stats = load_run_model(args.run_folder, dtype=dtype)
@@ -109,7 +137,14 @@ def build_server(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--run_folder", required=True)
+    ap.add_argument("--run_folder", default=None,
+                    help="trained run directory (or use --exported)")
+    ap.add_argument("--exported", default=None,
+                    help="AOT serving artifact from main_export.py — "
+                         "loads program + weights, no tracing/model code")
+    ap.add_argument("--compilation_cache", default=None,
+                    help="persistent XLA compile cache directory (also "
+                         "honours $MST_COMPILATION_CACHE)")
     ap.add_argument("--path_root", default=None,
                     help="dataset root — only needed for --int8_calib "
                          "(calibration volumes come from the val split)")
@@ -132,6 +167,8 @@ def main(argv=None):
                          "on N volumes from the run's val split (needs "
                          "--path_root); omit for dynamic per-token scales")
     args = ap.parse_args(argv)
+    if bool(args.run_folder) == bool(args.exported):
+        ap.error("give exactly one of --run_folder or --exported")
 
     server, predictor = build_server(args)
     log.info("ready — POST /predict, GET /healthz; Ctrl-C to stop")

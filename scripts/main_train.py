@@ -118,7 +118,15 @@ def main(argv=None):
                          "TPU pods auto-detect)")
     ap.add_argument("--dist_num_processes", type=int, default=None)
     ap.add_argument("--dist_process_id", type=int, default=None)
+    ap.add_argument("--compilation_cache", default=None,
+                    help="persistent XLA compile cache directory (also "
+                         "honours $MST_COMPILATION_CACHE) — restarts skip "
+                         "recompiling unchanged programs")
     args = ap.parse_args(argv)
+
+    from mst_tpu.export import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
 
     if args.distributed:
         import jax

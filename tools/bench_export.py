@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Serving cold-start: live trace+compile vs AOT artifact vs compile cache.
+
+Measures time-to-first-served-batch for the ViT-S/14 LIDC serving program
+in FRESH subprocesses (the only honest way to measure startup):
+
+  live            build model + trace + XLA-compile (what main_serve.py
+                  --run_folder pays on every restart)
+  live+cache      same, persistent compilation cache warm -> tracing cost
+                  remains, XLA compile is a disk hit
+  exported        load the jax.export artifact (no model code, no trace)
+                  + XLA compile
+  exported+cache  artifact + warm cache -> load + compile-cache hit only
+
+Usage: python tools/bench_export.py [--int8] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+_CHILD = r"""
+import json, os, sys, time
+t_start = time.perf_counter()
+import jax, jax.numpy as jnp, numpy as np
+jax.devices()  # force backend/relay init so it is measured separately
+t_backend = time.perf_counter()
+sys.path.insert(0, os.environ["MST_REPO"])
+mode = os.environ["MST_MODE"]
+batch = int(os.environ["MST_BATCH"])
+art = os.environ["MST_ART"]
+src = np.zeros((batch, 1, 32, 224, 224), np.float32)
+if mode == "live":
+    from mst_tpu.models.mst import dino_v2_classifier_slice
+    from mst_tpu.train.predictor import make_predict_fn
+    model = dino_v2_classifier_slice(out_ch=2, model_size="small",
+                                     dtype=jnp.bfloat16, use_flash=True)
+    # params via eval_shape + zeros: a server would load a checkpoint;
+    # neither pays an init compile
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 224, 224))))["params"]
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if os.environ.get("MST_INT8") == "1":
+        from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+        params = quantize_mst_params_int8(params)
+    predict = make_predict_fn(model, with_saliency=False)
+    t_ready = time.perf_counter()
+    probs, _ = predict(params, jnp.asarray(src), None)
+else:
+    from mst_tpu.export import load_exported
+    loaded = load_exported(art)
+    t_ready = time.perf_counter()
+    probs, _ = loaded.predict(src)
+float(np.sum(np.asarray(probs)))
+t_end = time.perf_counter()
+print(json.dumps({
+    "t_first_batch_s": round(t_end - t_start, 2),
+    "t_backend_init_s": round(t_backend - t_start, 2),
+    "t_build_or_load_s": round(t_ready - t_backend, 2),
+    "t_compile_and_run_s": round(t_end - t_ready, 2),
+}))
+"""
+
+
+def _run_child(mode: str, art: str, batch: int, int8: bool,
+               cache: str | None) -> float:
+    env = dict(os.environ, MST_MODE=mode, MST_ART=art, MST_BATCH=str(batch),
+               MST_REPO=str(Path(__file__).resolve().parent.parent),
+               MST_INT8="1" if int8 else "0")
+    env.pop("MST_COMPILATION_CACHE", None)
+    if cache:
+        env["MST_COMPILATION_CACHE"] = cache
+        # the CLIs call enable_compilation_cache(); the child script must too
+        env["MST_CHILD_CACHE"] = cache
+    prelude = ("from mst_tpu.export import enable_compilation_cache\n"
+               "import os\n"
+               "enable_compilation_cache(os.environ.get('MST_CHILD_CACHE'))\n"
+               if cache else "")
+    # prelude must run after jax import; splice it in
+    code = _CHILD.replace("mode = os.environ", prelude + "mode = os.environ")
+    best = None
+    for _ in range(2):  # min of 2: backend/relay init has multi-10s noise
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=900)
+        if out.returncode != 0:
+            raise RuntimeError(f"{mode} child failed:\n{out.stderr[-2000:]}")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or r["t_first_batch_s"] < best["t_first_batch_s"]:
+            best = r
+    return best
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--int8", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.export import save_exported
+    from mst_tpu.models.mst import dino_v2_classifier_slice
+
+    tmp = Path(tempfile.mkdtemp(prefix="mst_export_bench_"))
+    art = tmp / "artifact"
+    model = dino_v2_classifier_slice(out_ch=2, model_size="small",
+                                     dtype=jnp.bfloat16, use_flash=True)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 224, 224))))["params"]
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if args.int8:
+        from mst_tpu.ops.fused_int8 import quantize_mst_params_int8
+
+        params = quantize_mst_params_int8(params)
+    save_exported(art, model, params, batch_sizes=[args.batch],
+                  depth=32, hw=224,
+                  extra_meta={"int8": bool(args.int8)})
+
+    results = {}
+    cache = str(tmp / "xla_cache")
+    results["live"] = _run_child("live", str(art), args.batch,
+                                   args.int8, None)
+    _run_child("live", str(art), args.batch, args.int8, cache)  # warm it
+    results["live_cache_warm"] = _run_child("live", str(art), args.batch,
+                                              args.int8, cache)
+    results["exported"] = _run_child("exported", str(art), args.batch,
+                                       args.int8, None)
+    cache2 = str(tmp / "xla_cache2")
+    _run_child("exported", str(art), args.batch, args.int8, cache2)  # warm
+    results["exported_cache_warm"] = _run_child(
+        "exported", str(art), args.batch, args.int8, cache2)
+    results["int8"] = bool(args.int8)
+    results["batch"] = args.batch
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()
