@@ -75,7 +75,10 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     sweep = {}
     best_batch, best_vps = batch, vps
     if on_tpu:
-        for b in (4, 8, 16, 32, 64):
+        # 1 and 2 are the interactive-serving latencies (one volume on the
+        # chip, the reference's own predict batch); the knee search for the
+        # throughput headline runs over the larger sizes.
+        for b in (1, 2, 4, 8, 16, 32, 64):
             if b == batch:
                 bdt = dt
                 src_b = source
@@ -271,6 +274,9 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     if sweep:
         detail["serving_batch_sweep"] = sweep
         knee = sweep.get(str(best_batch), {})
+        # keep the reported latency paired with the reported knee batch
+        detail["latency_ms_per_batch"] = knee.get(
+            "ms_per_batch", detail["latency_ms_per_batch"])
         detail["p50_ms"] = knee.get("p50_ms")
         detail["p99_ms"] = knee.get("p99_ms")
         # per-call latencies are host-synced per call; on this dev host the

@@ -66,13 +66,39 @@ def load_run_model(run_folder, dtype=None):
     return model, ckpt["params"], ckpt.get("batch_stats")
 
 
+def calibration_volumes(run_folder, path_root, n: int):
+    """First `n` val-split volumes of the run's own dataset, as served —
+    the static-int8 calibration contract shared by the serve and export
+    CLIs (the predict CLI calibrates on its eval loader equivalently).
+
+    Raises ValueError when the dataset needs a --path_root that wasn't
+    given; CLIs turn that into their usage error.
+    """
+    import jax.numpy as jnp
+
+    from mst_tpu.registry import get_dataset
+
+    dataset_name = Path(run_folder).parent.name
+    if dataset_name != "Synthetic" and not path_root:
+        raise ValueError(
+            "static int8 calibration draws volumes from the run's val "
+            "split — pass --path_root (or use dynamic scales: --int8 "
+            "without --int8_calib)")
+    ds_kw = {} if dataset_name == "Synthetic" else {"path_root": path_root}
+    ds = get_dataset(dataset_name, split="val", **ds_kw)
+    n = min(int(n), len(ds))
+    return jnp.asarray(np.stack(
+        [np.asarray(ds[i]["source"], np.float32) for i in range(n)]))
+
+
 class _Pending:
-    __slots__ = ("event", "result", "error")
+    __slots__ = ("event", "result", "error", "abandoned")
 
     def __init__(self):
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False  # submitter timed out; don't burn device time
 
 
 class BatchingPredictor:
@@ -92,6 +118,7 @@ class BatchingPredictor:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()  # orders submits vs close()
         self.batches_run = 0
         self.volumes_served = 0
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -101,22 +128,27 @@ class BatchingPredictor:
     def submit(self, volume: np.ndarray, timeout: Optional[float] = None
                ) -> np.ndarray:
         """volume [C, D, H, W] -> probs [n_classes] (blocks until served)."""
-        if self._closed:
-            raise RuntimeError("predictor is closed")
         if volume.ndim != 4:
             raise ValueError(f"expected a [C, D, H, W] volume, got shape "
                              f"{tuple(volume.shape)}")
         p = _Pending()
-        self._q.put((np.asarray(volume, np.float32), p))
+        # closed-check and enqueue under one lock: otherwise a submit racing
+        # close() can land BEHIND the shutdown sentinel and wait forever
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("predictor is closed")
+            self._q.put((np.asarray(volume, np.float32), p))
         if not p.event.wait(timeout):
+            p.abandoned = True  # collector drops it instead of serving it
             raise TimeoutError("predict timed out")
         if p.error is not None:
             raise p.error
         return p.result
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=10)
 
     # -- collector ---------------------------------------------------------
@@ -150,6 +182,9 @@ class BatchingPredictor:
                 continue
             if batch is None:
                 return
+            batch = [b for b in batch if not b[1].abandoned]
+            if not batch:
+                continue
             vols = [b[0] for b in batch]
             pend = [b[1] for b in batch]
             try:
@@ -212,11 +247,22 @@ def serve_http(predictor: BatchingPredictor, host: str = "127.0.0.1",
                 length = int(self.headers.get("Content-Length", 0))
                 vol = np.load(io.BytesIO(self.rfile.read(length)),
                               allow_pickle=False)
+            except Exception as e:  # malformed body -> caller's fault
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
                 probs = predictor.submit(vol)
                 self._json(200, {"probs": [float(x) for x in probs],
                                  "pred": int(np.argmax(probs))})
-            except Exception as e:
+            except ValueError as e:  # shape validation -> caller's fault
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # device/shutdown faults are OURS: 5xx
+                # (a 400 here would stop load balancers from retrying or
+                # marking the backend unhealthy)
+                log.error("predict failed: %s: %s", type(e).__name__, e)
+                self._json(503 if isinstance(e, (RuntimeError, TimeoutError))
+                           else 500,
+                           {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True,

@@ -30,9 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from mst_tpu.registry import get_dataset, get_model
+from mst_tpu.registry import get_dataset
 from mst_tpu.train.predictor import make_predict_fn
-from mst_tpu.utils.checkpoint import load_best_checkpoint, load_hparams
 from mst_tpu.utils.functions import overlay_cam, overlay_mask, tensor2image
 from mst_tpu.utils.metrics import cm2acc, cm2x, confusion_matrix
 from mst_tpu.utils.seg_metrics import (
@@ -125,29 +124,18 @@ def main(argv=None):
             "point --run_folder at a directory produced by main_train.py"
         )
     dataset_name = path_run.parent.name
-    model_name = path_run.name.split("_")[0]
     out_dir = Path(args.output_dir) if args.output_dir else path_run / "results"
     out_dir.mkdir(parents=True, exist_ok=True)
     fh = logging.FileHandler(out_dir / "predict.log")
     log.addHandler(fh)
 
-    hparams = load_hparams(path_run) or {}
-    # Explicit nulls are meaningful (layerscale_init=None == no LayerScale),
-    # so whitelist membership alone decides — no None-filter.
-    model_kw = {
-        k: v for k, v in hparams.items()
-        if k in ("model_size", "slice_fusion", "rotary", "use_bottleneck",
-                 "use_slice_pos_emb", "freeze", "fusion_heads",
-                 "num_register_tokens", "pos_embed_grid", "layerscale_init",
-                 "gelu_approximate", "use_rope_2d", "patch_size",
-                 "use_pos_embed", "rope_normalized", "norm_eps",
-                 "ffn_layer", "ffn_hidden")
-    }
+    # One loading contract for every consumer of a run folder (the server
+    # and exporter use the same helper — the hparam whitelist lives in ONE
+    # place, mst_tpu/serve.py:_HPARAM_KEYS).
+    from mst_tpu.serve import load_run_model
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model, _ = get_model(model_name, dtype=dtype, **model_kw)
-    ckpt = load_best_checkpoint(path_run)
-    params = ckpt["params"]
-    batch_stats = ckpt.get("batch_stats")
+    model, params, batch_stats = load_run_model(path_run, dtype=dtype)
 
     ds_kw = {} if dataset_name == "Synthetic" else {"path_root": args.path_root}
     ds_test = get_dataset(dataset_name, split="test", **ds_kw)
@@ -216,8 +204,17 @@ def main(argv=None):
                 seen += vols[-1].shape[0]
                 if seen >= args.int8_calib:
                     break
-            calib = jnp.asarray(
-                np.concatenate(vols, axis=0)[:args.int8_calib])
+            calib_np = np.concatenate(vols, axis=0)[:args.int8_calib]
+            if _jax.process_count() > 1:
+                # every host draws from its own disjoint shard — gather so
+                # all hosts fold IDENTICAL scales (the trainer does the
+                # same for --freeze --int8, trainer.py fit calibration)
+                from jax.experimental import multihost_utils
+
+                calib_np = np.concatenate(
+                    multihost_utils.process_allgather(
+                        jnp.asarray(calib_np)), 0)
+            calib = jnp.asarray(calib_np)
             params = quantize_mst_params_int8(params, model, calib)
             log.info("serving with int8 (W8A8) encoder kernels — STATIC "
                      "activation scales calibrated on %d volumes",
@@ -287,20 +284,37 @@ def main(argv=None):
         # trainer's coordinated checkpoints rely on): every host writes its
         # rows, a barrier syncs, rank 0 concatenates and emits artifacts.
         rank = _jax.process_index()
+        n_proc = _jax.process_count()
         pd.DataFrame(results).to_csv(
             out_dir / f"results.shard{rank}.csv", index=False)
+        seg_file = out_dir / f"results_seg.shard{rank}.csv"
         if results_seg:
-            pd.DataFrame(results_seg).to_csv(
-                out_dir / f"results_seg.shard{rank}.csv", index=False)
+            pd.DataFrame(results_seg).to_csv(seg_file, index=False)
+        elif seg_file.exists():
+            seg_file.unlink()  # stale shard from an earlier seg run
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("mst_predict_shards")
         if rank != 0:
             return out_dir
-        shards = sorted(out_dir.glob("results.shard*.csv"))
-        results = pd.concat([pd.read_csv(f) for f in shards],
+        # merge EXACTLY this run's process_count shards — a bare glob would
+        # silently merge stale shards left by an earlier run with more
+        # processes into the final metrics
+        expected = [out_dir / f"results.shard{r}.csv" for r in range(n_proc)]
+        missing = [f.name for f in expected if not f.exists()]
+        if missing:
+            raise SystemExit(f"missing result shards after barrier: {missing}")
+        seg_expected = [out_dir / f"results_seg.shard{r}.csv"
+                        for r in range(n_proc)]
+        for f in out_dir.glob("results.shard*.csv"):
+            if f not in expected:
+                f.unlink()
+        for f in out_dir.glob("results_seg.shard*.csv"):
+            if f not in seg_expected:
+                f.unlink()
+        results = pd.concat([pd.read_csv(f) for f in expected],
                             ignore_index=True).to_dict("records")
-        seg_shards = sorted(out_dir.glob("results_seg.shard*.csv"))
+        seg_shards = [f for f in seg_expected if f.exists()]
         if seg_shards:
             results_seg = pd.concat([pd.read_csv(f) for f in seg_shards],
                                     ignore_index=True).to_dict("records")

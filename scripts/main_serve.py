@@ -84,24 +84,16 @@ def build_server(args):
                              "(Dino transformer-fusion config, TPU backend)")
         if args.int8_calib:
             # static scales must be calibrated on REAL activations: pull N
-            # volumes from the run's own val split (same contract as the
-            # predict CLI's first-N-eval-volumes calibration)
-            import numpy as np
+            # volumes from the run's own val split (shared helper — same
+            # contract as the export CLI and the predict CLI's eval-loader
+            # calibration)
+            from mst_tpu.serve import calibration_volumes
 
-            from mst_tpu.registry import get_dataset
-
-            dataset_name = _Path(args.run_folder).parent.name
-            ds_kw = ({} if dataset_name == "Synthetic"
-                     else {"path_root": args.path_root})
-            if dataset_name != "Synthetic" and not args.path_root:
-                raise SystemExit(
-                    "--int8_calib needs --path_root to draw calibration "
-                    "volumes from the run's val split (or serve with "
-                    "dynamic scales: --int8 without --int8_calib)")
-            ds = get_dataset(dataset_name, split="val", **ds_kw)
-            n = min(args.int8_calib, len(ds))
-            calib = jnp.asarray(np.stack(
-                [np.asarray(ds[i]["source"], np.float32) for i in range(n)]))
+            try:
+                calib = calibration_volumes(args.run_folder, args.path_root,
+                                            args.int8_calib)
+            except ValueError as e:
+                raise SystemExit(f"--int8_calib: {e}")
             params = quantize_mst_params_int8(params, model, calib)
         else:
             params = quantize_mst_params_int8(params)

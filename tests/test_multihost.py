@@ -224,6 +224,14 @@ def test_two_process_predict_matches_single_host(tmp_path):
                                "--output_dir", str(tmp_path / "single")])
     df_single = pd.read_csv(Path(single_out) / "results.csv")
 
+    # a stale shard from a hypothetical earlier higher-process-count run
+    # must NOT leak into the merged metrics (rank 0 merges exactly
+    # process_count shards and deletes the rest)
+    stale = Path(run_dir) / "results" / "results.shard7.csv"
+    stale.parent.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame([{"uid": "STALE", "GT": 0, "NN": 0,
+                   "NN_pred": 0.5}]).to_csv(stale, index=False)
+
     port = "23461"
     procs = [
         subprocess.Popen(
@@ -239,6 +247,8 @@ def test_two_process_predict_matches_single_host(tmp_path):
         assert p.returncode == 0, out[-3000:]
 
     df_multi = pd.read_csv(Path(run_dir) / "results" / "results.csv")
+    assert "STALE" not in set(df_multi["uid"].astype(str))
+    assert not stale.exists()
     # same cases exactly once, same predictions
     a = df_single.sort_values("uid").reset_index(drop=True)
     b = df_multi.sort_values("uid").reset_index(drop=True)

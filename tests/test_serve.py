@@ -59,6 +59,76 @@ def test_batching_predictor_parity_and_coalescing():
         bp.submit(vols[0])
 
 
+def test_timed_out_submit_is_not_served():
+    """A submit that raises TimeoutError must not burn a device launch:
+    the collector drops abandoned requests instead of padding a batch for
+    a result nobody reads."""
+    import time
+
+    from mst_tpu.serve import BatchingPredictor
+
+    started = threading.Event()
+    release = threading.Event()
+
+    def slow_predict(params, src, mask):
+        started.set()
+        release.wait(10)
+        return np.zeros((src.shape[0], 2), np.float32), None
+
+    bp = BatchingPredictor(slow_predict, None, batch_size=2, max_wait_ms=1)
+    try:
+        # first request occupies the worker inside slow_predict
+        t1 = threading.Thread(target=lambda: bp.submit(
+            np.zeros((1, 2, 4, 4), np.float32), timeout=30))
+        t1.start()
+        assert started.wait(10)
+        # second request times out while the worker is busy -> abandoned
+        with pytest.raises(TimeoutError):
+            bp.submit(np.zeros((1, 2, 4, 4), np.float32), timeout=0.05)
+        release.set()
+        t1.join(timeout=10)
+        time.sleep(0.3)  # let the collector drain the abandoned entry
+        assert bp.volumes_served == 1  # the abandoned one never ran
+    finally:
+        release.set()
+        bp.close()
+
+
+def test_http_server_fault_is_5xx():
+    """Server-side faults (device error, closed predictor) must map to
+    5xx, not 400 — load balancers treat 400 as the caller's fault."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    from mst_tpu.serve import BatchingPredictor, serve_http
+
+    def boom(params, src, mask):
+        raise RuntimeError("device fell over")
+
+    bp = BatchingPredictor(boom, None, batch_size=1, max_wait_ms=1)
+    server = serve_http(bp, port=0)
+    port = server.server_address[1]
+    try:
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((1, 2, 4, 4), np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 503
+        # malformed body stays a 400
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=b"junk", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        bp.close()
+
+
 @pytest.mark.slow
 def test_http_server_roundtrip(tmp_path):
     """main_serve.build_server on a real run folder: /healthz + concurrent
