@@ -140,13 +140,24 @@ def _load_params_npz(path: Path, dtypes: dict) -> dict:
 # export / load
 
 
-def _export_one(fn, params, src_shape, platforms):
+def _arg_specs(params, src_shape, with_mask: bool):
     import jax
-    from jax import export as jexport
 
     spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
-    src_spec = jax.ShapeDtypeStruct(src_shape, np.float32)
+    specs = [spec, jax.ShapeDtypeStruct(src_shape, np.float32)]
+    if with_mask:
+        # src_key_padding_mask [B, D], True = padded slice (the MRNet
+        # contract, datamodule.py padding-mask derivation)
+        specs.append(jax.ShapeDtypeStruct((src_shape[0], src_shape[2]),
+                                          np.bool_))
+    return specs
+
+
+def _export_one(fn, specs, platforms):
+    import jax
+    from jax import export as jexport
+
     # Mosaic TPU kernels lower to `tpu_custom_call`; jax.export's default
     # safety policy rejects custom calls it cannot promise forward
     # compatibility for. These artifacts pair with a pinned serving image
@@ -155,11 +166,12 @@ def _export_one(fn, params, src_shape, platforms):
     checks = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
               jexport.DisabledSafetyCheck.custom_call("Sharding")]
     exp = jexport.export(jax.jit(fn), platforms=platforms,
-                         disabled_checks=checks)(spec, src_spec)
+                         disabled_checks=checks)(*specs)
     return bytes(exp.serialize())
 
 
-def _save_compiled(out: Path, fn, params, buckets, depth, hw) -> str:
+def _save_compiled(out: Path, fn, params, buckets, depth, hw,
+                   with_mask: bool) -> str:
     """AOT-compile each bucket on the current backend and persist the
     executables; returns the device kind they are pinned to."""
     import pickle
@@ -167,11 +179,9 @@ def _save_compiled(out: Path, fn, params, buckets, depth, hw) -> str:
     import jax
     from jax.experimental.serialize_executable import serialize
 
-    spec = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
     for b in buckets:
-        src_spec = jax.ShapeDtypeStruct((b, 1, depth, hw, hw), np.float32)
-        compiled = jax.jit(fn).lower(spec, src_spec).compile()
+        specs = _arg_specs(params, (b, 1, depth, hw, hw), with_mask)
+        compiled = jax.jit(fn).lower(*specs).compile()
         blob = pickle.dumps(serialize(compiled))
         (out / f"compiled_b{b}.bin").write_bytes(blob)
     return jax.devices()[0].device_kind
@@ -180,7 +190,7 @@ def _save_compiled(out: Path, fn, params, buckets, depth, hw) -> str:
 def save_exported(out_dir, model, params, *, batch_sizes: Sequence[int],
                   depth: int = 32, hw: int = 224,
                   with_saliency: bool = False, plane_mode: str = "last",
-                  tta: bool = False, batch_stats=None,
+                  tta: bool = False, batch_stats=None, with_mask: bool = False,
                   platforms: Optional[Sequence[str]] = None,
                   extra_meta: Optional[dict] = None) -> Path:
     """Export the predict program at each batch bucket + the weights.
@@ -189,6 +199,9 @@ def save_exported(out_dir, model, params, *, batch_sizes: Sequence[int],
     the traced program then IS the W8A8 serving program. `platforms`
     defaults to the current backend; pass ("tpu",) to cross-export from a
     CPU host (the Mosaic payload is generated at lowering time).
+    `with_mask` exports programs taking a [B, D] src_key_padding_mask
+    (MRNet's variable-depth contract); without it the mask is traced as
+    None.
     """
     import jax
 
@@ -199,12 +212,16 @@ def save_exported(out_dir, model, params, *, batch_sizes: Sequence[int],
     predict = make_predict_fn(model, tta=tta, with_saliency=with_saliency,
                               batch_stats=batch_stats, plane_mode=plane_mode)
 
-    def fn(p, source):
-        return predict(p, source, None)
+    if with_mask:
+        fn = predict
+    else:
+        def fn(p, source):
+            return predict(p, source, None)
 
     buckets = sorted(set(int(b) for b in batch_sizes))
     for b in buckets:
-        data = _export_one(fn, params, (b, 1, depth, hw, hw), platforms)
+        specs = _arg_specs(params, (b, 1, depth, hw, hw), with_mask)
+        data = _export_one(fn, specs, platforms)
         (out / f"program_b{b}.bin").write_bytes(data)
 
     # AOT-compiled leg: when exporting for the platform we are running on,
@@ -221,7 +238,7 @@ def save_exported(out_dir, model, params, *, batch_sizes: Sequence[int],
         # server (and vice versa)
         try:
             compiled_device = _save_compiled(out, fn, params, buckets,
-                                             depth, hw)
+                                             depth, hw, with_mask)
         except Exception as e:  # noqa: BLE001 — optional leg, never fatal
             import logging
 
@@ -237,6 +254,7 @@ def save_exported(out_dir, model, params, *, batch_sizes: Sequence[int],
         "with_saliency": bool(with_saliency),
         "plane_mode": plane_mode,
         "tta": bool(tta),
+        "with_mask": bool(with_mask),
         "jax_version": jax.__version__,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "param_dtypes": dtypes,
@@ -298,17 +316,32 @@ class ExportedPredictor:
             f"batch {n} exceeds the largest exported bucket "
             f"{self.buckets[-1]}; re-export with a larger --batch_sizes")
 
-    def predict(self, source: np.ndarray, params=None):
-        """source [B, C, D, H, W] -> (probs [B, n], saliency | None)."""
+    def predict(self, source: np.ndarray, params=None, mask=None):
+        """source [B, C, D, H, W] (+ optional src_key_padding_mask [B, D])
+        -> (probs [B, n], saliency | None)."""
+        with_mask = bool(self.meta.get("with_mask"))
+        if mask is not None and not with_mask:
+            raise ValueError("this artifact was exported without mask "
+                             "support (mask traced as None); re-export "
+                             "with with_mask=True / --with_mask")
         source = np.asarray(source, np.float32)
         n = source.shape[0]
         b = self.bucket_for(n)
+        if with_mask:
+            # absent mask == nothing padded (all-False == None semantics)
+            mask = (np.zeros((n, source.shape[2]), bool) if mask is None
+                    else np.asarray(mask, bool))
         if n < b:
             pad = np.broadcast_to(source[:1],
                                   (b - n,) + source.shape[1:])
             source = np.concatenate([source, pad], 0)
+            if with_mask:
+                mask = np.concatenate(
+                    [mask, np.broadcast_to(mask[:1], (b - n, mask.shape[1]))],
+                    0)
         p = self._params_on_device(self.params if params is None else params)
-        probs, sal = self._call_fn(b)(p, source)
+        args = (p, source, mask) if with_mask else (p, source)
+        probs, sal = self._call_fn(b)(*args)
         probs = np.asarray(probs)[:n]
         if sal is not None:
             sal = np.asarray(sal)[:n]
@@ -317,10 +350,7 @@ class ExportedPredictor:
     # BatchingPredictor-compatible signature (mst_tpu/serve.py): the
     # server always launches full buckets, so no padding happens here.
     def __call__(self, params, source, mask):
-        if mask is not None:
-            raise ValueError("exported programs are traced with mask=None; "
-                             "re-export with masks if the dataset needs them")
-        return self.predict(source, params=params)
+        return self.predict(source, params=params, mask=mask)
 
 
 def load_exported(artifact_dir) -> ExportedPredictor:

@@ -55,6 +55,10 @@ def main(argv=None):
                     choices=["last", "rollout", "rollout_abnar"])
     ap.add_argument("--use_tta", action="store_true",
                     help="export the 8-flip TTA ensemble program")
+    ap.add_argument("--with_mask", action="store_true",
+                    help="export programs taking a [B, D] "
+                         "src_key_padding_mask (MRNet's variable-depth "
+                         "volumes); default traces the mask as None")
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms (default: "
                          "current backend; e.g. 'tpu' to cross-export "
@@ -99,7 +103,8 @@ def main(argv=None):
         args.out, model, params, batch_sizes=batch_sizes, depth=args.depth,
         hw=args.hw, with_saliency=args.with_saliency,
         plane_mode=args.plane_mode, tta=args.use_tta,
-        batch_stats=batch_stats, platforms=platforms, extra_meta=extra_meta)
+        batch_stats=batch_stats, with_mask=args.with_mask,
+        platforms=platforms, extra_meta=extra_meta)
     total = sum(f.stat().st_size for f in out.iterdir())
     log.info("exported %s (buckets %s, %.1f MB) -> %s",
              type(model).__name__, batch_sizes, total / 1e6, out)

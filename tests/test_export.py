@@ -77,6 +77,61 @@ def test_export_saliency_program(tmp_path):
     np.testing.assert_allclose(sal, np.asarray(ref_s), atol=1e-6)
 
 
+def test_export_with_mask_matches_live(tmp_path):
+    """with_mask=True: the exported program takes a [B, D] key-padding
+    mask (MRNet contract); masked rows match the live program, and an
+    absent mask behaves like mask=None."""
+    from mst_tpu.export import load_exported, save_exported
+    from mst_tpu.train.predictor import make_predict_fn
+
+    model, params = _tiny_model_and_params(5)
+    out = save_exported(tmp_path / "art", model, params, batch_sizes=[2],
+                        depth=2, hw=28, with_mask=True)
+    loaded = load_exported(out)
+    assert loaded.meta["with_mask"] is True
+
+    vols = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(11), (2, 1, 2, 28, 28)), np.float32)
+    mask = np.array([[False, True], [False, False]])  # pad slice 1 of vol 0
+    live = make_predict_fn(model, with_saliency=False)
+    ref_m, _ = live(params, jnp.asarray(vols), jnp.asarray(mask))
+    ref_0, _ = live(params, jnp.asarray(vols), None)
+
+    probs_m, _ = loaded.predict(vols, mask=mask)
+    np.testing.assert_allclose(probs_m, np.asarray(ref_m), atol=1e-6)
+    probs_0, _ = loaded.predict(vols)  # no mask -> all-False == None
+    np.testing.assert_allclose(probs_0, np.asarray(ref_0), atol=1e-6)
+    # the mask actually changed something (the padded slice mattered)
+    assert np.abs(probs_m - probs_0).max() > 1e-6
+    # serve-compatible call signature passes the mask through
+    probs_c, _ = loaded(loaded.params, vols, mask)
+    np.testing.assert_allclose(probs_c, np.asarray(ref_m), atol=1e-6)
+
+
+def test_export_batch_stats_model(tmp_path):
+    """Models with batch_stats (the ResNet family) export too — the stats
+    are baked into the program as constants."""
+    from mst_tpu.export import load_exported, save_exported
+    from mst_tpu.models.resnet import ResNetSliceTrans
+    from mst_tpu.train.predictor import make_predict_fn
+
+    model = ResNetSliceTrans(out_ch=2, variant=18, fusion_heads=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 2, 32, 32))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    out = save_exported(tmp_path / "art", model, params, batch_sizes=[2],
+                        depth=2, hw=32, batch_stats=batch_stats)
+    loaded = load_exported(out)
+    vols = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(2), (2, 1, 2, 32, 32)), np.float32)
+    ref, _ = make_predict_fn(model, with_saliency=False,
+                             batch_stats=batch_stats)(
+        params, jnp.asarray(vols), None)
+    probs, _ = loaded.predict(vols)
+    np.testing.assert_allclose(probs, np.asarray(ref), atol=1e-6)
+
+
 def test_params_npz_roundtrip_ml_dtypes(tmp_path):
     """bf16 (an ml_dtypes numpy extension npz cannot store natively) and
     int8/f32 leaves all round-trip with dtype + values intact."""

@@ -241,9 +241,33 @@ def main():
           f"max|fwd-serve|={fwd_match:.1e}  "
           f"{'PASS' if ok_i8t else 'FAIL'}")
 
+    # Leg 13 — AOT export round trip ON THE REAL KERNELS: the serialized
+    # StableHLO program (Mosaic custom calls embedded) and the shipped
+    # compiled executable must reproduce the live fused program bit-exactly.
+    import tempfile
+
+    from mst_tpu.export import load_exported, save_exported
+    from mst_tpu.train.predictor import make_predict_fn
+
+    bf16_model = dino_v2_classifier_slice(out_ch=2, model_size="small",
+                                          dtype=jnp.bfloat16, use_flash=True)
+    bf16_params = params  # same tree both sides; compute dtype is bf16
+    art = save_exported(tempfile.mkdtemp() + "/art", bf16_model, bf16_params,
+                        batch_sizes=[1], depth=4, hw=224)
+    loaded = load_exported(art)
+    live_p, _ = make_predict_fn(bf16_model, with_saliency=False)(
+        bf16_params, x, None)
+    exp_p, _ = loaded.predict(np.asarray(x), params=bf16_params)
+    err_exp = float(np.abs(np.asarray(live_p) - exp_p).max())
+    used_compiled = bool(loaded._compiled)
+    ok_exp = err_exp == 0.0
+    print(f"export artifact max|diff|={err_exp:.1e} "
+          f"compiled_leg={used_compiled}  "
+          f"{'PASS' if ok_exp else 'FAIL'}")
+
     return 0 if (ok_fwd and ok_bwd and ok_remat and ok_sal and ok_v3
                  and ok_v3s and ok_v3t and ok_ro and ok_i8 and ok_i8s
-                 and ok_i8sal and ok_i8t) else 1
+                 and ok_i8sal and ok_i8t and ok_exp) else 1
 
 
 if __name__ == "__main__":
