@@ -145,6 +145,11 @@ def znorm_percentile(
     def _one(ch):  # [D, H, W]
         if exclude_extremes:
             m = (ch > ch.min()) & (ch < ch.max())
+            # constant channel (e.g. an all-air padded crop): the
+            # extremes mask is empty and every nan-stat below would be
+            # NaN, poisoning the whole volume — fall back to all voxels
+            # (std 0 -> eps floor -> output 0; torchio raises here)
+            m = m | ~m.any()
         else:
             m = jnp.ones_like(ch, dtype=bool)
         masked = jnp.where(m, ch, jnp.nan)

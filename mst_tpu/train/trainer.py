@@ -638,7 +638,11 @@ class Trainer:
 
             if np.isnan(metric):
                 metric = -np.inf
-            if metric > best:
+            # `best_epoch < 0`: always bank the first epoch even when its
+            # metric is NaN/-inf (single-class val split) — otherwise a
+            # degenerate run ends with NO best checkpoint and the predict
+            # CLI cannot load the run at all
+            if metric > best or best_epoch < 0:
                 prev_name = f"epoch={best_epoch}" if best_epoch >= 0 else None
                 best, best_epoch, stale = metric, epoch, 0
                 name = f"epoch={epoch}"
