@@ -350,24 +350,26 @@ def fused_vit_cls(params, x, cfg: FastViTConfig,
     loop_depth = cfg.depth - 1 if cheap_last else cfg.depth
     for i in range(loop_depth):
         blk = params[f"blocks_{i}"]
+        if train and "q8" in blk["attn"]["qkv"]:
+            # checked BEFORE the remat dispatch: the ckpt_block path would
+            # otherwise die on a bare KeyError('kernel') inside
+            # _fused_train_block instead of this explanation
+            raise ValueError(
+                "int8-quantized params serve only (training rides the "
+                "bf16 kernels)")
         if ckpt_block is not None:
             h = ckpt_block(h, blk, rope_cos, rope_sin)
             continue
         ls1 = blk["ls1"]["gamma"] if "ls1" in blk else None
         ls2 = blk["ls2"]["gamma"] if "ls2" in blk else None
         want_row_here = want_last_row and i == cfg.depth - 1
-        if want_row_here and train:
-            raise ValueError("want_last_row is a serving-only path")
         if "q8" in blk["attn"]["qkv"]:
             # int8-quantized block (`ops/fused_int8.quantize_encoder_int8`)
             # — W8A8 token-wise matmuls on the MXU's doubled int8 rate;
             # serving only (incl. the rope/DINOv3 config: rope applies to
             # the dequantised bf16 q/k; CLS-row / rollout emission for the
-            # explainability modes rides the same kernels).
-            if train:
-                raise ValueError(
-                    "int8-quantized params serve only (training rides the "
-                    "bf16 kernels)")
+            # explainability modes rides the same kernels). train+int8
+            # already raised above, before the remat dispatch.
             from mst_tpu.ops.fused_int8 import (
                 fused_attention_sublayer_i8,
                 fused_mlp_sublayer_i8,

@@ -93,10 +93,15 @@ def make_key_padding_bias(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                *, sm_scale: float, kv_len: int, block_k: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
+                sm_scale: float, kv_len: int, block_k: int,
+                want_lse: bool = True):
     """Grid: (BH, num_q_blocks, num_k_blocks); k-axis innermost (sequential on
     TPU) so the online-softmax state lives in VMEM scratch across k steps."""
+    if want_lse:
+        lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        lse_ref, (acc_ref, m_ref, l_ref) = None, refs
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -135,11 +140,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
         l = l_ref[:, 0]
         inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
         o_ref[0] = (acc_ref[:] * inv[:, None]).astype(o_ref.dtype)
-        # Convert base-2 running stats back to natural-log lse units.
-        lse = (m_ref[:, 0] + jnp.log2(jnp.maximum(l, 1e-30))) / LOG2E
-        # lse is replicated along a 128-lane last axis purely to satisfy TPU
-        # tiling (same trick as jax's reference TPU flash kernel).
-        lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
+        if want_lse:
+            # Convert base-2 running stats back to natural-log lse units.
+            lse = (m_ref[:, 0] + jnp.log2(jnp.maximum(l, 1e-30))) / LOG2E
+            # lse is replicated along a 128-lane last axis purely to
+            # satisfy TPU tiling (same trick as jax's reference TPU flash
+            # kernel).
+            lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
 def _fwd_single_kernel(q_ref, k_ref, v_ref, o_ref, *refs,
@@ -250,9 +257,19 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
     Sqp, Skp = qp.shape[1], kp.shape[1]
     grid = (B * H, Sqp // block_q, Skp // block_k)
 
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, 128),
+                                      lambda b, i, j: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B * H, Sqp, 128), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, sm_scale=sm_scale, kv_len=Sk, block_k=block_k
+            _fwd_kernel, sm_scale=sm_scale, kv_len=Sk, block_k=block_k,
+            want_lse=want_lse,
         ),
         grid=grid,
         in_specs=[
@@ -263,26 +280,20 @@ def _flash_fwd(q, k, v, sm_scale, block_q, block_k, interpret,
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sqp, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=interpret,
-            compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS,
     )(qp, kp, vp)
-    out = out[:, :Sq].reshape(B, H, Sq, D)
-    lse = lse[:, :Sq, 0].reshape(B, H, Sq)
+    out = res[0][:, :Sq].reshape(B, H, Sq, D)
+    if not want_lse:
+        return out, None
+    lse = res[1][:, :Sq, 0].reshape(B, H, Sq)
     return out, lse
 
 

@@ -21,12 +21,15 @@ TRAINING variants (`fused_attention_sublayer_train` /
 `fused_mlp_sublayer_train` / `fused_swiglu_sublayer_train`) share residuals
 instead of recomputing: the forward kernel additionally writes the
 intermediates the pullback needs (qkv, pre-proj concat, pre-activation
-hidden), and the backward runs as fused Pallas kernels that recompute the
+hidden), and the forward is never re-run in any backward (round-1 VERDICT
+#3: the re-running VJPs made training fall back to the unfused path). The
+attention and MLP backwards run as fused Pallas kernels that recompute the
 softmax in VMEM and accumulate weight/LN grads in f32 VMEM blocks across
-the sequential grid — the forward is never re-run (round-1 VERDICT #3: the
-re-running VJPs made training fall back to the unfused path). Embed widths
-above `_PALLAS_BWD_MAX_E` use an equivalent XLA backward instead (the
-accumulators outgrow VMEM). LN statistics are recomputed in the backward
+the sequential grid; embed widths above `_PALLAS_BWD_MAX_E` use an
+equivalent XLA backward instead (the accumulators outgrow VMEM). The
+SwiGLU backward is pure XLA over the saved intermediates (its gate
+recomputation is elementwise — there is no cross-token accumulation for a
+Pallas kernel to win on). LN statistics are recomputed in the backward
 from x (two cheap VPU reductions) rather than saved.
 
 Constraints: S <= 512 (whole sequence per program), no attention bias.
@@ -40,14 +43,13 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mst_tpu.ops.attention import NEG_INF, _on_tpu
+from mst_tpu.ops.attention import _on_tpu
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,30 @@ def test_flash_grads_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
 
 
+def test_blocked_long_sequence_path(monkeypatch):
+    """The long-sequence blocked path (sequences above SINGLE_BLOCK_MAX_KV,
+    e.g. >1536-token slices) — forced here at tiny sizes — must match the
+    reference in fwd (want_lse=False inference branch) AND grads
+    (want_lse=True branch)."""
+    import mst_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "SINGLE_BLOCK_MAX_KV", 32)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 2, 80, 16)
+    out = A.flash_attention(q, k, v, block_q=32, block_k=32)
+    ref = A.attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    gf = jax.grad(lambda a, b, c: jnp.sum(
+        A.flash_attention(a, b, c, block_q=32, block_k=32) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda a, b, c: jnp.sum(
+        A.attention_reference(a, b, c) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_key_padding_bias_matches_masked_softmax():
     q, k, v = _rand_qkv(jax.random.PRNGKey(2), 2, 2, 8, 16)
     pad = jnp.array([[False] * 8, [False] * 5 + [True] * 3])
