@@ -84,7 +84,13 @@ def calibration_volumes(run_folder, path_root, n: int):
             "static int8 calibration draws volumes from the run's val "
             "split — pass --path_root (or use dynamic scales: --int8 "
             "without --int8_calib)")
-    ds_kw = {} if dataset_name == "Synthetic" else {"path_root": path_root}
+    if dataset_name == "Synthetic":
+        ds_kw = {}
+    else:
+        from mst_tpu.utils.checkpoint import load_hparams
+
+        fold = (load_hparams(Path(run_folder)) or {}).get("fold", 0)
+        ds_kw = {"path_root": path_root, "fold": fold}
     ds = get_dataset(dataset_name, split="val", **ds_kw)
     n = min(int(n), len(ds))
     return jnp.asarray(np.stack(

@@ -137,7 +137,15 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, params, batch_stats = load_run_model(path_run, dtype=dtype)
 
-    ds_kw = {} if dataset_name == "Synthetic" else {"path_root": args.path_root}
+    if dataset_name == "Synthetic":
+        ds_kw = {}
+    else:
+        # score the SAME fold the run trained on (recorded in hparams by
+        # main_train --fold; absent in older runs -> the ctor default 0)
+        from mst_tpu.utils.checkpoint import load_hparams
+
+        fold = (load_hparams(path_run) or {}).get("fold", 0)
+        ds_kw = {"path_root": args.path_root, "fold": fold}
     ds_test = get_dataset(dataset_name, split="test", **ds_kw)
 
     want_sal = args.get_attention or args.get_segmentation

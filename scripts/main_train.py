@@ -71,6 +71,11 @@ def main(argv=None):
                     help="with --int8: calibrate static activation scales "
                          "on this many training volumes (0 = dynamic "
                          "per-token scales)")
+    ap.add_argument("--fold", type=int, default=0,
+                    help="cross-validation fold of split.csv (recorded in "
+                         "hparams so the predict CLI scores the same "
+                         "fold's test split; the reference fixes fold 0 "
+                         "via the dataset ctor default)")
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--max_epochs", type=int, default=1000)
     ap.add_argument("--num_train_samples", type=int, default=2000)
@@ -142,7 +147,7 @@ def main(argv=None):
 
         jax.config.update("jax_debug_nans", True)
 
-    ds_kw = dict(path_root=args.path_root)
+    ds_kw = dict(path_root=args.path_root, fold=args.fold)
     if args.dataset == "Synthetic":
         ds_kw = {}
     ds_train = get_dataset(args.dataset, split="train", flip=True, noise=True,
@@ -288,7 +293,8 @@ def main(argv=None):
         start_epoch = int(resume_meta.get("epoch", -1)) + 1
         print(f"resumed full TrainState from {args.resume}/last "
               f"(step {int(state.step)}, next epoch {start_epoch})")
-    hparams = {"model": args.model, "dataset": args.dataset, **{
+    hparams = {"model": args.model, "dataset": args.dataset,
+               "fold": args.fold, **{
         k: (v if isinstance(v, (int, float, str, bool, type(None))) else str(v))
         for k, v in model_kw.items()}}
     state, result = trainer.fit(model, state, dm, hparams=hparams,

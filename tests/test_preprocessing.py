@@ -113,6 +113,14 @@ def test_lidc_split_and_crop_to_dataset(tmp_path):
     assert s["mask"].sum() > 0  # nodule mask survived mask-centred crops
     assert s["rater_masks"].shape[0] == 2
 
+    # fold selection (`main_train --fold`): different folds hold out
+    # different patients as test (StratifiedGroupKFold rotation)
+    ds1 = LIDC_Dataset3D(root, split="test", fold=1,
+                         image_crop=(224, 224, 32))
+    uids0 = set(ds.df["patient_id"])
+    uids1 = set(ds1.df["patient_id"])
+    assert uids0 and uids1 and uids0 != uids1
+
 
 def test_duke_split_pack_to_dataset(tmp_path):
     from mst_tpu.utils.nifti import write_nifti
