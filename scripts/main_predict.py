@@ -12,6 +12,11 @@ Modes replicated (reference :169-381):
   affine diagonal (:229-269) -> results_seg.csv + mean±std log (:326-337)
 - --use_tta    -> 8-way flip ensemble (batched on device, :147-158)
 
+Extras beyond the reference: --ensemble (average fold models post-softmax,
+the deployment companion to tools/run_crossval.py), --save_saliency
+(saliency/input/seg volumes as .nii.gz for radiology viewers), --int8,
+--num_devices, --distributed, --use_rollout.
+
 Run-folder name encodes dataset/model exactly like the reference
 (`{dataset}/{Model}_{timestamp}`, :184-186).
 """
@@ -66,6 +71,25 @@ def main(argv=None):
                     help="with --use_rollout: use the improved Abnar&Zuidema "
                          "rollout (identity residual + row norm) instead of "
                          "the reference chain")
+    ap.add_argument("--ensemble", nargs="+", default=None, metavar="RUN_DIR",
+                    help="additional run folders (same architecture, e.g. "
+                         "the other fold models from tools/run_crossval.py): "
+                         "softmax probabilities — and saliency maps, when a "
+                         "saliency mode is active — are averaged across all "
+                         "members, like the reference averages its 8 TTA "
+                         "forwards post-softmax. NOTE: on datasets whose "
+                         "test split rotates with the fold (LIDC/DUKE), a "
+                         "cross-fold ensemble leaks — member fold k trained "
+                         "on this fold's test cases; legitimate for fixed-"
+                         "test datasets (MRNet) or external data")
+    ap.add_argument("--save_saliency", action="store_true",
+                    help="write each case's saliency volume (and, with "
+                         "--get_segmentation, the thresholded mask) as "
+                         "case_<uid>/saliency.nii.gz [+ seg.nii.gz + "
+                         "input.nii.gz] in the transformed (crop/resize) "
+                         "grid with a spacing-only affine — co-registered "
+                         "with each other, loadable by any radiology "
+                         "viewer (the reference emits PNGs only)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--int8", action="store_true",
                     help="serve the encoder with W8A8 int8 kernels (2x MXU "
@@ -137,6 +161,37 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, params, batch_stats = load_run_model(path_run, dtype=dtype)
 
+    # --ensemble: (params, batch_stats) per member; members[0] is this run.
+    members = [(params, batch_stats)]
+    if args.ensemble:
+        import jax
+
+        from mst_tpu.utils.checkpoint import load_hparams as _load_hp
+
+        prim_leaves = jax.tree_util.tree_leaves(params)
+        prim_struct = jax.tree_util.tree_structure(params)
+        prim_fold = (_load_hp(path_run) or {}).get("fold", 0)
+        for mdir in args.ensemble:
+            mpath = Path(mdir)
+            if not (mpath / "best_checkpoint.json").exists():
+                raise SystemExit(f"--ensemble: {mpath} is not a run folder "
+                                 "(no best_checkpoint.json)")
+            _, mparams, mbs = load_run_model(mpath, dtype=dtype)
+            mleaves = jax.tree_util.tree_leaves(mparams)
+            if (jax.tree_util.tree_structure(mparams) != prim_struct
+                    or any(a.shape != b.shape
+                           for a, b in zip(prim_leaves, mleaves))):
+                raise SystemExit(f"--ensemble: {mpath} has a different "
+                                 "architecture (param tree mismatch)")
+            mfold = (_load_hp(mpath) or {}).get("fold", 0)
+            if mfold != prim_fold:
+                log.warning(
+                    "--ensemble member %s trained on fold %d (this run: "
+                    "fold %d) — leaks on rotating-test datasets, see --help",
+                    mpath, mfold, prim_fold)
+            members.append((mparams, mbs))
+        log.info("ensemble of %d models", len(members))
+
     if dataset_name == "Synthetic":
         ds_kw = {}
     else:
@@ -148,7 +203,8 @@ def main(argv=None):
         ds_kw = {"path_root": args.path_root, "fold": fold}
     ds_test = get_dataset(dataset_name, split="test", **ds_kw)
 
-    want_sal = args.get_attention or args.get_segmentation
+    want_sal = (args.get_attention or args.get_segmentation
+                or args.save_saliency)
     plane_mode = "last"
     if args.use_rollout:
         plane_mode = "rollout_abnar" if args.rollout_abnar else "rollout"
@@ -185,6 +241,18 @@ def main(argv=None):
     predict = make_predict_fn(model, tta=args.use_tta, with_saliency=want_sal,
                               batch_stats=batch_stats, plane_mode=plane_mode,
                               mesh=mesh)
+    # One predict fn per member: batch_stats is closed over (not traced), so
+    # members that carry their own batch_stats (ResNet) need their own fn;
+    # stats-free members share `predict` and hence its compiled executable
+    # (same jit callable + same arg treedef -> one XLA program).
+    predict_fns = [predict]
+    for _, mbs in members[1:]:
+        if mbs is None and batch_stats is None:
+            predict_fns.append(predict)
+        else:
+            predict_fns.append(make_predict_fn(
+                model, tta=args.use_tta, with_saliency=want_sal,
+                batch_stats=mbs, plane_mode=plane_mode, mesh=mesh))
 
     from mst_tpu.data.datamodule import DataModule
 
@@ -223,14 +291,17 @@ def main(argv=None):
                     multihost_utils.process_allgather(
                         jnp.asarray(calib_np)), 0)
             calib = jnp.asarray(calib_np)
-            params = quantize_mst_params_int8(params, model, calib)
+            members = [(quantize_mst_params_int8(p, model, calib), bs)
+                       for p, bs in members]
             log.info("serving with int8 (W8A8) encoder kernels — STATIC "
                      "activation scales calibrated on %d volumes",
                      int(calib.shape[0]))
         else:
-            params = quantize_mst_params_int8(params)
+            members = [(quantize_mst_params_int8(p), bs)
+                       for p, bs in members]
             log.info("serving with int8 (W8A8) encoder kernels (dynamic "
                      "per-token activation scales)")
+        params = members[0][0]
     test_valid = dm.eval_valid_mask(len(ds_test))
     row_lo = 0
     results, results_seg = [], []
@@ -244,7 +315,20 @@ def main(argv=None):
         source = jnp.asarray(batch["source"])
         mask_kp = batch.get("src_key_padding_mask")
         mask_kp = None if mask_kp is None else jnp.asarray(mask_kp)
-        probs_b, sal = predict(params, source, mask_kp)
+        if len(members) == 1:
+            probs_b, sal = predict(params, source, mask_kp)
+        else:
+            # post-softmax average across members, saliency maps too — the
+            # same aggregation the reference applies to its TTA forwards
+            probs_acc, sal_acc = [], []
+            for (mp, _), pf in zip(members, predict_fns):
+                pb, s = pf(mp, source, mask_kp)
+                probs_acc.append(pb)
+                if s is not None:
+                    sal_acc.append(s)
+            probs_b = jnp.mean(jnp.stack(probs_acc), axis=0)
+            sal = (jnp.mean(jnp.stack(sal_acc), axis=0)
+                   if sal_acc else None)
         probs_b = np.asarray(probs_b)
         for bi, uid in enumerate(batch["uid"]):
             if not bvalid[bi]:
@@ -277,6 +361,33 @@ def main(argv=None):
                 "IoU": iou_score(seg, gt),
                 "ASSD": average_surface_distance(seg, gt, spacing=spacing),
             })
+
+        if args.save_saliency and sal is not None and bvalid[0]:
+            from mst_tpu.utils.nifti import write_nifti
+
+            case_dir = out_dir / f"case_{uid}"
+            case_dir.mkdir(parents=True, exist_ok=True)
+            # Back to NIfTI (X,Y,Z) axis order — the loaders' [C,W,H,D] →
+            # [C,D,H,W] swap inverted; spacing-only affine (the crop/pad
+            # grid has no meaningful origin to preserve).
+            if "spacing_dhw" in batch:
+                sp = np.asarray(batch["spacing_dhw"][0], dtype=float)
+            elif "affine" in batch:
+                sp = np.abs(np.diag(
+                    np.asarray(batch["affine"][0]))[:3])[::-1]
+            else:
+                sp = np.ones(3)
+            aff = np.diag([sp[2], sp[1], sp[0], 1.0])
+            write_nifti(case_dir / "saliency.nii.gz",
+                        np.transpose(sal_np, (2, 1, 0)).astype(np.float32),
+                        aff)
+            write_nifti(case_dir / "input.nii.gz",
+                        np.transpose(np.asarray(batch["source"])[0, 0],
+                                     (2, 1, 0)).astype(np.float32), aff)
+            if args.get_segmentation and rater_masks is not None:
+                write_nifti(case_dir / "seg.nii.gz",
+                            np.transpose(seg, (2, 1, 0)).astype(np.uint8),
+                            aff)
 
         if args.get_attention and target == 1:
             case_dir = out_dir / f"case_{uid}"

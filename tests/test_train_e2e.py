@@ -62,6 +62,44 @@ def test_predict_tta_attention(trained_run):
         assert (Path(c) / "input.png").exists()
 
 
+def test_predict_ensemble_self_and_nifti_saliency(trained_run):
+    """--ensemble with the run itself (x3 identical members) must reproduce
+    the single-model predictions (averaging identical softmaxes is the
+    identity); --save_saliency writes per-case NIfTI volumes in the (X,Y,Z)
+    file frame, loadable by our own reader and co-registered with the
+    exported input volume."""
+    import pandas as pd
+
+    from mst_tpu.utils.nifti import read_nifti
+    from scripts.main_predict import main as predict_main
+
+    run_dir, _ = trained_run
+    out_a = predict_main([
+        "--run_folder", str(run_dir),
+        "--output_dir", str(Path(run_dir) / "res_base"),
+    ])
+    out_b = predict_main([
+        "--run_folder", str(run_dir),
+        "--ensemble", str(run_dir), str(run_dir), "--save_saliency",
+        "--output_dir", str(Path(run_dir) / "res_ens"),
+    ])
+    a = pd.read_csv(Path(out_a) / "results.csv").sort_values("uid")
+    b = pd.read_csv(Path(out_b) / "results.csv").sort_values("uid")
+    # tolerance: the ensemble run computes saliency too, whose forward sows
+    # attention aux — same math, potentially different fusion/layout
+    np.testing.assert_allclose(a["NN_pred"].to_numpy(),
+                               b["NN_pred"].to_numpy(), atol=1e-4)
+    assert (a["NN"].to_numpy() == b["NN"].to_numpy()).all()
+
+    cases = sorted(Path(out_b).glob("case_*"))
+    assert len(cases) == 16  # every case, not only positives
+    sal, aff = read_nifti(cases[0] / "saliency.nii.gz")
+    src, aff2 = read_nifti(cases[0] / "input.nii.gz")
+    assert sal.shape == src.shape  # co-registered grids
+    assert np.allclose(aff, np.eye(4)) and np.allclose(aff2, aff)
+    assert np.isfinite(sal).all() and sal.max() > 0
+
+
 def test_predict_segmentation(trained_run):
     """--get_segmentation: saliency -> 99.9th-pct mask -> Dice/IoU/ASSD vs
     the >=2-rater synthetic ground truth -> results_seg.csv."""
