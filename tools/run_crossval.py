@@ -142,6 +142,12 @@ def main(argv=None):
     if auc is not None:
         print(f"pooled AUC {auc:.4f} ± {se:.4f} over {len(pooled)} cases "
               f"({args.folds} folds) -> {out_root}", flush=True)
+    if len(per_fold) > 1:
+        dirs = [f["run_dir"] for f in per_fold]
+        print("deployment ensemble of the fold models (external/fixed-test "
+              "data only — cross-fold ensembling leaks on rotating-test "
+              "splits):\n  python scripts/main_predict.py --run_folder "
+              f"{dirs[0]} --ensemble {' '.join(dirs[1:])}", flush=True)
     return out_root, summary
 
 
