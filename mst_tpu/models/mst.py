@@ -177,7 +177,20 @@ class DinoSliceClassifier(nn.Module):
             source, deterministic=deterministic, return_weights=return_weights
         )
         if self.use_slice_pos_emb:
-            feats = feats + self.slice_pos_emb(jnp.arange(D))[None].astype(self.dtype)
+            if D <= MAX_SLICES:
+                pos = self.slice_pos_emb(jnp.arange(D))
+            else:
+                # Large-D volumes (e.g. 1000-slice CT): linearly interpolate
+                # the 256-entry table over the depth axis, the same trick the
+                # ViT uses for its patch pos-embed at non-224 input sizes.
+                # The reference would raise an out-of-range Embedding lookup
+                # here (`dino.py:81-82` hard-caps 256 slices) — divergence
+                # documented, not replicated.
+                table = self.slice_pos_emb.embedding
+                pos = jax.image.resize(
+                    table.astype(jnp.float32), (D, table.shape[1]), "linear"
+                )
+            feats = feats + pos[None].astype(self.dtype)
 
         if self.slice_fusion == "transformer":
             cls = jnp.broadcast_to(

@@ -191,3 +191,39 @@ def test_classifier_ffn_layer_override():
     assert blk["w12"]["kernel"].shape[-1] == 2 * 24
     logits = model.apply(params, x)
     assert logits.shape == (1, 2)
+
+
+@pytest.mark.slow
+def test_mst_large_d_pos_emb_interpolation():
+    """D > MAX_SLICES (256): the slice-pos-emb table is linearly
+    interpolated over depth instead of raising on an out-of-range lookup
+    (reference `dino.py:81-82` hard-caps 256 slices — divergence documented
+    in mst.py). Padding invariance must survive the interpolated table."""
+    from mst_tpu.models.mst import MAX_SLICES
+
+    model = DinoSliceClassifier(
+        out_ch=2, slice_fusion="transformer", use_slice_pos_emb=True, **TINY
+    )
+    D = MAX_SLICES + 8  # 264 > vocab
+    x = _volume(b=1, d=D, h=14, w=14)
+    mask = jnp.arange(D)[None] >= 250  # last 14 slices padded
+    params = model.init(jax.random.PRNGKey(0), x, mask)
+    base = model.apply(params, x, mask)
+    assert base.shape == (1, 2) and jnp.isfinite(base).all()
+    # perturb the padded tail wildly; logits identical
+    x2 = x.at[:, :, 250:].set(
+        100.0 * jax.random.normal(jax.random.PRNGKey(9), x[:, :, 250:].shape)
+    )
+    pert = model.apply(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(pert), atol=1e-4)
+    # the interpolated table spans the whole vocabulary: endpoints of the
+    # D-length position curve coincide with table rows 0 and 255 up to the
+    # resize's half-pixel offset (both ends stay within the first/last cell)
+    table = np.asarray(params["params"]["slice_pos_emb"]["embedding"])
+    pos = np.asarray(
+        jax.image.resize(
+            jnp.asarray(table, jnp.float32), (D, table.shape[1]), "linear"
+        )
+    )
+    assert np.abs(pos[0] - table[0]).max() < np.abs(table).max()
+    assert pos.shape == (D, table.shape[1])
