@@ -40,7 +40,11 @@ def _our_model_and_params(tmodel):
     from mst_tpu.models.convert import convert_reference_mst
     from mst_tpu.models.mst import DinoSliceClassifier
 
-    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    # .copy(): state_dict().numpy() views share storage with the torch
+    # tensors, and an in-place torch optimizer step (the train-step parity
+    # test) would otherwise mutate the converted params underneath jax's
+    # CPU zero-copy asarray.
+    sd = {k: v.numpy().copy() for k, v in tmodel.state_dict().items()}
     params = convert_reference_mst(sd, depth=12)
     # Encoder config matching the reference's LOCAL vit_small(patch_size=14):
     # 224-grid pos embed (16x16), no LayerScale, exact GELU.
@@ -216,3 +220,108 @@ def test_full_resnet3d_gradcam_parity():
     assert cam.shape == ref_map.shape
     np.testing.assert_allclose(np.asarray(cam), ref_map,
                                atol=3e-3, rtol=3e-3)
+
+
+def _leafdict(tree):
+    import jax
+
+    return {jax.tree_util.keystr(k): np.asarray(v, np.float64) for k, v in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _torch_one_adamw_step(tmodel, vol, tgt, lr, wd):
+    """Reference `BasicClassifier._step` semantics (`base_model.py:148-181`):
+    pred = self(**batch), CE loss, then Lightning's optimizer step ==
+    AdamW(lr, weight_decay=wd) (`base_model.py:103-110`, lr default from
+    `dino.py:41`). Returns (loss, grads by param name, state_dict after
+    ONE step)."""
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=lr, weight_decay=wd)
+    pred = tmodel(vol)
+    loss = torch.nn.CrossEntropyLoss()(pred, tgt)
+    opt.zero_grad()
+    loss.backward()
+    grads = {k: p.grad.detach().numpy().copy()
+             for k, p in tmodel.named_parameters() if p.grad is not None}
+    opt.step()
+    return float(loss), grads, {k: v.detach().numpy().copy()
+                                for k, v in tmodel.state_dict().items()}
+
+
+@pytest.mark.slow
+def test_one_train_step_parity():
+    """ONE-TRAIN-STEP parity vs the live torch reference (VERDICT r3 #1):
+    same converted weights, same batch — reference CE + AdamW one step vs
+    our `make_train_step` — every updated param leaf must agree, and the
+    one-step DELTAS (theta_new - theta_old, the part forward parity cannot
+    prove) must agree too. This pins the whole backward + optimizer chain:
+    grads through all 12 ViT blocks, slice fusion, CLS/head, AdamW bias
+    correction and decoupled weight decay.
+
+    lr: decoupled-AdamW math is lr-scale-free, so the test runs at 1e-3
+    rather than the reference's 1e-6 (`dino.py:41`) — at 1e-6 the f32
+    subtraction theta_new - theta_old itself rounds away the digits the
+    comparison needs (delta ~1e-6 against params ~1e-1)."""
+    from mst_tpu.models.convert import convert_reference_mst
+
+    tmodel = _load_reference_model()
+    torch.manual_seed(5)
+    vol = torch.randn(2, 1, 4, 56, 56)
+    tgt = torch.tensor([0, 1])
+
+    import jax
+    import jax.numpy as jnp
+
+    jm, params0 = _our_model_and_params(tmodel)  # convert BEFORE the step
+    lr, wd = 1e-3, 1e-2
+    ref_loss, ref_grads_sd, sd_new = _torch_one_adamw_step(
+        tmodel, vol, tgt, lr, wd)
+    # the converter is a pure layout map (transpose/reshape/concat), so it
+    # carries GRADS into our tree the same way it carries weights
+    ref_grads = convert_reference_mst(ref_grads_sd, depth=12)
+    params1_ref = convert_reference_mst(sd_new, depth=12)
+
+    from mst_tpu.train.trainer import (
+        TrainState, cross_entropy_loss, make_optimizer, make_train_step,
+    )
+
+    state = TrainState.create(
+        apply_fn=jm.apply, params=params0,
+        tx=make_optimizer(lr, weight_decay=wd),
+        dropout_rng=jax.random.PRNGKey(0),
+    )
+    step = make_train_step(jm)
+    state, loss_j, _ = step(state, jnp.asarray(vol.numpy()),
+                            jnp.asarray(tgt.numpy()), None)
+    np.testing.assert_allclose(float(loss_j), ref_loss, atol=1e-4, rtol=1e-4)
+
+    # 1) element-wise GRAD parity — the backward statement itself. Grad
+    # scale here is O(1e-3..1); atol 1e-6 covers fp32 accumulation-order
+    # noise on near-zero elements.
+    x_j, t_j = jnp.asarray(vol.numpy()), jnp.asarray(tgt.numpy())
+    grads_j = jax.grad(
+        lambda p: cross_entropy_loss(
+            jm.apply({"params": p}, x_j, deterministic=True), t_j)
+    )(params0)
+    g_ours, g_ref = _leafdict(grads_j), _leafdict(ref_grads)
+    assert set(g_ours) == set(g_ref)
+    for k in sorted(g_ours):
+        np.testing.assert_allclose(g_ours[k], g_ref[k], rtol=2e-3, atol=1e-6,
+                                   err_msg=f"grad {k}")
+
+    # 2) updated params, element-wise, split by conditioning of the AdamW
+    # first-step update -lr*(g/(|g|+eps) + wd*theta): where |g| >> eps=1e-8
+    # the normalised update inherits the grads' accuracy (rel-err <= 1e-3,
+    # the VERDICT criterion); where |g| ~ eps the normalisation flips
+    # freely under fp noise in ANY two correct implementations, but the
+    # update is bounded by lr, so the divergence is too.
+    ours1 = _leafdict(state.params)
+    ref1 = _leafdict(params1_ref)
+    assert set(ours1) == set(ref1)
+    for k in sorted(ours1):
+        well = np.abs(g_ref[k]) > 1e-6  # 100*eps: <1% normalisation shift
+        np.testing.assert_allclose(
+            ours1[k][well], ref1[k][well], rtol=1e-3, atol=1e-5,
+            err_msg=f"updated param {k} (well-conditioned grad elements)")
+        stray = np.abs(ours1[k] - ref1[k])[~well]
+        assert stray.max(initial=0.0) <= 2.05 * lr, \
+            f"updated param {k}: eps-regime element diverged beyond 2*lr"
