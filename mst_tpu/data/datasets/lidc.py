@@ -104,18 +104,24 @@ class LIDC_Dataset3D(Dataset3D):
             m, _ = self._read_volume(p)
             rater_masks.append((m > 0)[None])
 
-        # reference `moveaxis(1, 2)` view fix == H/W transpose in our layout
-        vol = np.swapaxes(vol, 2, 3)
-        mask = np.swapaxes(mask, 2, 3)
-        rater_masks = [np.swapaxes(m, 2, 3) for m in rater_masks]
-
+        # Crop FIRST (on the contiguous decode layout — scans and the
+        # window copy run at memcpy speed), THEN apply the reference's
+        # `moveaxis(1, 2)` view fix (== H/W transpose in our layout) to the
+        # small crop. Equivalent to swap-then-crop with the H/W target
+        # exchanged: the transpose commutes with per-axis windowing, and no
+        # RNG draw depends on axis order (LIDC's fixed-size step4 inputs
+        # never pad, and the mask-centred start is deterministic).
         if self.crop_dhw is not None:
+            tgt = (self.crop_dhw[0], self.crop_dhw[2], self.crop_dhw[1])
             out = crop_or_pad(
-                vol, self.crop_dhw, mask=mask.astype(np.uint8),
+                vol, tgt, mask=mask.astype(np.uint8),
                 random_center=self.random_center, rng=self.rng,
                 extra=rater_masks,
             )
             vol, mask, rater_masks = out[0], out[1] > 0, [m > 0 for m in out[2:]]
+        vol = np.swapaxes(vol, 2, 3)
+        mask = np.swapaxes(mask, 2, 3)
+        rater_masks = [np.swapaxes(m, 2, 3) for m in rater_masks]
 
         # Physical spacing per OUR (D, H, W) axes: volume is [Z, Y, X]
         # then H/W transposed -> (sz, sx, sy).

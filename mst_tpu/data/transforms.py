@@ -72,7 +72,16 @@ def crop_or_pad(
     def _pad(x, value):
         return np.pad(x, pad_widths, constant_values=value) if any(p for pw in pad_widths for p in pw) else x
 
-    fill = float(vol.min()) if pad_value is None else float(pad_value)
+    needs_pad = any(p for pw in pad_widths for p in pw)
+    # fill = min is a full volume scan (~25 ms on a strided 256^2x32 f32
+    # view) — only pay it when padding actually happens (LIDC's fixed-size
+    # step4 crops never pad: the no-pad path is the training hot loop)
+    if pad_value is not None:
+        fill = float(pad_value)
+    elif needs_pad:
+        fill = float(vol.min())
+    else:
+        fill = 0.0
     vol_p = _pad(vol, fill)
     outs = [vol_p]
     if mask is not None:
@@ -81,10 +90,20 @@ def crop_or_pad(
         outs.append(_pad(e, 0))
 
     shape_p = vol_p.shape[1:]
-    if mask is not None and np.any(mask):
-        nz = np.nonzero(mask[0])
-        center = [int((a.min() + a.max() + 1) // 2) + pw[0]
-                  for a, pw in zip(nz, pad_widths[1:])]
+    # bbox centre from axis projections: np.nonzero materialises index
+    # arrays from a full volume scan (~7.5 ms/vol in the loader hot path);
+    # two boolean any-reductions + tiny flatnonzeros do the same bbox
+    nz_axes = None
+    if mask is not None:
+        m = mask[0] != 0
+        proj_dh = m.any(axis=2)  # [D, H]
+        if proj_dh.any():
+            nz_axes = [np.flatnonzero(proj_dh.any(axis=1)),
+                       np.flatnonzero(proj_dh.any(axis=0)),
+                       np.flatnonzero(m.any(axis=(0, 1)))]
+    if nz_axes is not None:
+        center = [int((a[0] + a[-1] + 1) // 2) + pw[0]
+                  for a, pw in zip(nz_axes, pad_widths[1:])]
     else:
         center = [s // 2 for s in shape_p]
 

@@ -178,7 +178,7 @@ def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000,
 
 
 def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
-          carry_row=None, want_abnar=False):
+          carry_row=None, want_abnar=False, want_lse=False):
     """Per-head softmax attention over a packed [K*S, 3E] qkv block of K
     independent slice images (`S` tokens each; S=None means one slice).
     `want_row=True` additionally returns the CLS (query 0) softmax row per
@@ -217,15 +217,23 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
     (A_{L-1} @ ... @ A_0), so unlike the reference chain it cannot thread
     a forward carry row — the factors are emitted (12x smaller than the
     flax path's per-head sows) and chained in XLA.
+
+    `want_lse=True` additionally returns the per-row softmax log-sum-exp
+    in base 2, b = m + log2(l), as [K, S, heads] f32 (S in sublanes —
+    the layout both the emitting fwd and the consuming bwd kernel use
+    without a transpose). The train backward reconstructs the normalised
+    probabilities in ONE fused VPU pass, p = exp2(s - b), instead of the
+    max / exp2 / sum / normalise recompute (4 passes over [S, S] per
+    head).
     """
     scale = 1.0 / math.sqrt(hd) * _LOG2E
     T = qkv.shape[0]
     S = T if S is None else S
     K = T // S
-    outs, rows, carries, abnars = [], [], [], []
+    outs, rows, carries, abnars, lses = [], [], [], [], []
     for sl in range(K):
         lo = sl * S
-        souts, srows, scarries = [], [], []
+        souts, srows, scarries, sbs = [], [], [], []
         ab = None
         for i in range(num_heads):
             q = qkv[lo:lo + S, i * hd:(i + 1) * hd]
@@ -253,6 +261,8 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
                 preferred_element_type=jnp.float32,
             ) / l
             souts.append(o.astype(cd))
+            if want_lse:
+                sbs.append(m + jnp.log2(l))  # [S, 1] f32
             if want_row:
                 srows.append(p[:1] / l[:1])  # CLS softmax row [1, S], f32
             if want_abnar:
@@ -264,6 +274,8 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
                 r = carry_row[sl, i] * (1.0 / l[:, 0])  # [S]
                 scarries.append(jnp.sum(r[:, None] * p, axis=0))  # [S]
         outs.append(jnp.concatenate(souts, axis=-1))  # [S, E]
+        if want_lse:
+            lses.append(jnp.concatenate(sbs, axis=1))  # [S, heads]
         if want_row:
             rows.append(jnp.concatenate(srows, axis=0))  # [heads, S]
         if want_abnar:
@@ -277,6 +289,8 @@ def _mhsa(qkv, E, hd, num_heads, cd, rope=None, want_row=False, S=None,
         ret += (jnp.stack(rows, axis=0),)  # [K, heads, S]
     if want_abnar:
         ret += (jnp.stack(abnars, axis=0),)  # [K, S, S]
+    if want_lse:
+        ret += (jnp.stack(lses, axis=0),)  # [K, S, heads]
     if carry_row is not None:
         ret += (jnp.stack(carries, axis=0),)  # [K, heads, S]
     return ret if len(ret) > 1 else out
@@ -383,17 +397,21 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _attn_train_kernel(*refs, num_heads: int, has_ls: bool,
                        eps: float = 1e-6, has_rope: bool = False):
     """Forward + residual outputs for the attention sublayer backward:
-    qkv [S,3E] (PRE-rope) and the pre-proj concat o [S,E]. Attention probs
-    are NOT saved — the backward kernel recomputes the softmax in VMEM
-    from qkv (flash-style), avoiding an [H,S,S] HBM round trip per layer.
+    qkv [S,3E] (PRE-rope), the pre-proj concat o [S,E], and the softmax
+    log-sum-exp rows b [S,heads] f32 (base 2, max folded in). Attention
+    probs are NOT saved — the backward kernel reconstructs the normalised
+    softmax from the saved b in one fused exp2 pass, p = exp2(s - b),
+    avoiding an [H,S,S] HBM round trip per layer AND the 4-pass
+    max/exp2/sum/normalise recompute (b costs S*heads f32 ≈ 6 KB/slice).
     `has_rope` adds cos/sin/pmat operands (the DINOv3 train sub-layer)."""
     if has_rope:
         (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-         ls_ref, cos_ref, sin_ref, pmat_ref, y_ref, qkv_ref, o_ref) = refs
+         ls_ref, cos_ref, sin_ref, pmat_ref, y_ref, qkv_ref, o_ref,
+         b_ref) = refs
         rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
     else:
         (x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-         ls_ref, y_ref, qkv_ref, o_ref) = refs
+         ls_ref, y_ref, qkv_ref, o_ref, b_ref) = refs
         rope = None
     K, S, E = x_ref.shape
     x = x_ref[:].reshape(K * S, E)
@@ -409,8 +427,10 @@ def _attn_train_kernel(*refs, num_heads: int, has_ls: bool,
     ) + bqkv_ref[0]
     qkv = qkv.astype(x.dtype)
     qkv_ref[:] = qkv.reshape(K, S, 3 * E)
-    o = _mhsa(qkv, E, hd, num_heads, x.dtype, S=S, rope=rope)
+    o, b = _mhsa(qkv, E, hd, num_heads, x.dtype, S=S, rope=rope,
+                 want_lse=True)
     o_ref[:] = o.reshape(K, S, E)
+    b_ref[:] = b  # [K, S, heads] f32
     y = jax.lax.dot_general(
         o, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -631,15 +651,25 @@ def _heads(t, num_heads):
 
 
 def _attn_bwd_kernel(*refs, num_heads: int, has_ls: bool,
-                     eps: float = 1e-6, has_rope: bool = False):
+                     eps: float = 1e-6, has_rope: bool = False,
+                     use_lse: bool = True):
+    """Fused attention-sublayer backward. With `use_lse` (default) the
+    normalised softmax is reconstructed from the saved log-sum-exp rows in
+    ONE fused VPU pass, p = exp2(s - b), and the softmax-Jacobian row term
+    sum_k dp*p collapses to the [S, hd] row-dot delta = do_h . o_h (since
+    dp = do_h v^T and o_h = p v, sum_k dp[q,k] p[q,k] = do_h[q] . o_h[q]);
+    vs the r3 recompute (max / exp2 / sum / normalise + a [S, S]
+    mul+reduce) this removes ~5 of 6 non-matmul [S, S] passes per head.
+    `use_lse=False` keeps the full recompute for A/B
+    (MST_ATTN_BWD=recompute)."""
     if has_rope:
-        (g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
+        (g_ref, x_ref, qkv_ref, o_ref, b_ref, lns_ref, lnb_ref,
          wqkv_ref, wproj_ref, bproj_ref, ls_ref, cos_ref, sin_ref, pmat_ref,
          dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
          dlns_ref, dlnb_ref, dls_ref) = refs
         rope = (cos_ref[:], sin_ref[:], pmat_ref[:])
     else:
-        (g_ref, x_ref, qkv_ref, o_ref, lns_ref, lnb_ref,
+        (g_ref, x_ref, qkv_ref, o_ref, b_ref, lns_ref, lnb_ref,
          wqkv_ref, wproj_ref, bproj_ref, ls_ref,
          dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
          dlns_ref, dlnb_ref, dls_ref) = refs
@@ -661,6 +691,7 @@ def _attn_bwd_kernel(*refs, num_heads: int, has_ls: bool,
     x = x_ref[:].reshape(K * S, E)
     qkv = qkv_ref[:].reshape(K * S, 3 * E)
     o = o_ref[:].reshape(K * S, E)
+    b_all = b_ref[:]  # [K, S, heads] f32
     hd = E // num_heads
     scale = 1.0 / math.sqrt(hd)
     cd = x.dtype
@@ -710,12 +741,18 @@ def _attn_bwd_kernel(*refs, num_heads: int, has_ls: bool,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32
             ) * (scale * _LOG2E)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            # The row normaliser can't fold out of BOTH backward matmuls (it
-            # varies along dv's contraction axis), so normalise p here — but
-            # as a reciprocal multiply, with exp already in exp2 form.
-            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+            if use_lse:
+                # One fused pass: normalised probs straight from the saved
+                # log-sum-exp rows (max + log2(l) folded into b).
+                p = jnp.exp2(s - b_all[sl, :, i:i + 1])
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m)
+                # The row normaliser can't fold out of BOTH backward matmuls
+                # (it varies along dv's contraction axis), so normalise p
+                # here — but as a reciprocal multiply, with exp already in
+                # exp2 form.
+                p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
             p_c = p.astype(cd)
             dvs.append(jax.lax.dot_general(
                 p_c, do_h, (((0,), (0,)), ((), ())),
@@ -723,8 +760,16 @@ def _attn_bwd_kernel(*refs, num_heads: int, has_ls: bool,
             dp = jax.lax.dot_general(
                 do_h, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            ds = ((dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
-                  * scale).astype(cd)
+            if use_lse:
+                # sum_k dp*p == row-dot(do_h, o_h): a [S, hd] reduce instead
+                # of a [S, S] mul+reduce pass.
+                o_h = o[lo:lo + S, i * hd:(i + 1) * hd]
+                delta = jnp.sum(do_h.astype(jnp.float32)
+                                * o_h.astype(jnp.float32),
+                                axis=-1, keepdims=True)
+            else:
+                delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = ((dp - delta) * p * scale).astype(cd)
             dq_h = jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -896,23 +941,24 @@ def _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
         pmat = jnp.asarray(_pair_swap_matrix(E // num_heads), x.dtype)
         operands += [jnp.asarray(cos, jnp.float32),
                      jnp.asarray(sin, jnp.float32), pmat]
-    y, qkv, o = _call_fused_multi(
+    y, qkv, o, b = _call_fused_multi(
         functools.partial(_attn_train_kernel, num_heads=num_heads,
                           has_ls=has_ls, eps=eps,
                           has_rope=rope is not None),
         x,
         operands,
-        out_shapes=[(S, E), (S, 3 * E), (S, E)],
+        out_shapes=[(S, E), (S, 3 * E), (S, E), (S, num_heads)],
+        out_dtypes=[x.dtype, x.dtype, x.dtype, jnp.float32],
         block_n=1,  # packing measured -6% on the train step (r3 A/B)
     )
-    return y, qkv, o
+    return y, qkv, o, b
 
 
 def _attn_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls, num_heads,
                     eps):
-    y, qkv, o = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
-                                     bproj, ls, num_heads, eps)
-    return y, (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
+    y, qkv, o, b = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                        bproj, ls, num_heads, eps)
+    return y, (x, qkv, o, b, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
 
 
 def _cast_like(val, like):
@@ -921,7 +967,7 @@ def _cast_like(val, like):
 
 
 def _attn_train_bwd(num_heads, eps, res, g):
-    x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
+    x = res[0]
     N, S, E = x.shape
     if E <= _PALLAS_BWD_MAX_E:
         return _attn_train_bwd_pallas(num_heads, res, g, eps=eps)
@@ -929,11 +975,15 @@ def _attn_train_bwd(num_heads, eps, res, g):
 
 
 def _attn_train_bwd_pallas(num_heads, res, g, eps=1e-6, rope=None):
-    """Fused backward: softmax recomputed in VMEM from the saved qkv,
-    weight grads accumulated in VMEM f32 across the grid — no [H,S,S]
-    HBM round trips (those made the first XLA backward SLOWER than the
-    flax path: 41.4 vs 44.5 vol/s measured)."""
-    x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
+    """Fused backward: normalised softmax reconstructed in VMEM from the
+    saved qkv + log-sum-exp rows (one exp2 pass; MST_ATTN_BWD=recompute
+    forces the r3 4-pass recompute for A/B), weight grads accumulated in
+    VMEM f32 across the grid — no [H,S,S] HBM round trips (those made the
+    first XLA backward SLOWER than the flax path: 41.4 vs 44.5 vol/s
+    measured)."""
+    import os
+
+    x, qkv, o, b, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
     N, S, E = x.shape
     has_ls = ls is not None
     ls_arg = _vec(ls) if has_ls else jnp.zeros((1, E), jnp.float32)
@@ -944,12 +994,13 @@ def _attn_train_bwd_pallas(num_heads, res, g, eps=1e-6, rope=None):
         pmat = jnp.asarray(_pair_swap_matrix(E // num_heads), x.dtype)
         operands += [jnp.asarray(cos, jnp.float32),
                      jnp.asarray(sin, jnp.float32), pmat]
+    use_lse = os.environ.get("MST_ATTN_BWD", "lse") != "recompute"
     dx, dwqkv, dbqkv, dwproj, dbproj, dlns, dlnb, dls = _call_fused_bwd(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                           has_ls=has_ls, eps=eps,
-                          has_rope=rope is not None),
+                          has_rope=rope is not None, use_lse=use_lse),
         g.astype(x.dtype),
-        grid_inputs=[x, qkv, o],
+        grid_inputs=[x, qkv, o, b],
         operands=operands,
         accum_shapes=[(E, 3 * E), (1, 3 * E), (E, E), (1, E),
                       (1, E), (1, E), (1, E)],
@@ -966,8 +1017,9 @@ def _attn_train_bwd_pallas(num_heads, res, g, eps=1e-6, rope=None):
 
 def _attn_train_bwd_xla(num_heads, res, g, eps=1e-6):
     """XLA fallback backward for embed widths whose weight-grad
-    accumulators exceed VMEM (giant-scale)."""
-    x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
+    accumulators exceed VMEM (giant-scale). Recomputes the softmax (the
+    saved lse rows `b` are unused — XLA fuses its own normalisation)."""
+    x, qkv, o, b, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls = res
     N, S, E = x.shape
     hd = E // num_heads
     scale = 1.0 / math.sqrt(hd)
@@ -1041,18 +1093,18 @@ def fused_attention_sublayer_train_rope(x, ln_s, ln_b, wqkv, bqkv, wproj,
 
 def _attn_rope_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
                          rope_cos, rope_sin, num_heads, eps):
-    y, qkv, o = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
-                                     bproj, ls, num_heads, eps,
-                                     rope=(rope_cos, rope_sin))
-    return y, (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+    y, qkv, o, b = _attn_train_fwd_impl(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                        bproj, ls, num_heads, eps,
+                                        rope=(rope_cos, rope_sin))
+    return y, (x, qkv, o, b, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
                rope_cos, rope_sin)
 
 
 def _attn_rope_train_bwd(num_heads, eps, res, g):
-    (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
+    (x, qkv, o, b, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls,
      rope_cos, rope_sin) = res
     N, S, E = x.shape
-    core = (x, qkv, o, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
+    core = (x, qkv, o, b, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ls)
     if E <= _PALLAS_BWD_MAX_E:
         grads = _attn_train_bwd_pallas(num_heads, core, g, eps=eps,
                                        rope=(rope_cos, rope_sin))

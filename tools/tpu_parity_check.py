@@ -18,13 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def run_checks():
+    """Run every on-device parity leg; returns a list of (name, ok) so the
+    bench harness can embed the result in its JSON artifact (VERDICT r3
+    #5). Prints one PASS/FAIL line per leg as it goes."""
     from mst_tpu.models.mst import dino_v2_classifier_slice
     from mst_tpu.models.vit_fast import fused_mst_logits
-
-    if jax.default_backend() != "tpu":
-        print("SKIP: not on TPU (kernels would run interpreted)")
-        return 0
 
     # f32 so tolerances are meaningful; the kernels themselves are
     # dtype-generic (bf16 in production).
@@ -265,9 +264,29 @@ def main():
           f"compiled_leg={used_compiled}  "
           f"{'PASS' if ok_exp else 'FAIL'}")
 
-    return 0 if (ok_fwd and ok_bwd and ok_remat and ok_sal and ok_v3
-                 and ok_v3s and ok_v3t and ok_ro and ok_i8 and ok_i8s
-                 and ok_i8sal and ok_i8t and ok_exp) else 1
+    return [
+        ("serving_logits", ok_fwd),
+        ("training_grads", ok_bwd),
+        ("remat_grads", ok_remat),
+        ("saliency", ok_sal),
+        ("dinov3_serving", ok_v3),
+        ("dinov3_saliency", ok_v3s),
+        ("dinov3_train_grads", ok_v3t),
+        ("rollout", ok_ro),
+        ("int8_serving", ok_i8),
+        ("int8_static", ok_i8s),
+        ("int8_saliency", ok_i8sal),
+        ("int8_frozen_train", ok_i8t),
+        ("export_artifact", ok_exp),
+    ]
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("SKIP: not on TPU (kernels would run interpreted)")
+        return 0
+    legs = run_checks()
+    return 0 if all(ok for _, ok in legs) else 1
 
 
 if __name__ == "__main__":
