@@ -469,12 +469,20 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     def forward(prm, src):
         return fused_mst_logits(prm, src, model)
 
-    float(jnp.sum(forward(params, source)).astype(jnp.float32))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, source)
-    float(jnp.sum(out).astype(jnp.float32))  # forced host sync (relay)
-    bf16_vps = 1.0 / ((time.perf_counter() - t0) / iters)
+    def _timed(fn, *a):
+        # min over 2 passes: at 5 iters/pass a single relay hiccup showed
+        # up as a 2% static<dynamic inversion in BENCH_r03 (VERDICT r3 #4)
+        float(jnp.sum(fn(*a)).astype(jnp.float32))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*a)
+            float(jnp.sum(out).astype(jnp.float32))  # forced host sync
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    bf16_vps = 1.0 / _timed(forward, params, source)
 
     i8_vps = i8s_vps = i8_train_vps = None
     try:
@@ -484,21 +492,11 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
         # dynamic per-token scales — the historical giant2_int8 key keeps
         # its meaning; static scales get their own key below
         qdyn = quantize_mst_params_int8(params)
-        float(jnp.sum(forward_q(qdyn, source)).astype(jnp.float32))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = forward_q(qdyn, source)
-        float(jnp.sum(out).astype(jnp.float32))  # forced host sync
-        i8_vps = 1.0 / ((time.perf_counter() - t0) / iters)
+        i8_vps = 1.0 / _timed(forward_q, qdyn, source)
         del qdyn
         # calibrated static scales (also feeds the frozen-train leg)
         qparams = quantize_mst_params_int8(params, model, source)
-        float(jnp.sum(forward_q(qparams, source)).astype(jnp.float32))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = forward_q(qparams, source)
-        float(jnp.sum(out).astype(jnp.float32))  # forced host sync
-        i8s_vps = 1.0 / ((time.perf_counter() - t0) / iters)
+        i8s_vps = 1.0 / _timed(forward_q, qparams, source)
     except Exception as e:  # noqa: BLE001
         print(f"# giant2 int8 leg skipped: {type(e).__name__}: {e}",
               flush=True)

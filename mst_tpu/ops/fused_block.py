@@ -142,6 +142,33 @@ def _swiglu_ref(x, ln_s, ln_b, w12, b12, w3, b3, ls, eps=1e-6):
 _LOG2E = math.log2(math.e)
 
 
+def _erf_as(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7): Mosaic has
+    no erf/erfc lowering, so the EXACT-GELU kernels (gelu_approximate=False,
+    the torch-default GELU a converted reference checkpoint reproduces)
+    need a polynomial path. 1.5e-7 is ~4 decades below bf16 resolution and
+    ~2 below the f32 parity tolerances."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.where(x >= 0.0, 1.0, -1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x, approximate: bool):
+    """In-kernel GELU: tanh approximation lowers natively; exact GELU uses
+    the A&S erf polynomial on TPU (interpret mode keeps jax.nn.gelu so CPU
+    tests stay bit-aligned with the XLA reference)."""
+    if approximate or not _on_tpu():
+        return jax.nn.gelu(x, approximate=approximate)
+    xf = x.astype(jnp.float32)
+    y = xf * 0.5 * (1.0 + _erf_as(xf * (1.0 / math.sqrt(2.0))))
+    return y.astype(x.dtype)
+
+
 def _pick_block(N: int, S: int, E: int, max_elems: int = 1_100_000,
                 cap: int = 8) -> int:
     """Slices per program for the multi-slice ("weight-stationary") fused
@@ -384,7 +411,7 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h, w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0]
-    h = jax.nn.gelu(h, approximate=approximate).astype(x.dtype)
+    h = _gelu(h, approximate).astype(x.dtype)
     y = jax.lax.dot_general(
         h, w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -458,7 +485,7 @@ def _mlp_train_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     ) + b1_ref[0]
     a = a.astype(x.dtype)
     a_ref[:] = a.reshape(K, S, -1)
-    u = jax.nn.gelu(a, approximate=approximate).astype(x.dtype)
+    u = _gelu(a, approximate).astype(x.dtype)
     y = jax.lax.dot_general(
         u, w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -835,7 +862,7 @@ def _mlp_bwd_kernel(g_ref, x_ref, a_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
     cd = x.dtype
     gf = g.astype(jnp.float32)
 
-    gelu = functools.partial(jax.nn.gelu, approximate=approximate)
+    gelu = functools.partial(_gelu, approximate=approximate)
     u, dgelu = jax.jvp(gelu, (a,), (jnp.ones_like(a),))
     u_c = u.astype(cd)
     if has_ls:

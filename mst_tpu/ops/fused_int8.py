@@ -64,6 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mst_tpu.ops.attention import _on_tpu
 from mst_tpu.ops.fused_block import (
     _COMPILER_PARAMS,
+    _gelu,
     _mhsa,
     _pick_block,
     _vec,
@@ -488,14 +489,14 @@ def _mlp_i8_kernel(*refs, approximate: bool, has_ls: bool, eps: float,
     if static_act:
         hq = _quant_static(h)
         a = _dot_i8(hq, w1_ref[:]).astype(jnp.float32) * s1_ref[0] + b1_ref[0]
-        u = jax.nn.gelu(a, approximate=approximate)
+        u = _gelu(a, approximate)
         uq = _quant_static(u * ainv_ref[0, 0])
         y = _dot_i8(uq, w2_ref[:]).astype(jnp.float32) * s2_ref[0] + b2_ref[0]
     else:
         hq, hs = _quant_rows(h)
         a = (_dot_i8(hq, w1_ref[:]).astype(jnp.float32)
              * hs * s1_ref[0] + b1_ref[0])
-        u = jax.nn.gelu(a, approximate=approximate)
+        u = _gelu(a, approximate)
         uq, us = _quant_rows(u)
         y = (_dot_i8(uq, w2_ref[:]).astype(jnp.float32)
              * us * s2_ref[0] + b2_ref[0])

@@ -77,11 +77,18 @@ def main(argv=None):
                          "softmax probabilities — and saliency maps, when a "
                          "saliency mode is active — are averaged across all "
                          "members, like the reference averages its 8 TTA "
-                         "forwards post-softmax. NOTE: on datasets whose "
+                         "forwards post-softmax (saliency is max-normalised "
+                         "per member first — attention scales are not "
+                         "comparable across independently trained models). "
+                         "NOTE: on datasets whose "
                          "test split rotates with the fold (LIDC/DUKE), a "
                          "cross-fold ensemble leaks — member fold k trained "
                          "on this fold's test cases; legitimate for fixed-"
-                         "test datasets (MRNet) or external data")
+                         "test datasets (MRNet) or external data. MEMORY: "
+                         "all K members' param trees stay on device "
+                         "simultaneously (K x params HBM; + int8 copies "
+                         "with --int8) — a 5-fold giant2 ensemble exceeds "
+                         "one chip")
     ap.add_argument("--save_saliency", action="store_true",
                     help="write each case's saliency volume (and, with "
                          "--get_segmentation, the thresholded mask) as "
@@ -170,7 +177,7 @@ def main(argv=None):
 
         prim_leaves = jax.tree_util.tree_leaves(params)
         prim_struct = jax.tree_util.tree_structure(params)
-        prim_fold = (_load_hp(path_run) or {}).get("fold", 0)
+        prim_fold = (_load_hp(path_run) or {}).get("fold")
         for mdir in args.ensemble:
             mpath = Path(mdir)
             if not (mpath / "best_checkpoint.json").exists():
@@ -183,8 +190,15 @@ def main(argv=None):
                            for a, b in zip(prim_leaves, mleaves))):
                 raise SystemExit(f"--ensemble: {mpath} has a different "
                                  "architecture (param tree mismatch)")
-            mfold = (_load_hp(mpath) or {}).get("fold", 0)
-            if mfold != prim_fold:
+            mfold = (_load_hp(mpath) or {}).get("fold")
+            if mfold is None or prim_fold is None:
+                # pre---fold runs don't record a fold: defaulting both to 0
+                # would silently pass two runs trained on different splits
+                log.info(
+                    "--ensemble: fold not recorded for %s — cannot verify "
+                    "the members trained on the same split",
+                    mpath if mfold is None else path_run)
+            elif mfold != prim_fold:
                 log.warning(
                     "--ensemble member %s trained on fold %d (this run: "
                     "fold %d) — leaks on rotating-test datasets, see --help",
@@ -325,7 +339,15 @@ def main(argv=None):
                 pb, s = pf(mp, source, mask_kp)
                 probs_acc.append(pb)
                 if s is not None:
-                    sal_acc.append(s)
+                    # per-member, per-volume max-normalisation before the
+                    # mean: softmax probabilities share a scale but
+                    # CLS-attention saliency magnitudes do not — without
+                    # this one member with a larger attention scale
+                    # dominates the ensemble map (ADVICE r3)
+                    denom = jnp.max(jnp.abs(s),
+                                    axis=tuple(range(1, s.ndim)),
+                                    keepdims=True)
+                    sal_acc.append(s / jnp.maximum(denom, 1e-12))
             probs_b = jnp.mean(jnp.stack(probs_acc), axis=0)
             sal = (jnp.mean(jnp.stack(sal_acc), axis=0)
                    if sal_acc else None)

@@ -789,3 +789,32 @@ def test_fused_rollout_saliency_matches_flax():
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(sal), np.asarray(sal_ref),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_exact_gelu_erf_polynomial():
+    """The Mosaic kernels lower exact GELU through the A&S erf polynomial
+    (`_erf_as` — Mosaic has no erf/erfc primitive; found when the
+    gelu_approximate=False fused train path failed to compile on TPU).
+    The polynomial must stay within its documented 1.5e-7 of scipy's erf,
+    and the kernel `_gelu` must match jax.nn.gelu(exact) in f32."""
+    import scipy.special as sp
+
+    from mst_tpu.ops.fused_block import _erf_as, _gelu
+
+    x = np.linspace(-6.0, 6.0, 4001).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(_erf_as(jnp.asarray(x))),
+                               sp.erf(x.astype(np.float64)), atol=1e-6)
+    # off-TPU _gelu routes to jax.nn.gelu; force the polynomial branch
+    xf = jnp.asarray(x)
+    y_poly = xf * 0.5 * (1.0 + _erf_as(xf * (1.0 / np.sqrt(2.0))))
+    y_ref = jax.nn.gelu(xf, approximate=False)
+    np.testing.assert_allclose(np.asarray(y_poly), np.asarray(y_ref),
+                               atol=1e-6)
+    # grad of the polynomial path stays within 1e-5 of the exact gelu grad
+    g_poly = jax.vmap(jax.grad(
+        lambda t: t * 0.5 * (1.0 + _erf_as(t * (1.0 / np.sqrt(2.0))))))(xf)
+    g_ref = jax.vmap(jax.grad(
+        lambda t: jax.nn.gelu(t, approximate=False)))(xf)
+    np.testing.assert_allclose(np.asarray(g_poly), np.asarray(g_ref),
+                               atol=1e-5)
+    assert _gelu(xf, True).shape == x.shape

@@ -87,9 +87,14 @@ def test_predict_ensemble_self_and_nifti_saliency(trained_run):
     b = pd.read_csv(Path(out_b) / "results.csv").sort_values("uid")
     # tolerance: the ensemble run computes saliency too, whose forward sows
     # attention aux — same math, potentially different fusion/layout
+    atol = 1e-4
     np.testing.assert_allclose(a["NN_pred"].to_numpy(),
-                               b["NN_pred"].to_numpy(), atol=1e-4)
-    assert (a["NN"].to_numpy() == b["NN"].to_numpy()).all()
+                               b["NN_pred"].to_numpy(), atol=atol)
+    # argmax equality only where the probability is decisively off 0.5 —
+    # within atol of the boundary the two compiled forwards may legally
+    # disagree on the argmax (ADVICE r3)
+    decisive = np.abs(a["NN_pred"].to_numpy() - 0.5) > atol
+    assert (a["NN"].to_numpy()[decisive] == b["NN"].to_numpy()[decisive]).all()
 
     cases = sorted(Path(out_b).glob("case_*"))
     assert len(cases) == 16  # every case, not only positives
