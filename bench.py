@@ -268,7 +268,9 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
 
     # On-device kernel parity (Mosaic-compiled, not interpret mode) embedded
     # in the bench artifact so BENCH_r{N}.json itself proves the kernels
-    # (VERDICT r3 #5). Runs all 13 legs of tools/tpu_parity_check.py.
+    # (VERDICT r3 #5). Runs every leg of tools/tpu_parity_check.py
+    # (14 as of round 4 — the count rides `len(legs)` so new legs land here
+    # automatically).
     parity = None
     if on_tpu:
         try:

@@ -96,6 +96,47 @@ def run_checks():
     print(f"remat grads     max rel diff={worst_r:.2e} ({worst_rk})  "
           f"{'PASS' if ok_remat else 'FAIL'}")
 
+    # Exact GELU (gelu_approximate=False — torch's default flavor, what a
+    # converted reference checkpoint reproduces): Mosaic lowers it through
+    # the A&S erf polynomial (`fused_block._erf_as`, round 4 — erf/erfc
+    # have no native lowering and the path previously failed to COMPILE).
+    model_eg = dino_v2_classifier_slice(out_ch=2, model_size="small",
+                                        dtype=jnp.float32, use_flash=False,
+                                        gelu_approximate=False)
+    p_eg = model_eg.init(jax.random.PRNGKey(2), x)["params"]
+    ref_eg = np.asarray(model_eg.apply({"params": p_eg}, x,
+                                       deterministic=True))
+    fused_eg = np.asarray(jax.jit(
+        lambda p, s: fused_mst_logits(p, s, model_eg, dtype=jnp.float32)
+    )(p_eg, x))
+    err_eg = float(np.abs(fused_eg - ref_eg).max())
+
+    def loss_eg(p):
+        logits = fused_mst_logits(p, x, model_eg, dtype=jnp.float32,
+                                  train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, t).mean()
+
+    def loss_eg_flax(p):
+        logits = model_eg.apply({"params": p}, x, deterministic=True)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, t).mean()
+
+    geg_f = jax.jit(jax.grad(loss_eg_flax))(p_eg)
+    geg_k = jax.jit(jax.grad(loss_eg))(p_eg)
+    worst_eg = 0.0
+    for (k1, v1), (_, v2) in zip(
+        jax.tree_util.tree_flatten_with_path(geg_f)[0],
+        jax.tree_util.tree_flatten_with_path(geg_k)[0],
+    ):
+        scale = max(float(np.abs(np.asarray(v1)).max()), 1e-6)
+        worst_eg = max(worst_eg,
+                       float(np.abs(np.asarray(v1) - np.asarray(v2)).max())
+                       / scale)
+    ok_eg = err_eg < 1e-3 and worst_eg < 1e-2
+    print(f"exact-gelu      max|diff|={err_eg:.2e} "
+          f"grad rel={worst_eg:.2e}  {'PASS' if ok_eg else 'FAIL'}")
+
     # Fused explainability (the CLS-row Mosaic kernel) vs the flax hooks.
     from mst_tpu.models.vit_fast import fused_mst_saliency
     from mst_tpu.train.predictor import _forward_with_saliency
@@ -268,6 +309,7 @@ def run_checks():
         ("serving_logits", ok_fwd),
         ("training_grads", ok_bwd),
         ("remat_grads", ok_remat),
+        ("exact_gelu", ok_eg),
         ("saliency", ok_sal),
         ("dinov3_serving", ok_v3),
         ("dinov3_saliency", ok_v3s),
