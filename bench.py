@@ -259,9 +259,9 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     # Input pipeline: host loader (native NIfTI decode pool + collate) fed
     # from ON-DISK artifacts at realistic LIDC size — proves the host side
     # can sustain the device rates above (VERDICT r3 #8).
-    pipeline_vps = None
+    pipeline_vps = pipeline_cached_vps = None
     try:
-        pipeline_vps = _bench_input_pipeline(depth=depth)
+        pipeline_vps, pipeline_cached_vps = _bench_input_pipeline(depth=depth)
     except Exception as e:  # noqa: BLE001
         print(f"# input pipeline bench skipped: {type(e).__name__}: {e}",
               flush=True)
@@ -326,11 +326,16 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         import os
 
         detail["input_pipeline_volumes_per_sec"] = round(pipeline_vps, 1)
-        # The loader is gzip-inflate-bound (~70%, tools profile) and the
+        # The cold loader is gzip-inflate-bound (~70%, tools profile) and the
         # inflate pool parallelises per file: vol/s scales with host cores.
         # This dev container has 1 core; a v5e pod host (200+ vCPU) covers
         # the serve rate with ~20 cores of inflate.
         detail["input_pipeline_host_cores"] = os.cpu_count()
+    if pipeline_cached_vps is not None:
+        # Warm decoded-volume disk cache (--decode_cache): epochs >= 2 skip
+        # the inflate entirely and read raw arrays at page-cache speed.
+        detail["input_pipeline_cached_volumes_per_sec"] = round(
+            pipeline_cached_vps, 1)
     if parity is not None:
         detail["parity"] = parity
     if int8_vps is not None:
@@ -370,17 +375,19 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
 
 
 def _bench_input_pipeline(depth: int = 32, n_vols: int = 48,
-                          batch: int = 8, passes: int = 2) -> float:
+                          batch: int = 8, passes: int = 2):
     """Host-loader sustained rate from ON-DISK artifacts (VERDICT r3 #8):
     writes `n_vols` realistic LIDC-style crops (256x256xD int16 nii.gz,
     ~the step4_crop_or_pad output the trainer consumes) to a temp dir,
     then drives the exact producer path the DataModule runs per chunk —
     native pthread-pool NIfTI decode (`prefetch_decode` -> libmstio),
     per-sample mask-centred random crop_or_pad(224,224,D), collate —
-    and reports volumes/sec. The device-side augment + train step are
-    measured separately above; on a real TPU host the prefetch thread
-    overlaps this with device compute, so the sustained train rate is
-    min(host rate, device rate)."""
+    and reports (cold vol/s, warm-decode-cache vol/s). Cold is the
+    gzip-inflate-bound first-epoch rate; warm is every later epoch with
+    `--decode_cache` set (raw-array page-cache reads, no inflate). The
+    device-side augment + train step are measured separately above; on a
+    real TPU host the prefetch thread overlaps this with device compute,
+    so the sustained train rate is min(host rate, device rate)."""
     import shutil
     import tempfile
 
@@ -422,23 +429,33 @@ def _bench_input_pipeline(depth: int = 32, n_vols: int = 48,
         splits.mkdir(parents=True)
         pd.DataFrame(rows).to_csv(splits / "split.csv", index=False)
 
-        ds = LIDC_Dataset3D(root, split="train", fold=0,
-                            image_crop=(224, 224, depth),
-                            random_center=True, flip=True, noise=True)
-        idx = np.arange(len(ds))
-        # warm pass (page cache + thread pool spin-up), then timed passes
-        for chunk_lo in range(0, batch, batch):
-            ds.prefetch_decode([int(i) for i in idx[:batch]])
-            _collate([ds[int(i)] for i in idx[:batch]])
-        t0 = time.perf_counter()
-        count = 0
-        for _ in range(passes):
+        def run(ds) -> float:
+            idx = np.arange(len(ds))
+            # warm pass (page cache + thread pool spin-up + cache
+            # materialisation for the decode-cache leg), then timed passes
             for lo in range(0, len(idx) - batch + 1, batch):
                 chunk = [int(i) for i in idx[lo:lo + batch]]
                 ds.prefetch_decode(chunk)
                 _collate([ds[i] for i in chunk])
-                count += len(chunk)
-        return count / (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            count = 0
+            for _ in range(passes):
+                for lo in range(0, len(idx) - batch + 1, batch):
+                    chunk = [int(i) for i in idx[lo:lo + batch]]
+                    ds.prefetch_decode(chunk)
+                    _collate([ds[i] for i in chunk])
+                    count += len(chunk)
+            return count / (time.perf_counter() - t0)
+
+        cold = run(LIDC_Dataset3D(root, split="train", fold=0,
+                                  image_crop=(224, 224, depth),
+                                  random_center=True, flip=True, noise=True,
+                                  decode_cache=False))
+        warm = run(LIDC_Dataset3D(root, split="train", fold=0,
+                                  image_crop=(224, 224, depth),
+                                  random_center=True, flip=True, noise=True,
+                                  decode_cache=root / "decode_cache"))
+        return cold, warm
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

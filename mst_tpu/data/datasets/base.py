@@ -8,10 +8,25 @@ Every dataset yields dicts with (a superset of):
 `load_split` mirrors the reference classmethod exactly
 (`dataset_3d_lidc.py:104-112`): filter Fold == fold, optional Split
 filter, optional seeded fractional subsample (`random_state=0`).
+
+Decoded-volume disk cache (`decode_cache=` / `$MST_DECODE_CACHE`):
+training revisits the same volumes every epoch, and the dominant host
+cost is gzip-inflate of the nii.gz / chunked-H5 artifacts (the reference
+pays the full torchio decode in 24 worker processes every epoch,
+`main_train.py:77`). With a cache directory set, the first decode of
+each volume materialises the raw array (uncompressed .npy, content-keyed
+by source path+mtime+size, dtype-compacted when lossless) and every
+later epoch mmaps it back at page-cache speed — no inflate, no NIfTI
+parse, no copy until the crop window. Cache size <= decoded dataset
+size; stale entries from edited sources are orphaned, never served.
+Writes are atomic (tmp + rename), so concurrent per-host producers can
+share one cache directory.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -42,11 +57,23 @@ def load_volume_dhw(path):
 
 class Dataset3D:
     LABEL: str = "target"
+    # class-level fallback: subclasses that skip __init__ (Synthetic builds
+    # in-memory samples) still read coherent cache state
+    _cache_dir: Optional[Path] = None
 
-    def __init__(self, path_root, split: Optional[str] = None):
+    def __init__(self, path_root, split: Optional[str] = None,
+                 decode_cache=None):
         self.path_root = Path(path_root)
         self.split = split
         self._decode_cache = {}
+        # decode_cache: None -> $MST_DECODE_CACHE; False -> disabled;
+        # str/Path -> that directory.
+        if decode_cache is None:
+            decode_cache = os.environ.get("MST_DECODE_CACHE") or None
+        self._cache_dir = None
+        if decode_cache:
+            self._cache_dir = Path(decode_cache)
+            self._cache_dir.mkdir(parents=True, exist_ok=True)
 
     def __len__(self):
         return len(self.item_pointers)
@@ -85,11 +112,18 @@ class Dataset3D:
         for i in indices:
             paths.extend(str(p) for p in self.nifti_paths(i))
         paths = [p for p in paths if p not in self._decode_cache]
+        if self._cache_dir is not None:
+            # Disk-cached volumes skip the native inflate entirely;
+            # __getitem__ reads them back via np.load at page-cache speed.
+            paths = [p for p in paths
+                     if not (cf := self._cache_file(p)) or not cf.exists()]
         if paths:
             try:
                 results = native_io.read_nifti_batch(
                     paths, num_threads=min(num_threads, len(paths)))
                 self._decode_cache.update(zip(paths, results))
+                for p, (vol, aff) in zip(paths, results):
+                    self._cache_put_volume(self._cache_file(p), vol, aff)
             except IOError:
                 pass  # per-sample read raises a proper error with the path
         items = []
@@ -97,33 +131,133 @@ class Dataset3D:
             items.extend((str(p), str(d)) for p, d in self.h5_items(i))
         items = [it for it in items
                  if f"{it[0]}::{it[1]}" not in self._decode_cache]
+        if self._cache_dir is not None:
+            items = [(p, d) for p, d in items
+                     if not (cf := self._cache_file(p, d)) or not cf.exists()]
         if items:
             try:
                 results = native_io.h5_read_batch(
                     items, num_threads=min(num_threads, len(items)))
                 self._decode_cache.update(
                     (f"{p}::{d}", r) for (p, d), r in zip(items, results))
+                for (p, d), r in zip(items, results):
+                    self._cache_put(self._cache_file(p, d), r)
             except IOError:
                 pass  # __getitem__ falls back to h5py with a proper error
+
+    # -- decoded-volume disk cache -------------------------------------------
+
+    def _cache_file(self, path, name: Optional[str] = None) -> Optional[Path]:
+        """Cache entry for a source file (or an (h5, dataset) pair).
+        Content-keyed on resolved path + mtime_ns + size: editing the
+        source orphans the old entry instead of serving stale data.
+        Volumes use a `.vol.npy` + sibling `.aff.npy` pair (raw .npy reads
+        back via mmap at page-cache speed — npz would re-pay zipfile
+        chunking + CRC32 on every hit, measured ~13 ms/volume)."""
+        if self._cache_dir is None:
+            return None
+        p = Path(path)
+        try:
+            st = p.stat()
+        except OSError:
+            return None
+        h = hashlib.sha1(
+            f"{p.resolve()}|{st.st_mtime_ns}|{st.st_size}|{name or ''}"
+            .encode()).hexdigest()
+        return self._cache_dir / (
+            h + (".npy" if name is not None else ".vol.npy"))
+
+    @staticmethod
+    def _atomic_save(cache_file: Path, arr) -> bool:
+        """Atomic .npy write (tmp + rename); best-effort — a full disk or
+        racing writer never breaks the read path."""
+        tmp = cache_file.with_name(f"{cache_file.name}.{os.getpid()}.tmp")
+        try:
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, cache_file)
+            return True
+        except OSError:
+            tmp.unlink(missing_ok=True)
+            return False
+
+    @classmethod
+    def _cache_put(cls, cache_file: Optional[Path], arr) -> None:
+        if cache_file is None or cache_file.exists():
+            return
+        cls._atomic_save(cache_file, arr)
+
+    @classmethod
+    def _cache_put_volume(cls, cache_file: Optional[Path], vol, affine) -> None:
+        if cache_file is None or cache_file.exists():
+            return
+        # Exact dtype compaction (write-time only): decoded CT/seg volumes
+        # are usually integral float32 — int16/uint8 storage quarters the
+        # disk + page-cache footprint and converts back losslessly.
+        with np.errstate(invalid="ignore"):  # inf/NaN casts: compare fails
+            for dt in (np.uint8, np.int16):
+                small = vol.astype(dt)
+                if np.array_equal(vol, small):
+                    vol = small
+                    break
+        aff_file = cache_file.with_name(
+            cache_file.name[: -len(".vol.npy")] + ".aff.npy")
+        # affine first: the volume file's existence implies a complete pair
+        if cls._atomic_save(aff_file, np.asarray(affine)):
+            cls._atomic_save(cache_file, vol)
+
+    def _cache_get_volume(self, path):
+        cf = self._cache_file(path)
+        if cf is not None and cf.exists():
+            try:
+                # read-only mmap: nothing downstream mutates the decoded
+                # volume (every __getitem__ copies via crop/astype), so the
+                # hit is zero-copy until the crop window is materialised
+                vol = np.load(cf, mmap_mode="r")
+                aff = np.load(cf.with_name(
+                    cf.name[: -len(".vol.npy")] + ".aff.npy"))
+                if vol.dtype != np.float32:
+                    vol = vol.astype(np.float32)
+                return vol, aff
+            except Exception:  # truncated/corrupt entry: re-decode
+                pass
+        return None
 
     def _read_volume(self, path):
         """Cache-aware volume read (pops, so the cache stays bounded)."""
         out = self._decode_cache.pop(str(path), None)
-        return out if out is not None else load_volume_dhw(path)
+        if out is not None:
+            return out
+        out = self._cache_get_volume(path)
+        if out is not None:
+            return out
+        out = load_volume_dhw(path)
+        self._cache_put_volume(self._cache_file(path), out[0], out[1])
+        return out
 
     def _read_h5(self, path, name):
         """Cache-aware HDF5 dataset read: prefetched native decode if
-        present, else native h5lite, else None (caller uses h5py)."""
+        present, else the decoded disk cache, else native h5lite, else
+        None (caller uses h5py — that fallback path stays uncached)."""
         out = self._decode_cache.pop(f"{path}::{name}", None)
         if out is not None:
             return out
+        cf = self._cache_file(path, name)
+        if cf is not None and cf.exists():
+            try:
+                # read-only mmap (safe: consumers copy via crop/astype)
+                return np.load(cf, mmap_mode="r")
+            except Exception:
+                pass
         from mst_tpu.data import native_io
 
         if native_io.available():
             try:
-                return native_io.h5_read(path, name)
+                out = native_io.h5_read(path, name)
             except IOError:
                 return None  # unsupported feature: h5py fallback
+            self._cache_put(cf, out)
+            return out
         return None
 
     @classmethod

@@ -90,6 +90,7 @@ def get_dataset(name: str, split, path_root=None, **kw):
 
         kw.pop("random_center", None)
         kw.pop("random_rotate", None)
+        kw.pop("decode_cache", None)  # in-memory dataset: nothing to cache
         seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
         return Synthetic_Dataset3D(split=split, seed=seed, **kw)
     raise ValueError(f"unknown dataset {name!r}")

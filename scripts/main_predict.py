@@ -59,6 +59,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_folder", required=True)
     ap.add_argument("--path_root", default=None)
+    ap.add_argument("--decode_cache", default=None, metavar="DIR",
+                    help="decoded-volume disk cache shared with main_train "
+                         "(see its --help); also via $MST_DECODE_CACHE")
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--get_attention", action="store_true")
     ap.add_argument("--get_segmentation", action="store_true")
@@ -214,7 +217,8 @@ def main(argv=None):
         from mst_tpu.utils.checkpoint import load_hparams
 
         fold = (load_hparams(path_run) or {}).get("fold", 0)
-        ds_kw = {"path_root": args.path_root, "fold": fold}
+        ds_kw = {"path_root": args.path_root, "fold": fold,
+                 "decode_cache": args.decode_cache}
     ds_test = get_dataset(dataset_name, split="test", **ds_kw)
 
     want_sal = (args.get_attention or args.get_segmentation

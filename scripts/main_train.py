@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--model", default="DinoV2ClassifierSlice")
     ap.add_argument("--path_root", default=None,
                     help="dataset root (reference hard-codes per-class paths)")
+    ap.add_argument("--decode_cache", default=None, metavar="DIR",
+                    help="materialise decoded volumes here on first read; "
+                         "later epochs skip gzip-inflate/NIfTI-parse and read "
+                         "raw arrays at page-cache speed (disk cost = decoded "
+                         "dataset size, float32). Also via $MST_DECODE_CACHE")
     ap.add_argument("--run_dir", default="runs")
     ap.add_argument("--model_size", default="small")
     ap.add_argument("--slice_fusion", default="transformer")
@@ -147,7 +152,8 @@ def main(argv=None):
 
         jax.config.update("jax_debug_nans", True)
 
-    ds_kw = dict(path_root=args.path_root, fold=args.fold)
+    ds_kw = dict(path_root=args.path_root, fold=args.fold,
+                 decode_cache=args.decode_cache)
     if args.dataset == "Synthetic":
         ds_kw = {}
     ds_train = get_dataset(args.dataset, split="train", flip=True, noise=True,

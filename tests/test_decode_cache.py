@@ -1,0 +1,170 @@
+"""Decoded-volume disk cache (`decode_cache=` / `$MST_DECODE_CACHE`).
+
+Training revisits the same artifacts every epoch; the cache materialises
+each decode once (raw .npy, content-keyed on path+mtime+size) so
+later epochs skip gzip-inflate/NIfTI-parse. These tests prove:
+value-exactness vs uncached reads, that cache hits really bypass the
+source files, prefetch write-through, source-edit invalidation, and
+corruption recovery.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mst_tpu.data.datasets.lidc import LIDC_Dataset3D
+from mst_tpu.utils.nifti import write_nifti
+
+
+def _make_lidc_tree(root, n_vols=3, depth=6):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n_vols):
+        d = (root / "preprocessed_crop" / "data" / f"LIDC-IDRI-{i:04d}"
+             / f"study{i}" / f"series{i}")
+        d.mkdir(parents=True)
+        vol = rng.normal(-200, 300, (20, 20, depth)).astype(np.int16)
+        seg = np.zeros((20, 20, depth), np.uint8)
+        seg[8:12, 8:12, depth // 2] = 1
+        aff = np.diag([0.7, 0.7, 2.5, 1.0])
+        write_nifti(d / "img_0.nii.gz", vol, aff)
+        write_nifti(d / "seg_0.nii.gz", seg, aff)
+        rows.append({
+            "patient_id": f"LIDC-IDRI-{i:04d}",
+            "study_instance_uid": f"study{i}",
+            "series_instance_uid": f"series{i}",
+            "nodule_idx": 0, "annotation_num": 2,
+            "Malignant": i % 2, "Fold": 0, "Split": "train",
+        })
+    splits = root / "preprocessed" / "splits"
+    splits.mkdir(parents=True)
+    pd.DataFrame(rows).to_csv(splits / "split.csv", index=False)
+    return root
+
+
+def _lidc(root, cache):
+    return LIDC_Dataset3D(root, split="train", fold=0,
+                          image_crop=(16, 16, 4), decode_cache=cache)
+
+
+def test_cache_values_match_uncached(tmp_path):
+    root = _make_lidc_tree(tmp_path / "lidc")
+    cache = tmp_path / "cache"
+    plain = _lidc(root, False)
+    cached = _lidc(root, cache)
+    for i in range(len(plain)):
+        a, b = plain[i], cached[i]  # b populates the cache
+        np.testing.assert_array_equal(a["source"], b["source"])
+        np.testing.assert_array_equal(a["affine"], b["affine"])
+    # second instance reads back from the cache files
+    assert len(list(cache.glob("*.vol.npy"))) == 2 * len(plain)  # img + seg
+    again = _lidc(root, cache)
+    for i in range(len(plain)):
+        np.testing.assert_array_equal(plain[i]["source"], again[i]["source"])
+
+
+def test_cache_hit_served_without_reading_source(tmp_path, monkeypatch):
+    """Replace the decoder with a bomb after warming: hits never decode."""
+    root = _make_lidc_tree(tmp_path / "lidc")
+    cache = tmp_path / "cache"
+    warm = _lidc(root, cache)
+    expected = [warm[i]["source"] for i in range(len(warm))]
+
+    import mst_tpu.data.datasets.base as base
+
+    def bomb(path):  # pragma: no cover - failure path
+        raise AssertionError(f"decoder called on cache hit: {path}")
+
+    monkeypatch.setattr(base, "load_volume_dhw", bomb)
+    fresh = _lidc(root, cache)  # no prefetch: every read is a cache hit
+    for i in range(len(fresh)):
+        np.testing.assert_array_equal(fresh[i]["source"], expected[i])
+
+
+def test_prefetch_write_through(tmp_path):
+    root = _make_lidc_tree(tmp_path / "lidc")
+    cache = tmp_path / "cache"
+    ds = _lidc(root, cache)
+    ds.prefetch_decode(list(range(len(ds))))
+    native_built = len(list(cache.glob("*.vol.npy")))
+    if native_built:  # native lib present: prefetch materialised the cache
+        assert native_built == 2 * len(ds)
+    # consuming the prefetched items must not double-write
+    _ = [ds[i] for i in range(len(ds))]
+    assert len(list(cache.glob("*.vol.npy"))) == 2 * len(ds)
+    assert len(list(cache.glob("*.tmp"))) == 0
+
+
+def test_source_edit_invalidates(tmp_path):
+    root = _make_lidc_tree(tmp_path / "lidc", n_vols=1)
+    cache = tmp_path / "cache"
+    ds = _lidc(root, cache)
+    before = ds[0]["source"].copy()
+    n_before = len(list(cache.glob("*.vol.npy")))
+    # rewrite the image with different contents
+    img = next((root / "preprocessed_crop").rglob("img_0.nii.gz"))
+    rng = np.random.default_rng(7)
+    write_nifti(img, rng.normal(500, 10, (20, 20, 6)).astype(np.int16),
+                np.diag([0.7, 0.7, 2.5, 1.0]))
+    after = _lidc(root, cache)[0]["source"]
+    assert not np.array_equal(before, after)  # fresh decode, not stale cache
+    assert len(list(cache.glob("*.vol.npy"))) > n_before  # new key materialised
+
+
+def test_corrupt_cache_entry_recovers(tmp_path):
+    root = _make_lidc_tree(tmp_path / "lidc", n_vols=1)
+    cache = tmp_path / "cache"
+    ds = _lidc(root, cache)
+    expected = ds[0]["source"]
+    for f in cache.glob("*.vol.npy"):
+        f.write_bytes(b"not an npy")
+    got = _lidc(root, cache)[0]["source"]
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_duke_h5_cache(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from mst_tpu.data import native_io
+    from mst_tpu.data.datasets.duke import DUKE_Dataset3D
+
+    if not native_io.available():
+        pytest.skip("native h5lite unavailable: h5py fallback is uncached")
+    rng = np.random.default_rng(0)
+    root = tmp_path / "duke"
+    (root / "splits").mkdir(parents=True)
+    with h5py.File(root / "data_compressed.h5", "w") as f:
+        for i in range(1, 3):
+            g = f.create_group(f"Breast_MRI_{i:03d}")
+            g.create_dataset("sub", data=rng.normal(500, 100, (1, 12, 10, 6))
+                             .astype(np.float32), compression="gzip")
+            g.create_dataset("sub_affine", data=np.diag([0.7, 0.8, 3.0, 1.0]))
+    pd.DataFrame({
+        "UID": [1, 2], "PatientID": [1, 2], "Malignant": [0, 1],
+        "Fold": [0, 0], "Split": ["train", "train"],
+    }).to_csv(root / "splits" / "split.csv", index=False)
+
+    cache = tmp_path / "cache"
+    plain = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
+                           decode_cache=False)
+    cached = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
+                            decode_cache=cache)
+    for i in range(len(plain)):
+        np.testing.assert_array_equal(plain[i]["source"],
+                                      cached[i]["source"])
+    assert len(list(cache.glob("*.npy"))) == 2 * len(plain)  # sub + affine
+    again = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
+                           decode_cache=cache)
+    for i in range(len(plain)):
+        np.testing.assert_array_equal(plain[i]["source"], again[i]["source"])
+
+
+def test_env_var_enables_cache(tmp_path, monkeypatch):
+    root = _make_lidc_tree(tmp_path / "lidc", n_vols=1)
+    cache = tmp_path / "env_cache"
+    monkeypatch.setenv("MST_DECODE_CACHE", str(cache))
+    ds = LIDC_Dataset3D(root, split="train", fold=0, image_crop=(16, 16, 4))
+    _ = ds[0]
+    assert len(list(cache.glob("*.vol.npy"))) == 2
+    # explicit False wins over the env var
+    off = _lidc(root, False)
+    assert off._cache_dir is None
