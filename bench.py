@@ -28,14 +28,9 @@ import jax.numpy as jnp
 def _measure(forward, source, iters: int) -> float:
     """Seconds per call, min over 2 passes; forced host sync (see
     BASELINE.md: block_until_ready can return early through the relay)."""
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = forward(source)
-        float(jnp.sum(out).astype(jnp.float32))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    from mst_tpu.utils.benchtime import timed_min
+
+    return timed_min(forward, source, iters=iters)
 
 
 def bench(batch: int = 4, depth: int = 32, hw: int = 224,
@@ -488,18 +483,10 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     def forward(prm, src):
         return fused_mst_logits(prm, src, model)
 
+    from mst_tpu.utils.benchtime import timed_min
+
     def _timed(fn, *a):
-        # min over 2 passes: at 5 iters/pass a single relay hiccup showed
-        # up as a 2% static<dynamic inversion in BENCH_r03 (VERDICT r3 #4)
-        float(jnp.sum(fn(*a)).astype(jnp.float32))
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn(*a)
-            float(jnp.sum(out).astype(jnp.float32))  # forced host sync
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
+        return timed_min(fn, *a, iters=iters)
 
     bf16_vps = 1.0 / _timed(forward, params, source)
 

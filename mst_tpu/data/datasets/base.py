@@ -216,11 +216,14 @@ class Dataset3D:
                 vol = np.load(cf, mmap_mode="r")
                 aff = np.load(cf.with_name(
                     cf.name[: -len(".vol.npy")] + ".aff.npy"))
-                if vol.dtype != np.float32:
-                    vol = vol.astype(np.float32)
                 return vol, aff
-            except Exception:  # truncated/corrupt entry: re-decode
-                pass
+            except Exception:
+                # truncated/corrupt/half-complete entry: unlink the PAIR so
+                # the fallback decode rewrites it (and prefetch stops
+                # filtering the path out of the parallel batch decode)
+                cf.unlink(missing_ok=True)
+                cf.with_name(cf.name[: -len(".vol.npy")]
+                             + ".aff.npy").unlink(missing_ok=True)
         return None
 
     def _read_volume(self, path):

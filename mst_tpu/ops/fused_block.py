@@ -1004,7 +1004,9 @@ def _attn_train_bwd(num_heads, eps, res, g):
 def _attn_train_bwd_pallas(num_heads, res, g, eps=1e-6, rope=None):
     """Fused backward: normalised softmax reconstructed in VMEM from the
     saved qkv + log-sum-exp rows (one exp2 pass; MST_ATTN_BWD=recompute
-    forces the r3 4-pass recompute for A/B), weight grads accumulated in
+    forces the r3 4-pass recompute for A/B — read at TRACE time, so set it
+    before the process's first backward compile; toggling later hits the
+    jit cache and is ignored), weight grads accumulated in
     VMEM f32 across the grid — no [H,S,S] HBM round trips (those made the
     first XLA backward SLOWER than the flax path: 41.4 vs 44.5 vol/s
     measured)."""

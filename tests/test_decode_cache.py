@@ -111,7 +111,7 @@ def test_source_edit_invalidates(tmp_path):
     assert len(list(cache.glob("*.vol.npy"))) > n_before  # new key materialised
 
 
-def test_corrupt_cache_entry_recovers(tmp_path):
+def test_corrupt_cache_entry_recovers_and_self_heals(tmp_path, monkeypatch):
     root = _make_lidc_tree(tmp_path / "lidc", n_vols=1)
     cache = tmp_path / "cache"
     ds = _lidc(root, cache)
@@ -120,6 +120,17 @@ def test_corrupt_cache_entry_recovers(tmp_path):
         f.write_bytes(b"not an npy")
     got = _lidc(root, cache)[0]["source"]
     np.testing.assert_array_equal(got, expected)
+    # the bad entries were unlinked and REWRITTEN by the fallback decode —
+    # a later read must be a pure cache hit again (not a perpetual
+    # re-decode): prove it with a bomb decoder
+    import mst_tpu.data.datasets.base as base
+
+    def bomb(path):  # pragma: no cover - failure path
+        raise AssertionError(f"decoder called after self-heal: {path}")
+
+    monkeypatch.setattr(base, "load_volume_dhw", bomb)
+    healed = _lidc(root, cache)[0]["source"]
+    np.testing.assert_array_equal(healed, expected)
 
 
 def test_duke_h5_cache(tmp_path):

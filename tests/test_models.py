@@ -216,14 +216,23 @@ def test_mst_large_d_pos_emb_interpolation():
     )
     pert = model.apply(params, x2, mask)
     np.testing.assert_allclose(np.asarray(base), np.asarray(pert), atol=1e-4)
-    # the interpolated table spans the whole vocabulary: endpoints of the
-    # D-length position curve coincide with table rows 0 and 255 up to the
-    # resize's half-pixel offset (both ends stay within the first/last cell)
-    table = np.asarray(params["params"]["slice_pos_emb"]["embedding"])
+    # Pin the interpolation semantics exactly: jax.image.resize("linear")
+    # is half-pixel-aligned linear interpolation, i.e. output row i samples
+    # source coordinate (i + 0.5) * (V / D) - 0.5, edge-clamped. A golden
+    # np.interp recomputation catches a transposed shape or wrong method
+    # (the previous bound-vs-global-max assertion passed for almost any
+    # wrong interpolation).
+    table = np.asarray(params["params"]["slice_pos_emb"]["embedding"],
+                       np.float32)
     pos = np.asarray(
         jax.image.resize(
             jnp.asarray(table, jnp.float32), (D, table.shape[1]), "linear"
         )
     )
-    assert np.abs(pos[0] - table[0]).max() < np.abs(table).max()
     assert pos.shape == (D, table.shape[1])
+    V = table.shape[0]
+    coords = np.clip((np.arange(D) + 0.5) * (V / D) - 0.5, 0, V - 1)
+    expected = np.stack(
+        [np.interp(coords, np.arange(V), table[:, c])
+         for c in range(table.shape[1])], axis=1)
+    np.testing.assert_allclose(pos, expected, rtol=1e-5, atol=1e-5)

@@ -22,7 +22,6 @@ only honest decomposition without a profiler.
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -35,17 +34,7 @@ from mst_tpu.ops import fused_block
 DEPTH = 12
 
 
-def timeit(fn, *args, iters=25):
-    out = fn(*args)
-    float(jnp.sum(out).astype(jnp.float32))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        float(jnp.sum(out).astype(jnp.float32))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+from mst_tpu.utils.benchtime import timed_min as timeit  # noqa: E402
 
 
 def main():
@@ -87,12 +76,9 @@ def main():
     run("serve  production", serve_chain)
     run("fwd+bwd production", grad_chain)
 
-    # --- ablation: remove the softmax VPU passes, keep every matmul ---
-    orig_exp2, orig_max = jnp.exp2, jnp.max
-
-    class _FakeSoftmax:
-        """p = s: exp2 -> identity, max -> cheap constant-row reduce kept
-        (it is one of the passes being measured separately below)."""
+    # --- ablation: remove the exp2 transcendental, keep every matmul and
+    # every reduction (max/sum rows ride the same fused passes either way) ---
+    orig_exp2 = jnp.exp2
 
     def fake_exp2(v):
         return v  # identity: removes the transcendental + keeps shapes

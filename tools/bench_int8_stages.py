@@ -28,7 +28,6 @@ Derived stage costs (per 12-layer chain at N=128 slices = 4 volumes):
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -38,21 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from mst_tpu.ops import fused_block, fused_int8
+from mst_tpu.utils.benchtime import timed_min
 
 DEPTH = 12
 
 
 def timeit(fn, *args, iters=30):
-    out = fn(*args)
-    float(jnp.sum(out).astype(jnp.float32))  # forced value read (relay)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        float(jnp.sum(out).astype(jnp.float32))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return timed_min(fn, *args, iters=iters)
 
 
 def _nodes(key, E, F):
