@@ -582,8 +582,17 @@ def _fused_mst(params, source, model, src_key_padding_mask=None,
         E = feats.shape[-1]
     feats = feats.reshape(B, D, E)
     if "slice_pos_emb" in params:
-        feats = feats + params["slice_pos_emb"]["embedding"][
-            jnp.arange(D)][None].astype(dtype)
+        table = params["slice_pos_emb"]["embedding"]
+        if D <= table.shape[0]:
+            pos = table[jnp.arange(D)]
+        else:
+            # Large-D volumes: depth-interpolate the table exactly like the
+            # flax path (models/mst.py) — a plain gather would silently
+            # CLAMP indices >= vocab to the last row (JAX gather semantics),
+            # giving every slice past 256 the same position.
+            pos = jax.image.resize(
+                table.astype(jnp.float32), (D, table.shape[1]), "linear")
+        feats = feats + pos[None].astype(dtype)
 
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (B, 1, E))
     h = jnp.concatenate([cls, feats], axis=1)

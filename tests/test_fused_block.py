@@ -818,3 +818,20 @@ def test_exact_gelu_erf_polynomial():
     np.testing.assert_allclose(np.asarray(g_poly), np.asarray(g_ref),
                                atol=1e-5)
     assert _gelu(xf, True).shape == x.shape
+
+
+def test_fused_mst_logits_large_d_interpolated_pos_emb():
+    """D > MAX_SLICES: the fused path must depth-interpolate the slice
+    pos-emb table exactly like the flax path (models/mst.py) — a plain
+    gather clamps indices >= vocab to the last row (JAX gather semantics)
+    and silently diverges, which is how round 4 shipped it at first."""
+    from mst_tpu.models.mst import MAX_SLICES
+
+    model = DinoSliceClassifier(out_ch=2, use_slice_pos_emb=True, **TINY)
+    D = MAX_SLICES + 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, D, 28, 28))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    ref = model.apply({"params": params}, x)
+    out = fused_mst_logits(params, x, model, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
