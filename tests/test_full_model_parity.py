@@ -21,7 +21,7 @@ pytestmark = pytest.mark.skipif(not REF.exists(),
                                 reason="reference repo not mounted")
 
 
-def _load_reference_model():
+def _load_reference_model(**kw):
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from reference_baseline import _install_stubs
 
@@ -32,11 +32,11 @@ def _load_reference_model():
     torch.manual_seed(0)
     return DinoV2ClassifierSlice(
         in_ch=1, out_ch=2, model_size="s", pretrained=False,
-        slice_fusion="transformer",
+        slice_fusion="transformer", **kw,
     ).eval()
 
 
-def _our_model_and_params(tmodel):
+def _our_model_and_params(tmodel, **kw):
     from mst_tpu.models.convert import convert_reference_mst
     from mst_tpu.models.mst import DinoSliceClassifier
 
@@ -51,7 +51,7 @@ def _our_model_and_params(tmodel):
     jm = DinoSliceClassifier(
         out_ch=2, model_size="small", patch_size=14, fusion_heads=12,
         use_flash=False, gelu_approximate=False,
-        layerscale_init=None, pos_embed_grid=16,
+        layerscale_init=None, pos_embed_grid=16, **kw,
     )
     return jm, params
 
@@ -325,3 +325,31 @@ def test_one_train_step_parity():
         stray = np.abs(ours1[k] - ref1[k])[~well]
         assert stray.max(initial=0.0) <= 2.05 * lr, \
             f"updated param {k}: eps-regime element diverged beyond 2*lr"
+
+
+def test_full_mst_bottleneck_pos_emb_parity():
+    """use_bottleneck (Linear e->e/4, reference `dino.py:75-77,134-136`)
+    + use_slice_pos_emb (Embedding(256, e/4), `dino.py:81-82,140-142`):
+    logits vs the live reference on converted weights, on the flax AND
+    fused paths. This config previously had zero test coverage on either
+    side of the framework."""
+    tmodel = _load_reference_model(use_bottleneck=True,
+                                   use_slice_pos_emb=True)
+    torch.manual_seed(2)
+    vol = torch.randn(1, 1, 4, 56, 56)
+    with torch.no_grad():
+        ref_logits = tmodel(vol).numpy()
+
+    import jax.numpy as jnp
+
+    from mst_tpu.models.vit_fast import fused_mst_logits
+
+    jm, params = _our_model_and_params(tmodel, use_bottleneck=True,
+                                       use_slice_pos_emb=True)
+    x = jnp.asarray(vol.numpy())
+    logits = jm.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-3, rtol=3e-3)
+    fused = fused_mst_logits(params, x, jm, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused), ref_logits,
+                               atol=3e-3, rtol=3e-3)
