@@ -353,3 +353,26 @@ def test_full_mst_bottleneck_pos_emb_parity():
     fused = fused_mst_logits(params, x, jm, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(fused), ref_logits,
                                atol=3e-3, rtol=3e-3)
+
+
+def test_full_mst_rope_fusion_parity():
+    """rotary_positional_encoding='RoPE' on the slice-fusion MHA
+    (reference `transformer_blocks.py:333-349`: lucidrains RotaryEmbedding
+    theta=256, freqs_for='lang', applied to q/k after the head reshape at
+    :262-264) vs our rotary='RoPE' fusion — full-model logits on converted
+    weights. Previously RoPE fusion only had a runs-and-is-finite test.
+    (LiRE is NOT parity-testable against the live reference: its no-op
+    output permute bug, `rotary_embedding_torch.py:389-395`, is fixed on
+    our side — divergence documented in ops/rotary.py.)"""
+    tmodel = _load_reference_model(rotary_positional_encoding="RoPE")
+    torch.manual_seed(3)
+    vol = torch.randn(1, 1, 4, 56, 56)
+    with torch.no_grad():
+        ref_logits = tmodel(vol).numpy()
+
+    import jax.numpy as jnp
+
+    jm, params = _our_model_and_params(tmodel, rotary="RoPE")
+    logits = jm.apply({"params": params}, jnp.asarray(vol.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-3, rtol=3e-3)
