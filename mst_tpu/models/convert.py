@@ -398,9 +398,10 @@ def convert_reference_mst(sd: Dict, depth: int = 12,
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
     params: Dict = {"encoder": convert_dinov2_vit(enc_sd, depth)}
-    params["cls_token"] = np.asarray(sd["cls_token"])
-    params["head"] = {"kernel": _t(sd["linear.weight"]),
-                      "bias": np.asarray(sd["linear.bias"])}
+    if "cls_token" in sd:  # transformer fusion only (`dino.py:97`);
+        params["cls_token"] = np.asarray(sd["cls_token"])  # linear/average
+    params["head"] = {"kernel": _t(sd["linear.weight"]),   # checkpoints
+                      "bias": np.asarray(sd["linear.bias"])}  # have neither
     if "bottleneck.weight" in sd:
         params["bottleneck"] = {"kernel": _t(sd["bottleneck.weight"]),
                                 "bias": np.asarray(sd["bottleneck.bias"])}
@@ -408,6 +409,8 @@ def convert_reference_mst(sd: Dict, depth: int = 12,
         params["slice_pos_emb"] = {
             "embedding": np.asarray(sd["slice_pos_emb.weight"])}
     for i in range(fusion_layers):
+        if f"slice_fusion.layers.{i}.self_attn.in_proj_weight" not in sd:
+            break  # linear/average fusion: no transformer layers to map
         params[f"fusion_{i}"] = _convert_fusion_layer(
             sd, f"slice_fusion.layers.{i}")
     if "slice_fusion.norm.weight" in sd:

@@ -140,9 +140,7 @@ class DinoSliceClassifier(nn.Module):
             # norm=nn.LayerNorm(emb_ch))`, `dino.py:84-96`)
             self.fusion_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                             name="fusion_norm")
-        elif self.slice_fusion == "linear":
-            self.fusion_linear = nn.Dense(emb, dtype=self.dtype, name="fusion_linear")
-        elif self.slice_fusion not in ("average", "none"):
+        elif self.slice_fusion not in ("linear", "average", "none"):
             raise ValueError(f"unknown slice_fusion {self.slice_fusion!r}")
         self.head = nn.Dense(self.out_ch, name="head")
 
@@ -212,7 +210,13 @@ class DinoSliceClassifier(nn.Module):
             h = self.fusion_norm(h)
             pooled = h[:, 0]
         elif self.slice_fusion == "linear":
-            pooled = self.fusion_linear(feats.reshape(B, D * self.emb_ch))
+            # flatten D*e straight into the head, exactly the reference
+            # (`dino.py:99,156`: emb_ch *= 32 and `linear` consumes the
+            # flat vector — no intermediate projection). The reference
+            # hard-codes 32 slices there; flax Dense infers its input dim
+            # at first call, so any D works (but is then baked into the
+            # head kernel, same constraint as the reference's).
+            pooled = feats.reshape(B, D * self.emb_ch)
         elif self.slice_fusion == "average":
             if src_key_padding_mask is not None:
                 valid = (~src_key_padding_mask)[..., None].astype(feats.dtype)

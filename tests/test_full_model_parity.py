@@ -30,9 +30,9 @@ def _load_reference_model(**kw):
     from mst.models.dino import DinoV2ClassifierSlice
 
     torch.manual_seed(0)
+    kw.setdefault("slice_fusion", "transformer")
     return DinoV2ClassifierSlice(
-        in_ch=1, out_ch=2, model_size="s", pretrained=False,
-        slice_fusion="transformer", **kw,
+        in_ch=1, out_ch=2, model_size="s", pretrained=False, **kw,
     ).eval()
 
 
@@ -373,6 +373,38 @@ def test_full_mst_rope_fusion_parity():
     import jax.numpy as jnp
 
     jm, params = _our_model_and_params(tmodel, rotary="RoPE")
+    logits = jm.apply({"params": params}, jnp.asarray(vol.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-3, rtol=3e-3)
+
+
+def test_full_mst_linear_and_average_fusion_parity():
+    """slice_fusion='linear' (flatten D*e straight into the head — the
+    reference hard-codes 32 slices via `emb_ch *= 32`, `dino.py:99,156`)
+    and 'average' (mean over slices, `dino.py:158`) vs the live reference
+    on converted weights. The linear leg caught a structural divergence in
+    round 4: we used to insert an extra Dense(D*e -> e) projection, which
+    made reference linear-fusion checkpoints unconvertible."""
+    import jax.numpy as jnp
+
+    # linear: the reference head is Linear(e*32, out) -> needs D=32
+    tmodel = _load_reference_model(slice_fusion="linear")
+    torch.manual_seed(4)
+    vol = torch.randn(1, 1, 32, 28, 28)
+    with torch.no_grad():
+        ref_logits = tmodel(vol).numpy()
+    jm, params = _our_model_and_params(tmodel, slice_fusion="linear")
+    logits = jm.apply({"params": params}, jnp.asarray(vol.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-3, rtol=3e-3)
+
+    # average: D-agnostic, keep it small
+    tmodel = _load_reference_model(slice_fusion="average")
+    torch.manual_seed(5)
+    vol = torch.randn(1, 1, 4, 28, 28)
+    with torch.no_grad():
+        ref_logits = tmodel(vol).numpy()
+    jm, params = _our_model_and_params(tmodel, slice_fusion="average")
     logits = jm.apply({"params": params}, jnp.asarray(vol.numpy()))
     np.testing.assert_allclose(np.asarray(logits), ref_logits,
                                atol=3e-3, rtol=3e-3)
