@@ -109,3 +109,19 @@ def test_resnet_slice_trans_saliency_pipeline():
     assert sal.shape == (1, 4, 32, 32)
     assert np.isfinite(np.asarray(sal)).all()
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+def test_resnet_classifier_2d_input():
+    """The reference's spatial_dims=2 ResNet baseline (torchvision variant,
+    `resnet.py:43-50`) maps to the same classifier here: the backbone is
+    rank-generic, so a 4-D [B, C, H, W] batch classifies directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.models.resnet import ResNet3DClassifier
+
+    m = ResNet3DClassifier(out_ch=2, variant=18)
+    x = jnp.ones((2, 1, 32, 32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (2, 2) and jnp.isfinite(out).all()
