@@ -408,3 +408,25 @@ def test_full_mst_linear_and_average_fusion_parity():
     logits = jm.apply({"params": params}, jnp.asarray(vol.numpy()))
     np.testing.assert_allclose(np.asarray(logits), ref_logits,
                                atol=3e-3, rtol=3e-3)
+
+
+def test_full_mst_padding_mask_parity():
+    """src_key_padding_mask through the reference's CUSTOM vendored MHA
+    (`transformer_blocks.py:29-318`, `_canonical_mask` -inf additive path;
+    CLS column prepended unmasked at `dino.py:147-150`) vs our fusion —
+    the torch nn.TransformerEncoder mask convention is already covered by
+    the ResNetSliceTrans leg, but the Dino fusion is a different module."""
+    tmodel = _load_reference_model()
+    torch.manual_seed(6)
+    vol = torch.randn(1, 1, 4, 56, 56)
+    mask = torch.tensor([[False, False, True, True]])
+    with torch.no_grad():
+        ref_logits = tmodel(vol, src_key_padding_mask=mask).numpy()
+
+    import jax.numpy as jnp
+
+    jm, params = _our_model_and_params(tmodel)
+    logits = jm.apply({"params": params}, jnp.asarray(vol.numpy()),
+                      jnp.asarray(mask.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-3, rtol=3e-3)
