@@ -131,6 +131,25 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
             print(f"# int8 bench skipped: {type(e).__name__}: {e}",
                   flush=True)
 
+    # Large-D single-volume serving (the 1000-slice-CT sequence-scaling
+    # story, SURVEY §5.7): one 512-slice volume through the fused path.
+    # Per-slice throughput should exceed the D=32 rate (deep volumes
+    # amortise dispatch/fusion overhead) — tools/bench_large_d.py has the
+    # full D sweep.
+    d512_ms = None
+    if on_tpu:
+        try:
+            src_d = jax.random.normal(key, (1, 1, 512, hw, hw), jnp.bfloat16)
+
+            @jax.jit
+            def forward_d(src):
+                return fused_mst_logits(params, src, model)
+
+            d512_ms = _measure(forward_d, src_d, 8) * 1e3
+        except Exception as e:  # noqa: BLE001
+            print(f"# large-D leg skipped: {type(e).__name__}: {e}",
+                  flush=True)
+
     # Batched 8-way flip TTA (offline eval serving mode): all variants of
     # all B volumes in ONE device program. Runs BEFORE training — the
     # donated train step deletes the param buffers it shares.
@@ -337,6 +356,9 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
         detail["int8_volumes_per_sec"] = round(int8_vps, 2)
     if int8_static_vps is not None:
         detail["int8_static_volumes_per_sec"] = round(int8_static_vps, 2)
+    if d512_ms is not None:
+        # single 512-slice volume, fused bf16 serving (sequence scaling)
+        detail["d512_single_volume_ms"] = round(d512_ms, 2)
     if tta_vps is not None:
         detail["tta8_volumes_per_sec"] = round(tta_vps, 2)
     if sal_vps is not None:
