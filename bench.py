@@ -139,7 +139,9 @@ def bench(batch: int = 4, depth: int = 32, hw: int = 224,
     d512_ms = None
     if on_tpu:
         try:
-            src_d = jax.random.normal(key, (1, 1, 512, hw, hw), jnp.bfloat16)
+            # f32 input like every other serving leg (the fused path casts
+            # on-device) so per-slice ratios vs the sweep are comparable.
+            src_d = jax.random.normal(key, (1, 1, 512, hw, hw), jnp.float32)
 
             @jax.jit
             def forward_d(src):

@@ -410,12 +410,44 @@ def convert_reference_mst(sd: Dict, depth: int = 12,
             "embedding": np.asarray(sd["slice_pos_emb.weight"])}
     for i in range(fusion_layers):
         if f"slice_fusion.layers.{i}.self_attn.in_proj_weight" not in sd:
-            break  # linear/average fusion: no transformer layers to map
+            if i == 0:
+                break  # linear/average fusion: no transformer layers to map
+            # A transformer-fusion checkpoint with FEWER layers than asked
+            # for is a config error — failing here (not at apply time, far
+            # from the cause) keeps the error actionable.
+            raise KeyError(
+                f"checkpoint has only {i} slice_fusion layer(s) but "
+                f"fusion_layers={fusion_layers} was requested")
         params[f"fusion_{i}"] = _convert_fusion_layer(
             sd, f"slice_fusion.layers.{i}")
     if "slice_fusion.norm.weight" in sd:
         params["fusion_norm"] = _ln(sd, "slice_fusion.norm")
     return params
+
+
+def fold_linear_fusion(params: Dict) -> Dict:
+    """Migrate a PRE-rewrite mst_tpu `slice_fusion='linear'` checkpoint
+    (which carried an extra `fusion_linear` Dense(D*e -> e) before the
+    head) to the current reference-exact layout (head consumes the flat
+    D*e vector directly, `dino.py:99,156`). The two stacked linears had
+    no nonlinearity between them, so the fold is exact in f32:
+
+        head(fl(x)) = x @ (W_fl @ W_head) + (b_fl @ W_head + b_head)
+
+    Returns a new param dict with `fusion_linear` removed and `head`
+    replaced by the composed kernel/bias. No-op if `fusion_linear` is
+    absent (already-migrated or non-linear-fusion checkpoints)."""
+    if "fusion_linear" not in params:
+        return params
+    out = dict(params)
+    fl = out.pop("fusion_linear")
+    head = out["head"]
+    w_fl = np.asarray(fl["kernel"], np.float32)
+    b_fl = np.asarray(fl["bias"], np.float32)
+    w_h = np.asarray(head["kernel"], np.float32)
+    b_h = np.asarray(head["bias"], np.float32)
+    out["head"] = {"kernel": w_fl @ w_h, "bias": b_fl @ w_h + b_h}
+    return out
 
 
 def _convert_fusion_layer(sd: Dict, p: str) -> Dict:

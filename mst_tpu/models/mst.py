@@ -209,14 +209,6 @@ class DinoSliceClassifier(nn.Module):
                 )
             h = self.fusion_norm(h)
             pooled = h[:, 0]
-        elif self.slice_fusion == "linear":
-            # flatten D*e straight into the head, exactly the reference
-            # (`dino.py:99,156`: emb_ch *= 32 and `linear` consumes the
-            # flat vector — no intermediate projection). The reference
-            # hard-codes 32 slices there; flax Dense infers its input dim
-            # at first call, so any D works (but is then baked into the
-            # head kernel, same constraint as the reference's).
-            pooled = feats.reshape(B, D * self.emb_ch)
         elif self.slice_fusion == "average":
             if src_key_padding_mask is not None:
                 valid = (~src_key_padding_mask)[..., None].astype(feats.dtype)
@@ -225,7 +217,13 @@ class DinoSliceClassifier(nn.Module):
                 )
             else:
                 pooled = jnp.mean(feats, axis=1)
-        else:  # none
+        else:  # 'linear' / 'none':
+            # flatten D*e straight into the head, exactly the reference
+            # (`dino.py:99,156`: emb_ch *= 32 and `linear` consumes the
+            # flat vector — no intermediate projection). The reference
+            # hard-codes 32 slices there; flax Dense infers its input dim
+            # at first call, so any D works (but is then baked into the
+            # head kernel, same constraint as the reference's).
             pooled = feats.reshape(B, D * self.emb_ch)
         return self.head(pooled.astype(jnp.float32))
 

@@ -234,3 +234,101 @@ def test_monai_medicalnet_resnet_converter():
         np.transpose(sd["module.conv1.weight"], (2, 3, 4, 1, 0)))
     out = m.apply({"params": params, "batch_stats": stats}, x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _tiny_mst_state_dict(rng, e=16, fusion_layers=1, with_fusion=True):
+    """Pure-numpy reference `DinoV2ClassifierSlice` state_dict skeleton
+    (depth-1 hub-layout encoder + optional transformer slice fusion)."""
+    f32 = np.float32
+    sd = {
+        "encoder.cls_token": rng.normal(0, 1, (1, 1, e)).astype(f32),
+        "encoder.pos_embed": rng.normal(0, 1, (1, 5, e)).astype(f32),
+        "encoder.patch_embed.proj.weight":
+            rng.normal(0, 1, (e, 3, 14, 14)).astype(f32),
+        "encoder.patch_embed.proj.bias": np.zeros(e, f32),
+        "encoder.norm.weight": np.ones(e, f32),
+        "encoder.norm.bias": np.zeros(e, f32),
+        "linear.weight": rng.normal(0, 1, (2, e)).astype(f32),
+        "linear.bias": np.zeros(2, f32),
+    }
+    for nm in ("norm1", "norm2"):
+        sd[f"encoder.blocks.0.{nm}.weight"] = np.ones(e, f32)
+        sd[f"encoder.blocks.0.{nm}.bias"] = np.zeros(e, f32)
+    sd["encoder.blocks.0.attn.qkv.weight"] = \
+        rng.normal(0, 1, (3 * e, e)).astype(f32)
+    sd["encoder.blocks.0.attn.qkv.bias"] = np.zeros(3 * e, f32)
+    sd["encoder.blocks.0.attn.proj.weight"] = \
+        rng.normal(0, 1, (e, e)).astype(f32)
+    sd["encoder.blocks.0.attn.proj.bias"] = np.zeros(e, f32)
+    for nm, shp in (("fc1", (4 * e, e)), ("fc2", (e, 4 * e))):
+        sd[f"encoder.blocks.0.mlp.{nm}.weight"] = \
+            rng.normal(0, 1, shp).astype(f32)
+        sd[f"encoder.blocks.0.mlp.{nm}.bias"] = np.zeros(shp[0], f32)
+    if with_fusion:
+        sd["cls_token"] = rng.normal(0, 1, (1, 1, e)).astype(f32)
+        for i in range(fusion_layers):
+            p = f"slice_fusion.layers.{i}"
+            sd[f"{p}.self_attn.in_proj_weight"] = \
+                rng.normal(0, 1, (3 * e, e)).astype(f32)
+            sd[f"{p}.self_attn.in_proj_bias"] = np.zeros(3 * e, f32)
+            sd[f"{p}.self_attn.out_proj.weight"] = \
+                rng.normal(0, 1, (e, e)).astype(f32)
+            sd[f"{p}.self_attn.out_proj.bias"] = np.zeros(e, f32)
+            sd[f"{p}.linear1.weight"] = rng.normal(0, 1, (e, e)).astype(f32)
+            sd[f"{p}.linear1.bias"] = np.zeros(e, f32)
+            sd[f"{p}.linear2.weight"] = rng.normal(0, 1, (e, e)).astype(f32)
+            sd[f"{p}.linear2.bias"] = np.zeros(e, f32)
+            for nm in ("norm1", "norm2"):
+                sd[f"{p}.{nm}.weight"] = np.ones(e, f32)
+                sd[f"{p}.{nm}.bias"] = np.zeros(e, f32)
+        sd["slice_fusion.norm.weight"] = np.ones(e, f32)
+        sd["slice_fusion.norm.bias"] = np.zeros(e, f32)
+    return sd
+
+
+def test_reference_mst_converter_rejects_truncated_fusion():
+    """Asking for more fusion layers than the checkpoint holds must fail AT
+    CONVERSION (actionable), not as a missing-param apply error later; zero
+    layers (linear/average checkpoints) stays accepted."""
+    from mst_tpu.models.convert import convert_reference_mst
+
+    rng = np.random.default_rng(0)
+    sd = _tiny_mst_state_dict(rng, fusion_layers=1)
+    params = convert_reference_mst(sd, depth=1, fusion_layers=1)
+    assert "fusion_0" in params
+    with pytest.raises(KeyError, match="only 1 slice_fusion layer"):
+        convert_reference_mst(sd, depth=1, fusion_layers=2)
+    # linear/average checkpoint: no fusion layers, no cls_token -> fine
+    sd_lin = _tiny_mst_state_dict(rng, with_fusion=False)
+    params = convert_reference_mst(sd_lin, depth=1, fusion_layers=1)
+    assert "fusion_0" not in params and "cls_token" not in params
+
+
+def test_fold_linear_fusion_exact():
+    """Pre-rewrite `slice_fusion='linear'` trees (extra fusion_linear Dense
+    before the head) fold exactly into the current single-head layout:
+    two stacked linears with no nonlinearity compose in f32."""
+    from mst_tpu.models.convert import fold_linear_fusion
+
+    rng = np.random.default_rng(1)
+    d_in, e, out = 64, 16, 2
+    old = {
+        "encoder": {"dummy": np.zeros(3, np.float32)},
+        "fusion_linear": {
+            "kernel": rng.normal(0, 1, (d_in, e)).astype(np.float32),
+            "bias": rng.normal(0, 1, e).astype(np.float32)},
+        "head": {"kernel": rng.normal(0, 1, (e, out)).astype(np.float32),
+                 "bias": rng.normal(0, 1, out).astype(np.float32)},
+    }
+    new = fold_linear_fusion(old)
+    assert "fusion_linear" not in new
+    assert new["head"]["kernel"].shape == (d_in, out)
+    assert new["encoder"] is old["encoder"]  # untouched subtrees shared
+    x = rng.normal(0, 1, (5, d_in)).astype(np.float32)
+    ref = (x @ old["fusion_linear"]["kernel"]
+           + old["fusion_linear"]["bias"]) @ old["head"]["kernel"] \
+        + old["head"]["bias"]
+    got = x @ new["head"]["kernel"] + new["head"]["bias"]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # no-op on already-migrated / non-linear-fusion trees
+    assert fold_linear_fusion(new) is new

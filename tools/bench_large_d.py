@@ -42,7 +42,7 @@ def main():
         x = jax.device_put(
             jax.random.normal(jax.random.PRNGKey(D), (1, 1, D, 224, 224),
                               jnp.bfloat16))
-        t = timed_min(fwd, params, x, iters=max(4, 128 // D))
+        t = timed_min(fwd, params, x, iters=max(4, 512 // D))
         sps = D / t
         base = base or sps
         print(f"{D:5d} {t*1e3:10.2f} {sps:9.0f}  ({sps/base:4.2f}x the D=32 "

@@ -31,12 +31,14 @@ def main(argv=None):
     ap.add_argument("--splits", default="train,val,test")
     ap.add_argument("--fold", type=int, default=0)
     ap.add_argument("--threads", type=int, default=None,
-                    help="native decode pool size (default: cores - 1)")
+                    help="native decode pool size "
+                         "(default: min(8, cores - 1), base.py caps at 8 "
+                         "— pass the core count explicitly on a big host)")
     ap.add_argument("--chunk", type=int, default=32,
                     help="volumes per prefetch_decode call")
     args = ap.parse_args(argv)
 
-    total = 0
+    total = covered = 0
     t0 = time.perf_counter()
     for split in args.splits.split(","):
         split = split.strip()
@@ -65,11 +67,26 @@ def main(argv=None):
             print(f"\r{split}: {min(lo + args.chunk, n)}/{n}",
                   end="", flush=True)
         print(flush=True)
+        # Verify, don't trust: prefetch_decode swallows per-batch IOErrors
+        # (a corrupt artifact leaves its volume uncached while the loop
+        # rolls on), so count the samples whose every cache entry
+        # actually exists on disk.
+        split_cov = 0
+        for i in range(n):
+            entries = [ds._cache_file(p) for p in ds.nifti_paths(i)]
+            entries += [ds._cache_file(p, str(d)) for p, d in ds.h5_items(i)]
+            if entries and all(e is not None and e.exists() for e in entries):
+                split_cov += 1
+        covered += split_cov
+        if split_cov < n:
+            print(f"  WARNING {split}: only {split_cov}/{n} samples have "
+                  "complete cache entries — the rest will decode at "
+                  "epoch 1 (native lib missing, unsupported artifact "
+                  "layout, or decode errors)", flush=True)
     dt = time.perf_counter() - t0
-    n_files = len(list(Path(args.decode_cache).glob("*.npy")))
-    print(f"warmed {total} samples ({n_files} cache files) in {dt:.1f}s "
+    print(f"warmed {total} samples, {covered} verified cached, in {dt:.1f}s "
           f"({total / max(dt, 1e-9):.1f} samples/s)", flush=True)
-    return 0
+    return 0 if covered == total else 1
 
 
 if __name__ == "__main__":
