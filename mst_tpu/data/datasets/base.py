@@ -241,7 +241,8 @@ class Dataset3D:
     def _read_h5(self, path, name):
         """Cache-aware HDF5 dataset read: prefetched native decode if
         present, else the decoded disk cache, else native h5lite, else
-        None (caller uses h5py — that fallback path stays uncached)."""
+        None (caller uses h5py and write-throughs via _cache_put, so the
+        fallback is cached too — duke.py:96-111)."""
         out = self._decode_cache.pop(f"{path}::{name}", None)
         if out is not None:
             return out

@@ -96,8 +96,20 @@ class DUKE_Dataset3D(Dataset3D):
         if data is None or affine is None:
             with h5py.File(self.path_h5, "r") as f:
                 grp = f[patient_id]
-                data = grp["sub"][()]
-                affine = grp["sub_affine"][()]
+                # write-through: hosts without the native h5lite (or on h5
+                # features it doesn't support) still get mmap-speed epochs
+                # >= 2 from the decoded-volume cache
+                if data is None:
+                    data = grp["sub"][()]
+                    self._cache_put(
+                        self._cache_file(self.path_h5, f"{patient_id}/sub"),
+                        data)
+                if affine is None:
+                    affine = grp["sub_affine"][()]
+                    self._cache_put(
+                        self._cache_file(self.path_h5,
+                                         f"{patient_id}/sub_affine"),
+                        affine)
 
         vol = np.asarray(data, np.float32)
         if vol.ndim == 3:

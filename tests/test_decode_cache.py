@@ -133,13 +133,7 @@ def test_corrupt_cache_entry_recovers_and_self_heals(tmp_path, monkeypatch):
     np.testing.assert_array_equal(healed, expected)
 
 
-def test_duke_h5_cache(tmp_path):
-    h5py = pytest.importorskip("h5py")
-    from mst_tpu.data import native_io
-    from mst_tpu.data.datasets.duke import DUKE_Dataset3D
-
-    if not native_io.available():
-        pytest.skip("native h5lite unavailable: h5py fallback is uncached")
+def _make_duke_tree(tmp_path, h5py):
     rng = np.random.default_rng(0)
     root = tmp_path / "duke"
     (root / "splits").mkdir(parents=True)
@@ -153,7 +147,14 @@ def test_duke_h5_cache(tmp_path):
         "UID": [1, 2], "PatientID": [1, 2], "Malignant": [0, 1],
         "Fold": [0, 0], "Split": ["train", "train"],
     }).to_csv(root / "splits" / "split.csv", index=False)
+    return root
 
+
+def test_duke_h5_cache(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from mst_tpu.data.datasets.duke import DUKE_Dataset3D
+
+    root = _make_duke_tree(tmp_path, h5py)
     cache = tmp_path / "cache"
     plain = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
                            decode_cache=False)
@@ -179,3 +180,64 @@ def test_env_var_enables_cache(tmp_path, monkeypatch):
     # explicit False wins over the env var
     off = _lidc(root, False)
     assert off._cache_dir is None
+
+
+def test_warm_tool_verifies_coverage(tmp_path, monkeypatch, capsys):
+    """tools/warm_decode_cache.py must VERIFY cache entries exist rather
+    than trust prefetch (which swallows IOErrors / no-ops without the
+    native lib): exit 0 + full coverage when writes happen, exit 1 + a
+    warning when they silently don't."""
+    import sys
+    from pathlib import Path as P
+
+    sys.path.insert(0, str(P(__file__).resolve().parent.parent / "tools"))
+    import warm_decode_cache
+
+    root = _make_lidc_tree(tmp_path / "lidc", n_vols=2)
+    cache = tmp_path / "cache"
+    rc = warm_decode_cache.main([
+        "--dataset", "LIDC", "--path_root", str(root),
+        "--decode_cache", str(cache), "--splits", "train"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "2 verified cached" in out and "WARNING" not in out
+    assert len(list(cache.glob("*.vol.npy"))) == 4  # img + seg per volume
+
+    # sabotage every write path: a fresh cache dir stays empty -> must
+    # report the gap instead of claiming success
+    import mst_tpu.data.datasets.base as base
+
+    monkeypatch.setattr(base.Dataset3D, "_cache_put_volume",
+                        classmethod(lambda cls, *a, **k: None))
+    monkeypatch.setattr(base.Dataset3D, "_cache_put",
+                        classmethod(lambda cls, *a, **k: None))
+    rc = warm_decode_cache.main([
+        "--dataset", "LIDC", "--path_root", str(root),
+        "--decode_cache", str(tmp_path / "cache2"), "--splits", "train"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "WARNING train: only 0/2" in out
+
+
+def test_duke_h5py_fallback_writes_through(tmp_path, monkeypatch):
+    """Hosts WITHOUT the native h5lite (or on unsupported h5 features)
+    must still populate the decode cache through the h5py fallback, and
+    later reads must be pure cache hits (duke.py:96-111)."""
+    h5py = pytest.importorskip("h5py")
+    from mst_tpu.data import native_io
+    from mst_tpu.data.datasets.duke import DUKE_Dataset3D
+
+    root = _make_duke_tree(tmp_path, h5py)
+    cache = tmp_path / "cache"
+    monkeypatch.setattr(native_io, "available", lambda: False)
+    warm = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
+                          decode_cache=cache)
+    expected = [warm[i]["source"] for i in range(len(warm))]
+    assert len(list(cache.glob("*.npy"))) == 2 * len(warm)  # sub + affine
+
+    def bomb(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("h5py opened on a cache hit")
+
+    monkeypatch.setattr(h5py, "File", bomb)  # duke.py shares this module
+    fresh = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
+                           decode_cache=cache)
+    for i in range(len(fresh)):
+        np.testing.assert_array_equal(fresh[i]["source"], expected[i])
