@@ -32,6 +32,12 @@
 #include <thread>
 #include <vector>
 
+// mstio.cpp (same .so): one-shot libdeflate zlib decode with exact known
+// output size; returns false when libdeflate is unavailable or the sizes
+// don't line up, and the caller falls back to zlib.
+bool mstio_fast_zlib_decompress(const uint8_t* src, size_t src_len,
+                                uint8_t* dst, size_t dst_len);
+
 extern "C" {
 struct H5Array {
   void* data;        // malloc'd; element type per `dtype`
@@ -556,6 +562,11 @@ void unshuffle(std::vector<uint8_t>& buf, size_t elem) {
 bool inflate_chunk(const uint8_t* src, size_t src_len, size_t dst_len,
                    std::vector<uint8_t>& dst, Err& err) {
   dst.resize(dst_len);
+  // One-shot libdeflate path (mstio.cpp) — dst_len is exact for full
+  // chunks; a partial edge chunk (actual < dst_len) falls through to
+  // zlib's streaming uncompress below.
+  if (mstio_fast_zlib_decompress(src, src_len, dst.data(), dst_len))
+    return true;
   uLongf out_len = dst_len;
   int rc = uncompress(dst.data(), &out_len, src, src_len);
   if (rc != Z_OK) {

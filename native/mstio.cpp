@@ -14,6 +14,7 @@
 // `[C, W, H, D] -> [C, D, H, W]` swap of the reference
 // (`augmentations_3d.py:19-21`) minus a Python copy.
 
+#include <dlfcn.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -34,6 +35,118 @@ struct MstVolume {
   char error[256];
 };
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// libdeflate fast path (optional, dlopen'd at first use)
+//
+// zlib's streaming inflate is the measured bottleneck of the cold loader
+// (~70% of per-volume decode, ROADMAP "input pipeline"). libdeflate's
+// one-shot decompressor is 2-3x faster; both of our formats know their
+// output size up front (gzip ISIZE trailer for .nii.gz, the chunk's
+// dataset-layout size for HDF5 deflate), which is exactly the shape its
+// whole-buffer API wants. The library is loaded dynamically so the .so
+// keeps working (zlib path) on hosts without it.
+// ---------------------------------------------------------------------------
+
+namespace fastinflate {
+
+struct LibDeflate {
+  void* (*alloc_decompressor)(void);
+  // enum libdeflate_result is int-compatible; 0 == LIBDEFLATE_SUCCESS
+  int (*gzip_decompress_ex)(void*, const void*, size_t, void*, size_t,
+                            size_t*, size_t*);
+  int (*zlib_decompress)(void*, const void*, size_t, void*, size_t, size_t*);
+};
+
+static const LibDeflate* lib() {
+  static LibDeflate table;
+  static const LibDeflate* ptr = [] {
+    void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return (const LibDeflate*)nullptr;
+    table.alloc_decompressor = reinterpret_cast<void* (*)(void)>(
+        dlsym(h, "libdeflate_alloc_decompressor"));
+    table.gzip_decompress_ex =
+        reinterpret_cast<int (*)(void*, const void*, size_t, void*, size_t,
+                                 size_t*, size_t*)>(
+            dlsym(h, "libdeflate_gzip_decompress_ex"));
+    table.zlib_decompress =
+        reinterpret_cast<int (*)(void*, const void*, size_t, void*, size_t,
+                                 size_t*)>(
+            dlsym(h, "libdeflate_zlib_decompress"));
+    if (!table.alloc_decompressor || !table.gzip_decompress_ex ||
+        !table.zlib_decompress)
+      return (const LibDeflate*)nullptr;
+    return (const LibDeflate*)&table;
+  }();
+  return ptr;
+}
+
+// Per-thread decompressor (not thread-safe to share; alloc once per pool
+// thread and keep — the handful of pool threads never free it).
+static void* decompressor() {
+  const LibDeflate* ld = lib();
+  if (!ld) return nullptr;
+  static thread_local void* d = ld->alloc_decompressor();
+  return d;
+}
+
+// One-shot gzip decode of a whole in-memory file. Returns false (without
+// touching `out`) when the fast path doesn't apply — caller falls back to
+// streaming zlib. Handles multi-member files by iterating members.
+static bool gzip_decompress(const std::vector<uint8_t>& raw,
+                            std::vector<uint8_t>& out) {
+  const LibDeflate* ld = lib();
+  void* d = decompressor();
+  if (!ld || !d) return false;
+  out.clear();
+  size_t in_pos = 0;
+  while (in_pos < raw.size()) {
+    size_t remaining = raw.size() - in_pos;
+    if (remaining < 18) return false;  // smaller than any valid member
+    // ISIZE trailer = uncompressed size mod 2^32. Per-member we only see
+    // the LAST member's trailer at raw end; for the common single-member
+    // file it is exact. >=4 GiB payloads (ISIZE wrapped) get a short
+    // buffer -> INSUFFICIENT_SPACE -> zlib fallback, never wrong data.
+    const uint8_t* tail = raw.data() + raw.size() - 4;
+    uint64_t isize = (uint64_t)tail[0] | ((uint64_t)tail[1] << 8) |
+                     ((uint64_t)tail[2] << 16) | ((uint64_t)tail[3] << 24);
+    size_t out_pos = out.size();
+    // Guard absurd ratios (corrupt trailer): cap at 1024x the compressed
+    // size, fall back to zlib beyond it rather than over-allocating.
+    if (isize > (uint64_t)remaining * 1024 + (1 << 16)) return false;
+    out.resize(out_pos + (size_t)isize);
+    size_t actual_out = 0, actual_in = 0;
+    // NB parameter order: actual_in_nbytes_ret precedes actual_out_.
+    int rc = ld->gzip_decompress_ex(d, raw.data() + in_pos, remaining,
+                                    out.data() + out_pos, (size_t)isize,
+                                    &actual_in, &actual_out);
+    if (rc != 0) return false;  // bad data / short buffer -> zlib decides
+    out.resize(out_pos + actual_out);
+    in_pos += actual_in;
+  }
+  return true;
+}
+
+// One-shot zlib-format decode with exact known output size (HDF5 deflate
+// filter chunks). Returns false -> caller falls back to zlib uncompress.
+static bool zlib_decompress_exact(const uint8_t* src, size_t src_len,
+                                  uint8_t* dst, size_t dst_len) {
+  const LibDeflate* ld = lib();
+  void* d = decompressor();
+  if (!ld || !d) return false;
+  size_t actual = 0;
+  return ld->zlib_decompress(d, src, src_len, dst, dst_len, &actual) == 0 &&
+         actual == dst_len;
+}
+
+}  // namespace fastinflate
+
+// h5lite.cpp links into the same .so and shares the fast path.
+bool mstio_fast_zlib_decompress(const uint8_t* src, size_t src_len,
+                                uint8_t* dst, size_t dst_len) {
+  return fastinflate::zlib_decompress_exact(src, src_len, dst, dst_len);
+}
 
 // ---------------------------------------------------------------------------
 // gzip / raw file loading
@@ -63,6 +176,7 @@ static bool load_file(const char* path, std::vector<uint8_t>& out,
   fclose(f);
 
   if (n >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {  // gzip magic
+    if (fastinflate::gzip_decompress(raw, out)) return true;
     out.clear();
     out.reserve(raw.size() * 4);
     z_stream zs;

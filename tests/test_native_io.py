@@ -43,6 +43,33 @@ def test_native_reader_uncompressed_and_batch(tmp_path):
 
 
 @needs_native
+def test_native_reader_multimember_gzip(tmp_path):
+    """pigz / concatenated-stream .nii.gz (RFC 1952 multi-member): both the
+    one-shot libdeflate fast path (iterates members; first-member ISIZE is
+    unknowable from the file tail, so it must fall back or resize correctly)
+    and the streaming zlib fallback must decode the full payload."""
+    import gzip
+
+    vol = np.random.default_rng(3).normal(0, 50, (6, 5, 4)).astype(np.int16)
+    plain = tmp_path / "v.nii"
+    write_nifti(plain, vol)
+    payload = plain.read_bytes()
+    # even: members of equal ISIZE (fast path decodes both).  small-first:
+    # big last member, fast path still fits.  big-first: the first member's
+    # output exceeds the file-tail ISIZE -> the one-shot path must bail
+    # (INSUFFICIENT_SPACE) and the streaming zlib fallback decode it.
+    for name, cut in [("even.nii.gz", len(payload) // 2),
+                      ("small-first.nii.gz", 40),
+                      ("big-first.nii.gz", len(payload) - 40)]:
+        p = tmp_path / name
+        p.write_bytes(gzip.compress(payload[:cut]) +
+                      gzip.compress(payload[cut:]))
+        data, _ = native_io.read_nifti(p)
+        np.testing.assert_allclose(
+            data, np.transpose(vol, (2, 1, 0)).astype(np.float32))
+
+
+@needs_native
 def test_native_reader_error_paths(tmp_path):
     with pytest.raises(IOError):
         native_io.read_nifti(tmp_path / "missing.nii.gz")
