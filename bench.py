@@ -456,6 +456,9 @@ def _bench_input_pipeline(depth: int = 32, n_vols: int = 48,
                 chunk = [int(i) for i in idx[lo:lo + batch]]
                 ds.prefetch_decode(chunk)
                 _collate([ds[i] for i in chunk])
+            # the cache materialises write-behind; the timed warm passes
+            # must measure pure hits, not racing re-decodes
+            type(ds).flush_cache_writes()
             t0 = time.perf_counter()
             count = 0
             for _ in range(passes):

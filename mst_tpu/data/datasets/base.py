@@ -170,8 +170,14 @@ class Dataset3D:
     @staticmethod
     def _atomic_save(cache_file: Path, arr) -> bool:
         """Atomic .npy write (tmp + rename); best-effort — a full disk or
-        racing writer never breaks the read path."""
-        tmp = cache_file.with_name(f"{cache_file.name}.{os.getpid()}.tmp")
+        racing writer never breaks the read path. The tmp name includes the
+        thread id: the producer's inline-fallback write can race the
+        write-behind worker on the SAME entry (both write identical content;
+        distinct tmp files keep the interleaving safe)."""
+        import threading
+
+        tmp = cache_file.with_name(
+            f"{cache_file.name}.{os.getpid()}.{threading.get_ident()}.tmp")
         try:
             with open(tmp, "wb") as f:
                 np.save(f, arr)
@@ -181,30 +187,99 @@ class Dataset3D:
             tmp.unlink(missing_ok=True)
             return False
 
+    # -- write-behind worker ---------------------------------------------------
+    # Cache writes can cost more than the decode they memoise (np.save of
+    # an 8 MB volume measured up to ~49 ms here vs 16 ms libdeflate decode)
+    # and ran on the DataModule's single producer thread, capping EPOCH-1
+    # throughput at the disk's write rate. With a spare core, one daemon
+    # thread drains a small queue (compaction + atomic save both move off
+    # the producer); a full queue falls back to an inline write, which is
+    # natural backpressure — the cache stays best-effort and bounded either
+    # way. On a 1-core host the thread is pure switching overhead (A/B:
+    # 22.5 inline vs 18.1 vol/s write-behind on this dev box), so writes
+    # stay inline there.
+    _write_queue = None  # lazily created; shared across all datasets
+
+    @classmethod
+    def _writer(cls):
+        import queue
+        import threading
+
+        q = cls._write_queue
+        if q is None:
+            q = queue.Queue(maxsize=8)
+
+            def drain():
+                while True:
+                    fn = q.get()
+                    try:
+                        fn()
+                    except Exception:
+                        pass  # best-effort, like the inline path
+                    finally:
+                        q.task_done()
+
+            threading.Thread(target=drain, daemon=True,
+                             name="mst-cache-writer").start()
+            Dataset3D._write_queue = q
+        return q
+
+    @classmethod
+    def flush_cache_writes(cls) -> None:
+        """Block until every queued cache write has hit disk (tests and
+        tools/warm_decode_cache.py verify entries right after reads)."""
+        if cls._write_queue is not None:
+            cls._write_queue.join()
+
+    @classmethod
+    def _submit_write(cls, write) -> None:
+        import queue
+
+        # $MST_CACHE_WRITE_BEHIND=1/0 overrides the spare-core heuristic
+        # (tests force the threaded path on 1-core hosts with it)
+        env = os.environ.get("MST_CACHE_WRITE_BEHIND")
+        threaded = (env == "1") if env in ("0", "1") else (
+            (os.cpu_count() or 1) > 1)
+        if not threaded:
+            write()  # no spare core: a writer thread only adds switching
+            return
+        try:
+            cls._writer().put_nowait(write)
+        except queue.Full:
+            write()  # backpressure: producer pays for this one
+
     @classmethod
     def _cache_put(cls, cache_file: Optional[Path], arr) -> None:
         if cache_file is None or cache_file.exists():
             return
-        cls._atomic_save(cache_file, arr)
+        cls._submit_write(lambda: cls._atomic_save(cache_file, arr))
 
     @classmethod
     def _cache_put_volume(cls, cache_file: Optional[Path], vol, affine) -> None:
         if cache_file is None or cache_file.exists():
             return
-        # Exact dtype compaction (write-time only): decoded CT/seg volumes
-        # are usually integral float32 — int16/uint8 storage quarters the
-        # disk + page-cache footprint and converts back losslessly.
-        with np.errstate(invalid="ignore"):  # inf/NaN casts: compare fails
-            for dt in (np.uint8, np.int16):
-                small = vol.astype(dt)
-                if np.array_equal(vol, small):
-                    vol = small
-                    break
-        aff_file = cache_file.with_name(
-            cache_file.name[: -len(".vol.npy")] + ".aff.npy")
-        # affine first: the volume file's existence implies a complete pair
-        if cls._atomic_save(aff_file, np.asarray(affine)):
-            cls._atomic_save(cache_file, vol)
+
+        def write():
+            if cache_file.exists():  # duplicate enqueue (pending at re-decode)
+                return
+            v = vol
+            # Exact dtype compaction (write-time only): decoded CT/seg
+            # volumes are usually integral float32 — int16/uint8 storage
+            # quarters the disk + page-cache footprint and converts back
+            # losslessly.
+            with np.errstate(invalid="ignore"):  # inf/NaN casts: compare fails
+                for dt in (np.uint8, np.int16):
+                    small = v.astype(dt)
+                    if np.array_equal(v, small):
+                        v = small
+                        break
+            aff_file = cache_file.with_name(
+                cache_file.name[: -len(".vol.npy")] + ".aff.npy")
+            # affine first: volume file existence implies a complete pair
+            if cls._atomic_save(aff_file, np.asarray(affine)):
+                cls._atomic_save(cache_file, v)
+
+        cls._submit_write(write)
 
     def _cache_get_volume(self, path):
         cf = self._cache_file(path)

@@ -12,8 +12,20 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from mst_tpu.data.datasets.base import Dataset3D
 from mst_tpu.data.datasets.lidc import LIDC_Dataset3D
 from mst_tpu.utils.nifti import write_nifti
+
+# Cache writes are write-behind on multi-core hosts (a daemon thread
+# drains them off the producer; inline on 1-core hosts). Force the
+# threaded path so this module exercises it regardless of the test
+# host's core count; the on-disk assertions then need the barrier.
+flush = Dataset3D.flush_cache_writes
+
+
+@pytest.fixture(autouse=True)
+def _force_write_behind(monkeypatch):
+    monkeypatch.setenv("MST_CACHE_WRITE_BEHIND", "1")
 
 
 def _make_lidc_tree(root, n_vols=3, depth=6):
@@ -57,6 +69,7 @@ def test_cache_values_match_uncached(tmp_path):
         np.testing.assert_array_equal(a["source"], b["source"])
         np.testing.assert_array_equal(a["affine"], b["affine"])
     # second instance reads back from the cache files
+    flush()
     assert len(list(cache.glob("*.vol.npy"))) == 2 * len(plain)  # img + seg
     again = _lidc(root, cache)
     for i in range(len(plain)):
@@ -69,6 +82,7 @@ def test_cache_hit_served_without_reading_source(tmp_path, monkeypatch):
     cache = tmp_path / "cache"
     warm = _lidc(root, cache)
     expected = [warm[i]["source"] for i in range(len(warm))]
+    flush()
 
     import mst_tpu.data.datasets.base as base
 
@@ -86,11 +100,13 @@ def test_prefetch_write_through(tmp_path):
     cache = tmp_path / "cache"
     ds = _lidc(root, cache)
     ds.prefetch_decode(list(range(len(ds))))
+    flush()
     native_built = len(list(cache.glob("*.vol.npy")))
     if native_built:  # native lib present: prefetch materialised the cache
         assert native_built == 2 * len(ds)
     # consuming the prefetched items must not double-write
     _ = [ds[i] for i in range(len(ds))]
+    flush()
     assert len(list(cache.glob("*.vol.npy"))) == 2 * len(ds)
     assert len(list(cache.glob("*.tmp"))) == 0
 
@@ -100,6 +116,7 @@ def test_source_edit_invalidates(tmp_path):
     cache = tmp_path / "cache"
     ds = _lidc(root, cache)
     before = ds[0]["source"].copy()
+    flush()
     n_before = len(list(cache.glob("*.vol.npy")))
     # rewrite the image with different contents
     img = next((root / "preprocessed_crop").rglob("img_0.nii.gz"))
@@ -107,6 +124,7 @@ def test_source_edit_invalidates(tmp_path):
     write_nifti(img, rng.normal(500, 10, (20, 20, 6)).astype(np.int16),
                 np.diag([0.7, 0.7, 2.5, 1.0]))
     after = _lidc(root, cache)[0]["source"]
+    flush()
     assert not np.array_equal(before, after)  # fresh decode, not stale cache
     assert len(list(cache.glob("*.vol.npy"))) > n_before  # new key materialised
 
@@ -116,10 +134,12 @@ def test_corrupt_cache_entry_recovers_and_self_heals(tmp_path, monkeypatch):
     cache = tmp_path / "cache"
     ds = _lidc(root, cache)
     expected = ds[0]["source"]
+    flush()
     for f in cache.glob("*.vol.npy"):
         f.write_bytes(b"not an npy")
     got = _lidc(root, cache)[0]["source"]
     np.testing.assert_array_equal(got, expected)
+    flush()
     # the bad entries were unlinked and REWRITTEN by the fallback decode —
     # a later read must be a pure cache hit again (not a perpetual
     # re-decode): prove it with a bomb decoder
@@ -163,6 +183,7 @@ def test_duke_h5_cache(tmp_path):
     for i in range(len(plain)):
         np.testing.assert_array_equal(plain[i]["source"],
                                       cached[i]["source"])
+    flush()
     assert len(list(cache.glob("*.npy"))) == 2 * len(plain)  # sub + affine
     again = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
                            decode_cache=cache)
@@ -176,6 +197,7 @@ def test_env_var_enables_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("MST_DECODE_CACHE", str(cache))
     ds = LIDC_Dataset3D(root, split="train", fold=0, image_crop=(16, 16, 4))
     _ = ds[0]
+    flush()
     assert len(list(cache.glob("*.vol.npy"))) == 2
     # explicit False wins over the env var
     off = _lidc(root, False)
@@ -231,6 +253,7 @@ def test_duke_h5py_fallback_writes_through(tmp_path, monkeypatch):
     warm = DUKE_Dataset3D(root, split="train", image_crop=(8, 8, 4),
                           decode_cache=cache)
     expected = [warm[i]["source"] for i in range(len(warm))]
+    flush()
     assert len(list(cache.glob("*.npy"))) == 2 * len(warm)  # sub + affine
 
     def bomb(*a, **k):  # pragma: no cover - failure path

@@ -67,6 +67,9 @@ def main(argv=None):
             print(f"\r{split}: {min(lo + args.chunk, n)}/{n}",
                   end="", flush=True)
         print(flush=True)
+        # barrier: cache writes are write-behind (daemon thread); the
+        # verification below reads the filesystem
+        type(ds).flush_cache_writes()
         # Verify, don't trust: prefetch_decode swallows per-batch IOErrors
         # (a corrupt artifact leaves its volume uncached while the loop
         # rolls on), so count the samples whose every cache entry
