@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -174,8 +175,6 @@ class Dataset3D:
         thread id: the producer's inline-fallback write can race the
         write-behind worker on the SAME entry (both write identical content;
         distinct tmp files keep the interleaving safe)."""
-        import threading
-
         tmp = cache_file.with_name(
             f"{cache_file.name}.{os.getpid()}.{threading.get_ident()}.tmp")
         try:
@@ -199,29 +198,33 @@ class Dataset3D:
     # 22.5 inline vs 18.1 vol/s write-behind on this dev box), so writes
     # stay inline there.
     _write_queue = None  # lazily created; shared across all datasets
+    _write_queue_lock = threading.Lock()
 
     @classmethod
     def _writer(cls):
         import queue
-        import threading
 
-        q = cls._write_queue
-        if q is None:
-            q = queue.Queue(maxsize=8)
+        # under the lock: the producer and a concurrent main-thread read
+        # must agree on ONE queue, or flush_cache_writes() would only see
+        # the survivor and miss the orphan's pending writes
+        with Dataset3D._write_queue_lock:
+            q = Dataset3D._write_queue
+            if q is None:
+                q = queue.Queue(maxsize=8)
 
-            def drain():
-                while True:
-                    fn = q.get()
-                    try:
-                        fn()
-                    except Exception:
-                        pass  # best-effort, like the inline path
-                    finally:
-                        q.task_done()
+                def drain():
+                    while True:
+                        fn = q.get()
+                        try:
+                            fn()
+                        except Exception:
+                            pass  # best-effort, like the inline path
+                        finally:
+                            q.task_done()
 
-            threading.Thread(target=drain, daemon=True,
-                             name="mst-cache-writer").start()
-            Dataset3D._write_queue = q
+                threading.Thread(target=drain, daemon=True,
+                                 name="mst-cache-writer").start()
+                Dataset3D._write_queue = q
         return q
 
     @classmethod

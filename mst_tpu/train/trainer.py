@@ -196,9 +196,13 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
         use_shard_map = (use_fused and multi_device
                          and _is_pure_data_mesh(mesh))
     elif spmd == "shard_map":
+        # A 1-device mesh is allowed when forced: shard_map over one shard
+        # is a valid program (pmean over a singleton axis) and is how the
+        # on-device checker proves the Mosaic kernels lower under manual
+        # SPMD on a single real chip (tools/tpu_parity_check.py leg 15).
         use_shard_map = True
-        assert multi_device and _is_pure_data_mesh(mesh), (
-            "spmd='shard_map' needs a multi-device pure-data mesh")
+        assert mesh is not None and _is_pure_data_mesh(mesh), (
+            "spmd='shard_map' needs a pure-data mesh")
     elif spmd == "jit":
         use_shard_map = False
     else:

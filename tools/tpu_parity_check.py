@@ -305,6 +305,42 @@ def run_checks():
           f"compiled_leg={used_compiled}  "
           f"{'PASS' if ok_exp else 'FAIL'}")
 
+    # Leg 15 — fused kernels INSIDE shard_map on the real chip (1-device
+    # mesh). The CPU-mesh test (tests/test_parallel.py) proves the >1-shard
+    # collective math with INTERPRETED kernels; this proves the Mosaic
+    # custom calls lower and execute under shard_map's manual-sharding
+    # mode on TPU hardware. The one thing neither can show on a single
+    # chip is real cross-chip ICI (ROADMAP first-on-pod checklist).
+    from mst_tpu.parallel.mesh import make_mesh, shard_batch
+    from mst_tpu.train.trainer import TrainState, make_train_step
+
+    xb = jax.random.normal(jax.random.PRNGKey(5), (2, 1, 4, 224, 224),
+                           jnp.float32)
+    tb = jnp.array([0, 1], jnp.int32)
+
+    def fresh_state():
+        return TrainState.create(
+            apply_fn=model.apply, params=jax.tree.map(jnp.copy, params),
+            tx=optax.sgd(1e-2), dropout_rng=jax.random.PRNGKey(6))
+
+    s_a, loss_a, _ = make_train_step(model)(fresh_state(), xb, tb, None)
+    mesh1 = make_mesh()
+    step_sm = make_train_step(model, mesh=mesh1, spmd="shard_map")
+    sb = shard_batch({"source": np.asarray(xb), "target": np.asarray(tb)},
+                     mesh1)
+    s_b, loss_b, _ = step_sm(fresh_state(), sb["source"], sb["target"], None)
+    dloss = abs(float(loss_a) - float(loss_b))
+    worst_sm = 0.0
+    for va, vb in zip(jax.tree_util.tree_leaves(s_a.params),
+                      jax.tree_util.tree_leaves(s_b.params)):
+        scale = max(float(np.abs(np.asarray(va)).max()), 1e-6)
+        worst_sm = max(worst_sm,
+                       float(np.abs(np.asarray(va) - np.asarray(vb)).max())
+                       / scale)
+    ok_sm = dloss < 1e-5 and worst_sm < 1e-4
+    print(f"shard_map train |dloss|={dloss:.1e} "
+          f"max rel dparam={worst_sm:.2e}  {'PASS' if ok_sm else 'FAIL'}")
+
     return [
         ("serving_logits", ok_fwd),
         ("training_grads", ok_bwd),
@@ -320,6 +356,7 @@ def run_checks():
         ("int8_saliency", ok_i8sal),
         ("int8_frozen_train", ok_i8t),
         ("export_artifact", ok_exp),
+        ("shard_map_train", ok_sm),
     ]
 
 
