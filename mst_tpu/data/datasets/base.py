@@ -231,8 +231,13 @@ class Dataset3D:
     def flush_cache_writes(cls) -> None:
         """Block until every queued cache write has hit disk (tests and
         tools/warm_decode_cache.py verify entries right after reads)."""
-        if cls._write_queue is not None:
-            cls._write_queue.join()
+        # grab the queue reference under the lock (a concurrent first
+        # submit could otherwise publish the queue after our None read),
+        # then join outside it
+        with Dataset3D._write_queue_lock:
+            q = Dataset3D._write_queue
+        if q is not None:
+            q.join()
 
     @classmethod
     def _submit_write(cls, write) -> None:

@@ -93,6 +93,19 @@ def available() -> bool:
     return _load() is not None
 
 
+def has_libdeflate() -> Optional[bool]:
+    """True/False when libmstio is loaded (did libdeflate dlopen?),
+    None when the native lib itself is unavailable. Bench env detail:
+    cold-decode rates differ ~1.8x with/without the fast inflate path."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        return bool(lib.mstio_has_libdeflate())
+    except AttributeError:  # stale .so built before this export
+        return None
+
+
 def _take(vol: _MstVolume, lib) -> Tuple[np.ndarray, np.ndarray]:
     if not vol.ok:
         raise IOError(vol.error.decode(errors="replace"))

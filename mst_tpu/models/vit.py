@@ -244,6 +244,11 @@ class VisionTransformer(nn.Module):
 # Factories mirroring reference `vision_transformer.py:340-396`.
 _VIT_CONFIGS = {
     "tiny": dict(embed_dim=32, depth=2, num_heads=2),  # tests only
+    # tests only: the narrowest lane-aligned width (embed_dim % 128 == 0)
+    # that passes the fused-path gate (vit_fast.fused_config_supported) —
+    # lets the virtual-mesh dryrun and CPU tests exercise the fused/int8
+    # serving path cheaply where 32-wide "tiny" routes to flax
+    "tiny128": dict(embed_dim=128, depth=2, num_heads=2),
     "small": dict(embed_dim=384, depth=12, num_heads=6),
     "base": dict(embed_dim=768, depth=12, num_heads=12),
     "large": dict(embed_dim=1024, depth=24, num_heads=16),

@@ -65,7 +65,8 @@ def _has_int8(params) -> bool:
 
 def _forward_with_saliency(model, variables, source, mask,
                            plane_mode: str = "last",
-                           force_flax: bool = False):
+                           force_flax: bool = False,
+                           force_fused: bool = False):
     """Dino path: source [B,C,D,H,W] -> (probs, saliency [B,D,H,W]).
 
     plane_mode="last": CLS->patch row of the last ViT block (the
@@ -86,7 +87,7 @@ def _forward_with_saliency(model, variables, source, mask,
             and fused_config_supported(model)
             and fused_seq_len_ok(model, H, W)
             and "batch_stats" not in variables
-            and jax.default_backend() == "tpu"):
+            and (jax.default_backend() == "tpu" or force_fused)):
         # Fused explainability serving: "last" — the last encoder block's
         # kernel emits the CLS attention row in-VMEM; "rollout" — the
         # reference chain's CLS row is threaded through every block's
@@ -190,7 +191,8 @@ def _saliency_fn_for(model):
 
 
 def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
-                    batch_stats=None, plane_mode: str = "last", mesh=None):
+                    batch_stats=None, plane_mode: str = "last", mesh=None,
+                    force_fused: bool = False):
     """Returns jitted fn(params, source [B,C,D,H,W], mask) ->
     (probs [B,n], saliency [B,D,H,W] | None).
 
@@ -207,11 +209,17 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
     back batch-sharded. Batches not divisible by the mesh's `data` size
     fall back to the single-program path at trace time (one compile per
     distinct batch shape, as before). The reference has no analogue — its
-    predict loop is single-GPU bs=1 (`main_predict.py:204-223`)."""
+    predict loop is single-GPU bs=1 (`main_predict.py:204-223`).
+
+    force_fused: engage the fused-kernel path off-TPU (kernels run
+    interpreted) — used by the virtual-mesh dryrun and tests to exercise
+    the int8/fused serving program under shard_map on CPU."""
     saliency_fn = _saliency_fn_for(model)
-    if saliency_fn is _forward_with_saliency and plane_mode != "last":
+    if saliency_fn is _forward_with_saliency and (plane_mode != "last"
+                                                  or force_fused):
         saliency_fn = functools.partial(_forward_with_saliency,
-                                        plane_mode=plane_mode)
+                                        plane_mode=plane_mode,
+                                        force_fused=force_fused)
 
     def variables_of(params):
         v = {"params": params}
@@ -230,7 +238,7 @@ def make_predict_fn(model, tta: bool = False, with_saliency: bool = True,
         if (fused_config_supported(model)
                 and fused_seq_len_ok(model, *source.shape[-2:])
                 and batch_stats is None
-                and jax.default_backend() == "tpu"):
+                and (jax.default_backend() == "tpu" or force_fused)):
             # (on CPU the fused kernels run interpreted — slower than XLA)
             from mst_tpu.models.vit_fast import fused_mst_logits
 

@@ -201,8 +201,12 @@ def make_train_step(model, has_batch_stats: bool = False, mesh=None,
         # on-device checker proves the Mosaic kernels lower under manual
         # SPMD on a single real chip (tools/tpu_parity_check.py leg 15).
         use_shard_map = True
-        assert mesh is not None and _is_pure_data_mesh(mesh), (
-            "spmd='shard_map' needs a pure-data mesh")
+        # 'data' must be present explicitly: _is_pure_data_mesh passes for
+        # a 1-device mesh with only non-'data' axes, which would otherwise
+        # fail later with an unbound-axis error inside shard_map
+        assert (mesh is not None and "data" in mesh.shape
+                and _is_pure_data_mesh(mesh)), (
+            "spmd='shard_map' needs a pure-data mesh with a 'data' axis")
     elif spmd == "jit":
         use_shard_map = False
     else:

@@ -237,6 +237,12 @@ extern "C" {
 
 void mstio_free(float* p) { free(p); }
 
+// 1 when the libdeflate fast path is live (bench env detail: cold-decode
+// numbers are not comparable across hosts with/without it).
+int32_t mstio_has_libdeflate(void) {
+  return fastinflate::lib() != nullptr ? 1 : 0;
+}
+
 static void read_nifti_impl(const char* path, MstVolume* vol) {
   vol->ok = 0;
   vol->data = nullptr;

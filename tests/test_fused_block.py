@@ -835,3 +835,29 @@ def test_fused_mst_logits_large_d_interpolated_pos_emb():
     out = fused_mst_logits(params, x, model, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_mst_logits_d1024_mask_parity():
+    """D=1024 (VERDICT r4 #4): the slice-pos-emb table is stretched 4x
+    past its 256-entry vocabulary AND the key-padding mask is active —
+    fused and flax paths must agree, and padded-tail perturbations must
+    not move the logits (the 1000-slice-CT capability the reference's
+    Embedding(256) hard cap forbids, `dino.py:81-82`)."""
+    model = DinoSliceClassifier(out_ch=2, use_slice_pos_emb=True, **TINY)
+    D = 1024
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, D, 28, 28))
+    mask = jnp.arange(D)[None] >= 1000  # last 24 slices padded
+    params = model.init(jax.random.PRNGKey(1), x[:, :, :4],
+                        mask[:, :4])["params"]
+    ref = model.apply({"params": params}, x, mask)
+    out = fused_mst_logits(params, x, model, src_key_padding_mask=mask,
+                           dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    # padding semantics survive the stretched table on the fused path
+    x2 = x.at[:, :, 1000:].set(100.0 * jax.random.normal(
+        jax.random.PRNGKey(9), x[:, :, 1000:].shape))
+    out2 = fused_mst_logits(params, x2, model, src_key_padding_mask=mask,
+                            dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)

@@ -329,7 +329,11 @@ def run_checks():
     sb = shard_batch({"source": np.asarray(xb), "target": np.asarray(tb)},
                      mesh1)
     s_b, loss_b, _ = step_sm(fresh_state(), sb["source"], sb["target"], None)
-    dloss = abs(float(loss_a) - float(loss_b))
+    # relative loss tolerance: both sides ride the same fused kernels but
+    # shard_map changes the lowering, so reduction reassociation on a
+    # future compiler could shift the absolute value (ADVICE r4)
+    dloss = (abs(float(loss_a) - float(loss_b))
+             / max(abs(float(loss_a)), 1e-6))
     worst_sm = 0.0
     for va, vb in zip(jax.tree_util.tree_leaves(s_a.params),
                       jax.tree_util.tree_leaves(s_b.params)):
@@ -337,8 +341,8 @@ def run_checks():
         worst_sm = max(worst_sm,
                        float(np.abs(np.asarray(va) - np.asarray(vb)).max())
                        / scale)
-    ok_sm = dloss < 1e-5 and worst_sm < 1e-4
-    print(f"shard_map train |dloss|={dloss:.1e} "
+    ok_sm = dloss < 1e-4 and worst_sm < 1e-4
+    print(f"shard_map train rel|dloss|={dloss:.1e} "
           f"max rel dparam={worst_sm:.2e}  {'PASS' if ok_sm else 'FAIL'}")
 
     return [
