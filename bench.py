@@ -90,6 +90,13 @@ def _measure(forward, source, iters: int) -> float:
     return timed_min(forward, source, iters=iters)
 
 
+def _measure_pf(forward, prm, src, iters: int) -> float:
+    """Same, for params-as-argument forwards."""
+    from mst_tpu.utils.benchtime import timed_min
+
+    return timed_min(forward, prm, src, iters=iters)
+
+
 def _env_detail() -> dict:
     env = {
         "host_cores": os.cpu_count(),
@@ -139,22 +146,34 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
     # giant2 leg.
     params = model.init(key, jnp.zeros((1, 1, 1, 28, 28)))["params"]
 
+    # params as an ARGUMENT, never a closure: closed-over trees bake
+    # ~190 MB of constants into the program — compile slows down, the
+    # persistent cache writes a 198 MB entry PER batch shape, and any
+    # value difference between runs is a guaranteed cache miss. With
+    # params parametric the executable is value-independent and the
+    # driver's run cache-hits whatever this session compiled.
     if on_tpu:
         from mst_tpu.models.vit_fast import fused_mst_logits
 
         @jax.jit
-        def forward(source):
-            return fused_mst_logits(params, source, model)
+        def forward_p(prm, src):
+            return fused_mst_logits(prm, src, model)
     else:
         @jax.jit
-        def forward(source):
-            return model.apply({"params": params}, source, deterministic=True)
+        def forward_p(prm, src):
+            return model.apply({"params": prm}, src, deterministic=True)
+
+    def forward(src):
+        return forward_p(params, src)
 
     # First compile calibrates the cold factor for all later gates: a
     # cache hit lands in ~2s (relay RTT incl.), a cold Mosaic+XLA compile
     # of this program takes ~20-40s.
     t_c = time.monotonic()
-    forward(source).block_until_ready()
+    # forced device->host VALUE read: block_until_ready returns early
+    # through the axon relay (run 3 reported "11.4s" here while the real
+    # compile finished 590s later INSIDE the first timed leg)
+    float(jnp.sum(forward(source)).astype(jnp.float32))
     compile_s = time.monotonic() - t_c
     _COLD_FACTOR = min(max(compile_s / 3.0, 1.0), 12.0)
     print(f"# first compile {compile_s:.1f}s -> cold_factor "
@@ -290,22 +309,18 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
                 src_q = jax.random.normal(
                     key, (best_batch, 1, depth, hw, hw), jnp.float32)
 
-                @jax.jit
-                def forward_q(src):
-                    return fused_mst_logits(qparams, src, model)
+                forward_q = jax.jit(
+                    lambda prm, src: fused_mst_logits(prm, src, model))
 
-                forward_q(src_q).block_until_ready()
-                qdt = _measure(forward_q, src_q, max(iters // 2, 8))
+                forward_q(qparams, src_q).block_until_ready()
+                qdt = _measure_pf(forward_q, qparams, src_q,
+                                  max(iters // 2, 8))
                 detail["int8_volumes_per_sec"] = round(best_batch / qdt, 2)
 
                 sparams = quantize_mst_params_int8(params, model, src_q[:2])
-
-                @jax.jit
-                def forward_s(src):
-                    return fused_mst_logits(sparams, src, model)
-
-                forward_s(src_q).block_until_ready()
-                sdt = _measure(forward_s, src_q, max(iters // 2, 8))
+                forward_q(sparams, src_q).block_until_ready()
+                sdt = _measure_pf(forward_q, sparams, src_q,
+                                  max(iters // 2, 8))
                 detail["int8_static_volumes_per_sec"] = round(
                     best_batch / sdt, 2)
             except Exception as e:  # noqa: BLE001 — report and continue
@@ -329,12 +344,7 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
                     # path casts on-device) so per-slice ratios compare
                     src_d = jax.random.normal(
                         key, (1, 1, d_big, hw, hw), jnp.float32)
-
-                    @jax.jit
-                    def forward_d(src):
-                        return fused_mst_logits(params, src, model)
-
-                    d_ms = _measure(forward_d, src_d, 6) * 1e3
+                    d_ms = _measure_pf(forward_p, params, src_d, 6) * 1e3
                     detail[f"d{d_big}_single_volume_ms"] = round(d_ms, 2)
                     del src_d
                 except Exception as e:  # noqa: BLE001
@@ -508,6 +518,27 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
                         g_i8t, 3)
             except Exception as e:  # noqa: BLE001 — OOM/compile limits
                 print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
+                      flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # End-to-end HTTP serving (VERDICT r4 #5): concurrent clients ->
+    # dynamic batcher -> fused TPU program -> JSON responses, through
+    # tools/bench_serve_http. On THIS dev host the tunneled host->device
+    # link bounds e2e transfer (~1.7 vol/s, bench_pipeline.py) — the row
+    # carries that caveat; the device-program bound is the sweep above.
+    if on_tpu and _gate("http_serving", 45):
+        with _timed_leg("http_serving"):
+            try:
+                import sys
+
+                sys.path.insert(0, str(Path(__file__).parent / "tools"))
+                import bench_serve_http
+
+                detail["http_serving"] = bench_serve_http.main(
+                    clients=4, seconds=8.0, batch=4, quiet=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"# http serving leg skipped: {type(e).__name__}: {e}",
                       flush=True)
         detail["env"] = _env_detail()
         yield result

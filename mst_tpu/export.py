@@ -275,12 +275,21 @@ class ExportedPredictor:
     """
 
     def __init__(self, meta: dict, programs: dict, params,
-                 compiled: Optional[dict] = None):
+                 compiled: Optional[dict] = None,
+                 path: Optional[Path] = None,
+                 use_compiled: bool = False):
         self.meta = meta
         self._programs = programs  # batch -> jax.export.Exported
         self._compiled = compiled or {}  # batch -> jax.stages.Compiled
         self.params = params
-        self.buckets = sorted(programs)
+        self.buckets = sorted(int(b) for b in meta["batch_sizes"])
+        # Lazy loading (VERDICT r4 #8): `path` set means programs /
+        # executables not in the dicts are deserialized ON FIRST USE of
+        # their bucket — cold start pays for exactly one bucket, and the
+        # weights upload (device_put at load_exported) overlaps the
+        # executable deserialize+upload instead of serializing after it.
+        self._path = Path(path) if path is not None else None
+        self._use_compiled = use_compiled
         # Exported.call re-wraps the program on every invocation (a fresh
         # traced callable each time — measured 5.5 s/call on the ViT-S
         # program vs 15 ms compiled); jit it ONCE per bucket so repeat
@@ -291,12 +300,44 @@ class ExportedPredictor:
         self._device_params = None
         self._device_params_src = None
 
+    def _load_compiled(self, b: int):
+        import pickle
+
+        from jax.experimental.serialize_executable import deserialize_and_load
+
+        f = self._path / f"compiled_b{b}.bin"
+        if not f.exists():
+            return None
+        try:
+            payload, in_tree, out_tree = pickle.loads(f.read_bytes())
+            return deserialize_and_load(payload, in_tree, out_tree)
+        except Exception as e:  # version drift etc. — StableHLO still works
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "compiled leg unusable for bucket %d (%s: %s); falling back "
+                "to the exported StableHLO program", b, type(e).__name__, e)
+            return None
+
     def _call_fn(self, b: int):
         import jax
+        from jax import export as jexport
 
         if b in self._compiled:  # pre-compiled executable: nothing to jit
             return self._compiled[b]
+        if self._use_compiled and self._path is not None:
+            exe = self._load_compiled(b)
+            if exe is not None:
+                self._compiled[b] = exe
+                return exe
+            self._use_compiled = False  # don't retry the broken leg per call
         if b not in self._jitted:
+            if b not in self._programs:
+                if self._path is None:
+                    raise KeyError(f"bucket {b}: no program and no artifact "
+                                   "path to lazy-load it from")
+                data = (self._path / f"program_b{b}.bin").read_bytes()
+                self._programs[b] = jexport.deserialize(bytearray(data))
             self._jitted[b] = jax.jit(self._programs[b].call)
         return self._jitted[b]
 
@@ -353,42 +394,31 @@ class ExportedPredictor:
         return self.predict(source, params=params, mask=mask)
 
 
-def load_exported(artifact_dir) -> ExportedPredictor:
+def load_exported(artifact_dir, prefetch_params: bool = True
+                  ) -> ExportedPredictor:
+    """Load a serving artifact. Per-bucket programs and executables are
+    deserialized lazily on first use (cold start pays for ONE bucket, not
+    all of them); the weights start uploading to the device immediately
+    (async device_put) so the transfer overlaps the first bucket's
+    executable deserialize+upload — on a relay-attached host the ~90 MB
+    bf16 ViT-S tree otherwise serializes AFTER it (VERDICT r4 #8)."""
     import jax
-    from jax import export as jexport
 
     path = Path(artifact_dir)
     meta = json.loads((path / _META_NAME).read_text())
     params = _load_params_npz(path / _PARAMS_NAME,
                               meta.get("param_dtypes", {}))
-    programs = {}
-    for b in meta["batch_sizes"]:
-        data = (path / f"program_b{b}.bin").read_bytes()
-        programs[int(b)] = jexport.deserialize(bytearray(data))
 
-    # Zero-compile path: use the shipped executables when this host is the
-    # exact platform + device kind they were compiled for.
-    compiled = {}
-    if (meta.get("compiled_platform") == jax.default_backend()
-            and meta.get("compiled_device_kind")
-            == jax.devices()[0].device_kind
-            and len(jax.devices()) == 1):
-        import pickle
-
-        from jax.experimental.serialize_executable import deserialize_and_load
-
-        try:
-            for b in meta["batch_sizes"]:
-                f = path / f"compiled_b{b}.bin"
-                if f.exists():
-                    payload, in_tree, out_tree = pickle.loads(f.read_bytes())
-                    compiled[int(b)] = deserialize_and_load(
-                        payload, in_tree, out_tree)
-        except Exception as e:  # version drift etc. — StableHLO still works
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "compiled leg unusable (%s: %s); falling back to the "
-                "exported StableHLO programs", type(e).__name__, e)
-            compiled = {}
-    return ExportedPredictor(meta, programs, params, compiled)
+    # Zero-compile path available? (exact platform + device-kind match;
+    # the per-bucket blobs load on demand in _call_fn)
+    use_compiled = (meta.get("compiled_platform") == jax.default_backend()
+                    and meta.get("compiled_device_kind")
+                    == jax.devices()[0].device_kind
+                    and len(jax.devices()) == 1)
+    pred = ExportedPredictor(meta, {}, params, {}, path=path,
+                             use_compiled=use_compiled)
+    if prefetch_params:
+        # async: transfers complete while the first call's program loads
+        pred._device_params = jax.device_put(params)
+        pred._device_params_src = params
+    return pred

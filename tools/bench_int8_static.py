@@ -62,16 +62,18 @@ def main():
     }
 
     outs, rates = {}, {}
+    # params as an ARGUMENT: a closed-over (or default-arg) tree bakes
+    # ~190 MB of constants into the program — slow compile, cache-hostile
+    fwd = jax.jit(lambda p, s: fused_mst_logits(p, s, model))
     for name, prm in variants.items():
-        fwd = jax.jit(lambda s, p=prm: fused_mst_logits(p, s, model))
         # forced device->host VALUE reads: block_until_ready has been
         # observed returning early through the axon relay (BASELINE.md)
-        out = fwd(src)
+        out = fwd(prm, src)
         for _ in range(3):
-            float(jnp.sum(fwd(src)).astype(jnp.float32))
+            float(jnp.sum(fwd(prm, src)).astype(jnp.float32))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = fwd(src)
+            out = fwd(prm, src)
         float(jnp.sum(out).astype(jnp.float32))
         dt = (time.perf_counter() - t0) / args.iters
         outs[name] = np.asarray(out, np.float32)

@@ -32,7 +32,7 @@ import numpy as np
 
 
 def main(clients: int = 8, seconds: float = 20.0, batch: int = 8,
-         depth: int = 32, hw: int = 224):
+         depth: int = 32, hw: int = 224, quiet: bool = False):
     from mst_tpu.models.mst import dino_v2_classifier_slice
     from mst_tpu.serve import BatchingPredictor, serve_http
     from mst_tpu.train.predictor import make_predict_fn
@@ -95,7 +95,8 @@ def main(clients: int = 8, seconds: float = 20.0, batch: int = 8,
                 "transfer (~1.7 vol/s, bench_pipeline.py); device program "
                 "bound is bench.py's serving line",
     }
-    print(json.dumps(row))
+    if not quiet:
+        print(json.dumps(row))
     return row
 
 
