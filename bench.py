@@ -100,6 +100,11 @@ def _measure_pf(forward, prm, src, iters: int) -> float:
 def _env_detail() -> dict:
     env = {
         "host_cores": os.cpu_count(),
+        # host contention at read time: regressions across rounds were
+        # undiagnosable without it (VERDICT r4 "unexplained day-to-day
+        # variance" — the r4 warm-loader leg dropped below a prior cold
+        # leg on a busier host)
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "budget_s": _BUDGET,
         "elapsed_s": round(_elapsed(), 1),
         "cold_factor": round(_COLD_FACTOR, 2),
