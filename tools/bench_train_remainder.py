@@ -110,7 +110,8 @@ def main(batch: int = 8, depth: int = 32, hw: int = 224, iters: int = 10):
         lambda xs: grad_enc(params["encoder"], xs)["cls_token"], x_slices,
         iters=iters)
     t_tokens = timed_min(
-        lambda xs: grad_tokens(params["encoder"], xs)["patch_embed"]["bias"],
+        lambda xs: grad_tokens(params["encoder"],
+                               xs)["patch_embed"]["proj"]["bias"],
         x_slices, iters=iters)
     t_adamw = timed_min(
         lambda g: adamw_update(g, state.opt_state, params)[0]["head"]["bias"],
