@@ -240,15 +240,17 @@ class PatchEmbed(nn.Module):
         )
         gh, gw = H // p, W // p
         # Stride-p conv == one big matmul over unfolded patches. XLA's
-        # conv lowering for C=3 im2col runs at a few TFLOP/s on the MXU;
-        # the explicit unfold+dot hits full matmul throughput (~20x faster
-        # at ViT-S/224 shapes). The param keeps the conv HWIO layout
+        # conv lowering for C=3 im2col runs at a few TFLOP/s on the MXU
+        # (~20x slower than the dot at ViT-S/224 shapes), and an explicit
+        # unfold TRANSPOSE materialises a lane-hostile p=14 shuffle (+ its
+        # scatter backward) at ~15x the matmul bound — so the projection
+        # contracts the (p, p, C) dims in place via dot_general
+        # (tools/bench_patchify.py). The param keeps the conv HWIO layout
         # ([p, p, C, emb] under "proj"), so torch weight conversion is
         # unchanged.
         x = x.reshape(B, gh, p, gw, p, C)
-        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, gh * gw, p * p * C)
         return _PatchProj(self.embed_dim, (p, p, C), dtype=self.dtype,
-                          name="proj")(x)
+                          name="proj")(x).reshape(B, gh * gw, self.embed_dim)
 
 
 class _PatchProj(nn.Module):
@@ -268,6 +270,11 @@ class _PatchProj(nn.Module):
             (p1, p2, c, self.embed_dim),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
-        w = kernel.reshape(p1 * p2 * c, self.embed_dim).astype(self.dtype)
-        return jnp.dot(x.astype(self.dtype), w,
-                       preferred_element_type=self.dtype) + bias.astype(self.dtype)
+        # x: [B, gh, p1, gw, p2, c] — contract the patch dims directly
+        # against the HWIO kernel (no materialised im2col transpose).
+        out = jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+            preferred_element_type=self.dtype,
+        )  # [B, gh, gw, emb]
+        return out + bias.astype(self.dtype)

@@ -128,11 +128,20 @@ def prepare_vit_tokens(params, x, cfg: FastViTConfig, dtype=jnp.bfloat16):
     gh, gw = H // p, W // p
     E = cfg.embed_dim
 
-    x = x.astype(dtype)
-    x = x.reshape(N, gh, p, gw, p, C)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(N, gh * gw, p * p * C)
-    w = params["patch_embed"]["proj"]["kernel"].reshape(p * p * C, E)
-    tokens = x @ w.astype(dtype) + params["patch_embed"]["proj"]["bias"].astype(dtype)
+    # Patchify WITHOUT the explicit (0,1,3,2,4,5) im2col transpose: contract
+    # the (p, p, C) patch dims directly against the HWIO kernel.  The
+    # materialised transpose (and its scatter-shaped backward) ran ~15x over
+    # the matmul bound with p=14 (lane-hostile); folding the layout into
+    # dot_general measured 5.87 vs 6.87 ms fwd+dW at the bs8 train shape
+    # (tools/bench_patchify.py).  Output matches the unfold+matmul path to
+    # bf16 rounding.
+    x = x.astype(dtype).reshape(N, gh, p, gw, p, C)
+    w = params["patch_embed"]["proj"]["kernel"].astype(dtype)  # [p, p, C, E]
+    tokens = jax.lax.dot_general(
+        x, w, dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+        preferred_element_type=dtype,
+    ).reshape(N, gh * gw, E)
+    tokens = tokens + params["patch_embed"]["proj"]["bias"].astype(dtype)
 
     if cfg.use_pos_embed:
         pe = interpolate_pos_embed(
