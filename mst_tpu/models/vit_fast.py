@@ -135,10 +135,13 @@ def prepare_vit_tokens(params, x, cfg: FastViTConfig, dtype=jnp.bfloat16):
     # dot_general measured 5.87 vs 6.87 ms fwd+dW at the bs8 train shape
     # (tools/bench_patchify.py).  Output matches the unfold+matmul path to
     # bf16 rounding.
-    x = x.astype(dtype).reshape(N, gh, p, gw, p, C)
+    # (a per-patch-row decomposition — tools/bench_patchify.py "rowsum" —
+    # wins in isolation but NOT inside the composed grad program: 4.46 vs
+    # 4.25 ms tokens leg; XLA already folds this layout once fused)
+    xp = x.astype(dtype).reshape(N, gh, p, gw, p, C)
     w = params["patch_embed"]["proj"]["kernel"].astype(dtype)  # [p, p, C, E]
     tokens = jax.lax.dot_general(
-        x, w, dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+        xp, w, dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
         preferred_element_type=dtype,
     ).reshape(N, gh * gw, E)
     tokens = tokens + params["patch_embed"]["proj"]["bias"].astype(dtype)
