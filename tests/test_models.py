@@ -236,3 +236,26 @@ def test_mst_large_d_pos_emb_interpolation():
         [np.interp(coords, np.arange(V), table[:, c])
          for c in range(table.shape[1])], axis=1)
     np.testing.assert_allclose(pos, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_patch_embed_matches_explicit_unfold():
+    """The dot_general patchify (no materialised im2col transpose) must
+    equal the naive unfold+matmul formulation exactly in f32 — pins the
+    layout-folding rewrite (tools/bench_patchify.py) against regressions."""
+    from mst_tpu.models.layers import PatchEmbed
+
+    p, e = 7, 24
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 28, 21, 3))
+    mod = PatchEmbed(patch_size=p, embed_dim=e)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    got = mod.apply(params, x)
+    assert got.shape == (2, (28 // p) * (21 // p), e)
+
+    k = np.asarray(params["params"]["proj"]["kernel"])  # [p, p, C, E]
+    b = np.asarray(params["params"]["proj"]["bias"])
+    xn = np.asarray(x)
+    gh, gw = 28 // p, 21 // p
+    patches = xn.reshape(2, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(2, gh * gw, p * p * 3)
+    want = patches @ k.reshape(p * p * 3, e) + b
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
