@@ -90,6 +90,21 @@ def _measure(forward, source, iters: int) -> float:
     return timed_min(forward, source, iters=iters)
 
 
+def _jit_init(model, shape, key):
+    """Draw init params via ONE jitted (persistently cacheable) program.
+
+    Eager flax init is hundreds of sequential relay dispatches (~90 s
+    measured for ViT-S on this host); jitted it is a single cache-hittable
+    executable (~11 s warm). Shapes are input-independent, so a tiny
+    single-slice input suffices for every model here."""
+
+    @jax.jit
+    def init(k):
+        return model.init(k, jnp.zeros(shape))["params"]
+
+    return init(key)
+
+
 def _measure_pf(forward, prm, src, iters: int) -> float:
     """Same, for params-as-argument forwards."""
     from mst_tpu.utils.benchtime import timed_min
@@ -148,8 +163,9 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
     # pos-emb grid and the 256-entry slice table) are input-independent,
     # and this avoids compiling a full-size f32 init forward through the
     # relay (minutes) just to draw random weights — same trick as the
-    # giant2 leg.
-    params = model.init(key, jnp.zeros((1, 1, 1, 28, 28)))["params"]
+    # giant2 leg. JITTED: eager flax init is hundreds of relay dispatches
+    # (~90 s measured); one jitted (cacheable) init program is ~11 s.
+    params = _jit_init(model, (1, 1, 1, 28, 28), key)
 
     # params as an ARGUMENT, never a closure: closed-over trees bake
     # ~190 MB of constants into the program — compile slows down, the
@@ -171,19 +187,25 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
     def forward(src):
         return forward_p(params, src)
 
-    # First compile calibrates the cold factor for all later gates: a
-    # cache hit lands in ~2s (relay RTT incl.), a cold Mosaic+XLA compile
-    # of this program takes ~20-40s.
+    # COMPILE-ONLY probe calibrates the cold factor for all later gates:
+    # a persistent-cache hit is ~10 s through the relay, a cold
+    # Mosaic+XLA compile of this program is 300+ s. Explicitly separated
+    # from the first EXECUTION below — exec pays a once-per-process
+    # device-runtime/executable-load cost (~30 s here) that is the same
+    # warm or cold and was previously mis-attributed to compilation,
+    # pinning the factor at max and skipping legs on fully-warm runs.
+    t_c = time.monotonic()
+    forward_p.lower(params, source).compile()
+    compile_s = time.monotonic() - t_c
+    _COLD_FACTOR = min(max(compile_s / 10.0, 1.0), 12.0)
     t_c = time.monotonic()
     # forced device->host VALUE read: block_until_ready returns early
     # through the axon relay (run 3 reported "11.4s" here while the real
     # compile finished 590s later INSIDE the first timed leg)
     float(jnp.sum(forward(source)).astype(jnp.float32))
-    compile_s = time.monotonic() - t_c
-    _COLD_FACTOR = min(max(compile_s / 3.0, 1.0), 12.0)
     print(f"# first compile {compile_s:.1f}s -> cold_factor "
-          f"{_COLD_FACTOR:.1f}; init+compile elapsed {_elapsed():.0f}s "
-          f"of {_BUDGET:.0f}s", flush=True)
+          f"{_COLD_FACTOR:.1f}; first exec {time.monotonic() - t_c:.1f}s; "
+          f"elapsed {_elapsed():.0f}s of {_BUDGET:.0f}s", flush=True)
     for _ in range(warmup):
         forward(source).block_until_ready()
     with _timed_leg("core_bs4"):
@@ -242,8 +264,8 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
         with _timed_leg("train_bs8"):
             source8 = jax.random.normal(jax.random.PRNGKey(3),
                                         (8, 1, depth, hw, hw), jnp.float32)
-            params8 = model.init(jax.random.PRNGKey(4),
-                                 jnp.zeros((1, 1, 1, 28, 28)))["params"]
+            params8 = _jit_init(model, (1, 1, 1, 28, 28),
+                                jax.random.PRNGKey(4))
             state8 = TrainState.create(
                 apply_fn=model.apply, params=params8,
                 tx=make_optimizer(1e-6), dropout_rng=jax.random.PRNGKey(5))
@@ -417,8 +439,8 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
 
             v3 = dino_v3_classifier_slice(out_ch=2, model_size="small",
                                           dtype=jnp.bfloat16, use_flash=True)
-            params3 = v3.init(jax.random.PRNGKey(6),
-                              jnp.zeros((1, 1, 1, 32, 32)))["params"]
+            params3 = _jit_init(v3, (1, 1, 1, 32, 32),
+                                jax.random.PRNGKey(6))
             state3 = TrainState.create(
                 apply_fn=v3.apply, params=params3, tx=make_optimizer(1e-6),
                 dropout_rng=jax.random.PRNGKey(7))
@@ -688,8 +710,7 @@ def _bench_giant2(depth: int, hw: int, iters: int = 5) -> tuple:
     # tiny 28x28 single-slice input — param shapes are input-independent,
     # and this avoids compiling a full-size f32 init forward just to draw
     # random weights.
-    params = model.init(jax.random.PRNGKey(0),
-                        source[:, :, :1, :28, :28])["params"]
+    params = _jit_init(model, (1, 1, 1, 28, 28), jax.random.PRNGKey(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     # params as an ARGUMENT — closing over 2.2 GB of weights bakes them into
