@@ -319,6 +319,145 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
         "baseline_is_cpu_reference": True,
         "detail": detail,
     }
+    # Leg order is value-per-second: cheap host-only and tail legs run
+    # before the two expensive groups (parity ~650 s warm, giant2 ~120 s
+    # warm / ~320 s cold) so a tight budget starves the right things.
+    # True serving tail latency (VERDICT r4 #5): >=100 host-synced calls
+    # at bs1 and the knee batch. e2e percentiles INCLUDE this dev host's
+    # ~25 ms relay RTT (measured and reported separately as rtt_ms_est —
+    # a tiny device no-op round trip); device_ms_per_call is the
+    # pipelined device-program time from the sweep.
+    if on_tpu and _gate("tail_latency", 30):
+        with _timed_leg("tail_latency"):
+            tail = {}
+            # RTT estimate: host-synced round trips of a 1-element add
+            tiny = jax.jit(lambda a: a + 1.0)
+            one = jnp.float32(1.0)
+            float(tiny(one))
+            rtts = []
+            for _ in range(30):
+                t0 = time.perf_counter()
+                float(tiny(one))
+                rtts.append(time.perf_counter() - t0)
+            rtts.sort()
+            rtt_ms = rtts[len(rtts) // 2] * 1e3
+            detail["relay_rtt_ms_est"] = round(rtt_ms, 2)
+            for b in {1, min(best_batch, 8)}:
+                src_b = jax.random.normal(key, (b, 1, depth, hw, hw),
+                                          jnp.float32)
+                forward(src_b).block_until_ready()
+                n = 100
+                lats = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    float(jnp.sum(forward(src_b)).astype(jnp.float32))
+                    lats.append(time.perf_counter() - t0)
+                lats.sort()
+                tail[str(b)] = {
+                    "n": n,
+                    "e2e_p50_ms": round(lats[n // 2] * 1e3, 2),
+                    "e2e_p90_ms": round(lats[int(n * 0.9)] * 1e3, 2),
+                    "e2e_p99_ms": round(lats[int(n * 0.99)] * 1e3, 2),
+                    "device_ms_per_call": sweep.get(str(b), {}).get(
+                        "ms_per_batch"),
+                }
+            detail["tail_latency"] = tail
+            detail["tail_latency_includes_relay_rtt"] = True
+            bs1 = tail.get("1", {})
+            detail["e2e_p50_ms"] = bs1.get("e2e_p50_ms")
+        detail["env"] = _env_detail()
+        yield result
+
+    # Input pipeline: host loader (native NIfTI decode pool + collate) fed
+    # from ON-DISK artifacts at realistic LIDC size — proves the host side
+    # can sustain the device rates above (VERDICT r3 #8), plus the decode
+    # thread-scaling curve (VERDICT r4 #7). Host-side only; the cost scales
+    # with this host's (1) core.
+    if _gate("input_pipeline", 90):
+        with _timed_leg("input_pipeline"):
+            try:
+                cold, warm, curve = _bench_input_pipeline(depth=depth)
+                detail["input_pipeline_volumes_per_sec"] = round(cold, 1)
+                detail["input_pipeline_cached_volumes_per_sec"] = round(
+                    warm, 1)
+                # cold decode vol/s at an explicit pool size of 1/2/4
+                # threads ON THIS HOST (oversubscription curve on 1 core;
+                # the per-core scaling claim rides tools/bench_pipeline.py)
+                detail["input_pipeline_thread_curve"] = curve
+            except Exception as e:  # noqa: BLE001
+                print(f"# input pipeline bench skipped: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # On-device kernel parity (Mosaic-compiled, not interpret mode)
+    # embedded in the bench artifact so BENCH_r{N}.json itself proves the
+    # kernels (VERDICT r3 #5). Runs every leg of tools/tpu_parity_check.py.
+    if on_tpu and _gate("parity", 650):
+        with _timed_leg("parity"):
+            try:
+                import sys
+
+                sys.path.insert(0, str(Path(__file__).parent / "tools"))
+                from tpu_parity_check import run_checks
+
+                legs = run_checks()
+                detail["parity"] = {
+                    "legs": len(legs),
+                    "ok": sum(1 for _, ok in legs if ok),
+                    "failed": [n for n, ok in legs if not ok]}
+            except Exception as e:  # noqa: BLE001
+                print(f"# parity legs skipped: {type(e).__name__}: {e}",
+                      flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
+    # biggest encoder the reference supports (`dino.py` model_size 'g') —
+    # plus int8 serving and the frozen-encoder int8 TRAIN step. The most
+    # compile-expensive group (1.1B-param programs): runs late, behind the
+    # largest budget gate.
+    if on_tpu and _gate("giant2", 120):
+        with _timed_leg("giant2"):
+            try:
+                g_vps, g_i8, g_i8s, g_i8t = _bench_giant2(depth, hw)
+                if g_vps is not None:
+                    detail["giant2_volumes_per_sec"] = round(g_vps, 3)
+                if g_i8 is not None:
+                    detail["giant2_int8_volumes_per_sec"] = round(g_i8, 3)
+                if g_i8s is not None:
+                    detail["giant2_int8_static_volumes_per_sec"] = round(
+                        g_i8s, 3)
+                if g_i8t is not None:
+                    detail["giant2_int8_train_volumes_per_sec"] = round(
+                        g_i8t, 3)
+            except Exception as e:  # noqa: BLE001 — OOM/compile limits
+                print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
+                      flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # End-to-end HTTP serving (VERDICT r4 #5): concurrent clients ->
+    # dynamic batcher -> fused TPU program -> JSON responses, through
+    # tools/bench_serve_http. On THIS dev host the tunneled host->device
+    # link bounds e2e transfer (~1.7 vol/s, bench_pipeline.py) — the row
+    # carries that caveat; the device-program bound is the sweep above.
+    if on_tpu and _gate("http_serving", 45):
+        with _timed_leg("http_serving"):
+            try:
+                import sys
+
+                sys.path.insert(0, str(Path(__file__).parent / "tools"))
+                import bench_serve_http
+
+                detail["http_serving"] = bench_serve_http.main(
+                    clients=4, seconds=8.0, batch=4, quiet=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"# http serving leg skipped: {type(e).__name__}: {e}",
+                      flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
     detail["env"] = _env_detail()
     yield result
 
@@ -456,141 +595,10 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
         detail["env"] = _env_detail()
         yield result
 
-    # On-device kernel parity (Mosaic-compiled, not interpret mode)
-    # embedded in the bench artifact so BENCH_r{N}.json itself proves the
-    # kernels (VERDICT r3 #5). Runs every leg of tools/tpu_parity_check.py.
-    if on_tpu and _gate("parity", 60):
-        with _timed_leg("parity"):
-            try:
-                import sys
 
-                sys.path.insert(0, str(Path(__file__).parent / "tools"))
-                from tpu_parity_check import run_checks
 
-                legs = run_checks()
-                detail["parity"] = {
-                    "legs": len(legs),
-                    "ok": sum(1 for _, ok in legs if ok),
-                    "failed": [n for n, ok in legs if not ok]}
-            except Exception as e:  # noqa: BLE001
-                print(f"# parity legs skipped: {type(e).__name__}: {e}",
-                      flush=True)
-        detail["env"] = _env_detail()
-        yield result
 
-    # True serving tail latency (VERDICT r4 #5): >=100 host-synced calls
-    # at bs1 and the knee batch. e2e percentiles INCLUDE this dev host's
-    # ~25 ms relay RTT (measured and reported separately as rtt_ms_est —
-    # a tiny device no-op round trip); device_ms_per_call is the
-    # pipelined device-program time from the sweep.
-    if on_tpu and _gate("tail_latency", 30):
-        with _timed_leg("tail_latency"):
-            tail = {}
-            # RTT estimate: host-synced round trips of a 1-element add
-            tiny = jax.jit(lambda a: a + 1.0)
-            one = jnp.float32(1.0)
-            float(tiny(one))
-            rtts = []
-            for _ in range(30):
-                t0 = time.perf_counter()
-                float(tiny(one))
-                rtts.append(time.perf_counter() - t0)
-            rtts.sort()
-            rtt_ms = rtts[len(rtts) // 2] * 1e3
-            detail["relay_rtt_ms_est"] = round(rtt_ms, 2)
-            for b in {1, min(best_batch, 8)}:
-                src_b = jax.random.normal(key, (b, 1, depth, hw, hw),
-                                          jnp.float32)
-                forward(src_b).block_until_ready()
-                n = 100
-                lats = []
-                for _ in range(n):
-                    t0 = time.perf_counter()
-                    float(jnp.sum(forward(src_b)).astype(jnp.float32))
-                    lats.append(time.perf_counter() - t0)
-                lats.sort()
-                tail[str(b)] = {
-                    "n": n,
-                    "e2e_p50_ms": round(lats[n // 2] * 1e3, 2),
-                    "e2e_p90_ms": round(lats[int(n * 0.9)] * 1e3, 2),
-                    "e2e_p99_ms": round(lats[int(n * 0.99)] * 1e3, 2),
-                    "device_ms_per_call": sweep.get(str(b), {}).get(
-                        "ms_per_batch"),
-                }
-            detail["tail_latency"] = tail
-            detail["tail_latency_includes_relay_rtt"] = True
-            bs1 = tail.get("1", {})
-            detail["e2e_p50_ms"] = bs1.get("e2e_p50_ms")
-        detail["env"] = _env_detail()
-        yield result
 
-    # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
-    # biggest encoder the reference supports (`dino.py` model_size 'g') —
-    # plus int8 serving and the frozen-encoder int8 TRAIN step. The most
-    # compile-expensive group (1.1B-param programs): runs late, behind the
-    # largest budget gate.
-    if on_tpu and _gate("giant2", 90):
-        with _timed_leg("giant2"):
-            try:
-                g_vps, g_i8, g_i8s, g_i8t = _bench_giant2(depth, hw)
-                if g_vps is not None:
-                    detail["giant2_volumes_per_sec"] = round(g_vps, 3)
-                if g_i8 is not None:
-                    detail["giant2_int8_volumes_per_sec"] = round(g_i8, 3)
-                if g_i8s is not None:
-                    detail["giant2_int8_static_volumes_per_sec"] = round(
-                        g_i8s, 3)
-                if g_i8t is not None:
-                    detail["giant2_int8_train_volumes_per_sec"] = round(
-                        g_i8t, 3)
-            except Exception as e:  # noqa: BLE001 — OOM/compile limits
-                print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
-                      flush=True)
-        detail["env"] = _env_detail()
-        yield result
-
-    # End-to-end HTTP serving (VERDICT r4 #5): concurrent clients ->
-    # dynamic batcher -> fused TPU program -> JSON responses, through
-    # tools/bench_serve_http. On THIS dev host the tunneled host->device
-    # link bounds e2e transfer (~1.7 vol/s, bench_pipeline.py) — the row
-    # carries that caveat; the device-program bound is the sweep above.
-    if on_tpu and _gate("http_serving", 45):
-        with _timed_leg("http_serving"):
-            try:
-                import sys
-
-                sys.path.insert(0, str(Path(__file__).parent / "tools"))
-                import bench_serve_http
-
-                detail["http_serving"] = bench_serve_http.main(
-                    clients=4, seconds=8.0, batch=4, quiet=True)
-            except Exception as e:  # noqa: BLE001
-                print(f"# http serving leg skipped: {type(e).__name__}: {e}",
-                      flush=True)
-        detail["env"] = _env_detail()
-        yield result
-
-    # Input pipeline: host loader (native NIfTI decode pool + collate) fed
-    # from ON-DISK artifacts at realistic LIDC size — proves the host side
-    # can sustain the device rates above (VERDICT r3 #8), plus the decode
-    # thread-scaling curve (VERDICT r4 #7). Host-side only; the cost scales
-    # with this host's (1) core.
-    if _gate("input_pipeline", 90):
-        with _timed_leg("input_pipeline"):
-            try:
-                cold, warm, curve = _bench_input_pipeline(depth=depth)
-                detail["input_pipeline_volumes_per_sec"] = round(cold, 1)
-                detail["input_pipeline_cached_volumes_per_sec"] = round(
-                    warm, 1)
-                # cold decode vol/s at an explicit pool size of 1/2/4
-                # threads ON THIS HOST (oversubscription curve on 1 core;
-                # the per-core scaling claim rides tools/bench_pipeline.py)
-                detail["input_pipeline_thread_curve"] = curve
-            except Exception as e:  # noqa: BLE001
-                print(f"# input pipeline bench skipped: "
-                      f"{type(e).__name__}: {e}", flush=True)
-        detail["env"] = _env_detail()
-        yield result
 
     detail["env"] = _env_detail()
     yield result
