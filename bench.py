@@ -90,19 +90,27 @@ def _measure(forward, source, iters: int) -> float:
     return timed_min(forward, source, iters=iters)
 
 
+_INIT_CACHE: dict = {}
+
+
 def _jit_init(model, shape, key):
     """Draw init params via ONE jitted (persistently cacheable) program.
 
     Eager flax init is hundreds of sequential relay dispatches (~90 s
     measured for ViT-S on this host); jitted it is a single cache-hittable
     executable (~11 s warm). Shapes are input-independent, so a tiny
-    single-slice input suffices for every model here."""
+    single-slice input suffices for every model here. The jit wrapper is
+    memoised per (model, shape) so a second init of the same model (the
+    train_bs8 leg) is a free in-process executable hit, not a re-lower."""
+    k = (id(model), shape)
+    if k not in _INIT_CACHE:
 
-    @jax.jit
-    def init(k):
-        return model.init(k, jnp.zeros(shape))["params"]
+        @jax.jit
+        def init(rng):
+            return model.init(rng, jnp.zeros(shape))["params"]
 
-    return init(key)
+        _INIT_CACHE[k] = init
+    return _INIT_CACHE[k](key)
 
 
 def _measure_pf(forward, prm, src, iters: int) -> float:
@@ -195,14 +203,18 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
     # warm or cold and was previously mis-attributed to compilation,
     # pinning the factor at max and skipping legs on fully-warm runs.
     t_c = time.monotonic()
-    forward_p.lower(params, source).compile()
+    compiled_probe = forward_p.lower(params, source).compile()
     compile_s = time.monotonic() - t_c
     _COLD_FACTOR = min(max(compile_s / 10.0, 1.0), 12.0)
     t_c = time.monotonic()
-    # forced device->host VALUE read: block_until_ready returns early
-    # through the axon relay (run 3 reported "11.4s" here while the real
-    # compile finished 590s later INSIDE the first timed leg)
-    float(jnp.sum(forward(source)).astype(jnp.float32))
+    # first exec runs the AOT-compiled object itself (the jit wrapper
+    # would re-lower and pay a duplicate ~10 s cache-hit compile here,
+    # polluting the first-exec number; the wrapper's own compile lands in
+    # the warmup loop below instead). Forced device->host VALUE read:
+    # block_until_ready returns early through the axon relay (run 3
+    # reported "11.4s" here while the real compile finished 590s later
+    # INSIDE the first timed leg).
+    float(jnp.sum(compiled_probe(params, source)).astype(jnp.float32))
     print(f"# first compile {compile_s:.1f}s -> cold_factor "
           f"{_COLD_FACTOR:.1f}; first exec {time.monotonic() - t_c:.1f}s; "
           f"elapsed {_elapsed():.0f}s of {_BUDGET:.0f}s", flush=True)
@@ -319,144 +331,6 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
         "baseline_is_cpu_reference": True,
         "detail": detail,
     }
-    # Leg order is value-per-second: cheap host-only and tail legs run
-    # before the two expensive groups (parity ~650 s warm, giant2 ~120 s
-    # warm / ~320 s cold) so a tight budget starves the right things.
-    # True serving tail latency (VERDICT r4 #5): >=100 host-synced calls
-    # at bs1 and the knee batch. e2e percentiles INCLUDE this dev host's
-    # ~25 ms relay RTT (measured and reported separately as rtt_ms_est —
-    # a tiny device no-op round trip); device_ms_per_call is the
-    # pipelined device-program time from the sweep.
-    if on_tpu and _gate("tail_latency", 30):
-        with _timed_leg("tail_latency"):
-            tail = {}
-            # RTT estimate: host-synced round trips of a 1-element add
-            tiny = jax.jit(lambda a: a + 1.0)
-            one = jnp.float32(1.0)
-            float(tiny(one))
-            rtts = []
-            for _ in range(30):
-                t0 = time.perf_counter()
-                float(tiny(one))
-                rtts.append(time.perf_counter() - t0)
-            rtts.sort()
-            rtt_ms = rtts[len(rtts) // 2] * 1e3
-            detail["relay_rtt_ms_est"] = round(rtt_ms, 2)
-            for b in {1, min(best_batch, 8)}:
-                src_b = jax.random.normal(key, (b, 1, depth, hw, hw),
-                                          jnp.float32)
-                forward(src_b).block_until_ready()
-                n = 100
-                lats = []
-                for _ in range(n):
-                    t0 = time.perf_counter()
-                    float(jnp.sum(forward(src_b)).astype(jnp.float32))
-                    lats.append(time.perf_counter() - t0)
-                lats.sort()
-                tail[str(b)] = {
-                    "n": n,
-                    "e2e_p50_ms": round(lats[n // 2] * 1e3, 2),
-                    "e2e_p90_ms": round(lats[int(n * 0.9)] * 1e3, 2),
-                    "e2e_p99_ms": round(lats[int(n * 0.99)] * 1e3, 2),
-                    "device_ms_per_call": sweep.get(str(b), {}).get(
-                        "ms_per_batch"),
-                }
-            detail["tail_latency"] = tail
-            detail["tail_latency_includes_relay_rtt"] = True
-            bs1 = tail.get("1", {})
-            detail["e2e_p50_ms"] = bs1.get("e2e_p50_ms")
-        detail["env"] = _env_detail()
-        yield result
-
-    # Input pipeline: host loader (native NIfTI decode pool + collate) fed
-    # from ON-DISK artifacts at realistic LIDC size — proves the host side
-    # can sustain the device rates above (VERDICT r3 #8), plus the decode
-    # thread-scaling curve (VERDICT r4 #7). Host-side only; the cost scales
-    # with this host's (1) core.
-    if _gate("input_pipeline", 90):
-        with _timed_leg("input_pipeline"):
-            try:
-                cold, warm, curve = _bench_input_pipeline(depth=depth)
-                detail["input_pipeline_volumes_per_sec"] = round(cold, 1)
-                detail["input_pipeline_cached_volumes_per_sec"] = round(
-                    warm, 1)
-                # cold decode vol/s at an explicit pool size of 1/2/4
-                # threads ON THIS HOST (oversubscription curve on 1 core;
-                # the per-core scaling claim rides tools/bench_pipeline.py)
-                detail["input_pipeline_thread_curve"] = curve
-            except Exception as e:  # noqa: BLE001
-                print(f"# input pipeline bench skipped: "
-                      f"{type(e).__name__}: {e}", flush=True)
-        detail["env"] = _env_detail()
-        yield result
-
-    # On-device kernel parity (Mosaic-compiled, not interpret mode)
-    # embedded in the bench artifact so BENCH_r{N}.json itself proves the
-    # kernels (VERDICT r3 #5). Runs every leg of tools/tpu_parity_check.py.
-    if on_tpu and _gate("parity", 650):
-        with _timed_leg("parity"):
-            try:
-                import sys
-
-                sys.path.insert(0, str(Path(__file__).parent / "tools"))
-                from tpu_parity_check import run_checks
-
-                legs = run_checks()
-                detail["parity"] = {
-                    "legs": len(legs),
-                    "ok": sum(1 for _, ok in legs if ok),
-                    "failed": [n for n, ok in legs if not ok]}
-            except Exception as e:  # noqa: BLE001
-                print(f"# parity legs skipped: {type(e).__name__}: {e}",
-                      flush=True)
-        detail["env"] = _env_detail()
-        yield result
-
-    # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
-    # biggest encoder the reference supports (`dino.py` model_size 'g') —
-    # plus int8 serving and the frozen-encoder int8 TRAIN step. The most
-    # compile-expensive group (1.1B-param programs): runs late, behind the
-    # largest budget gate.
-    if on_tpu and _gate("giant2", 120):
-        with _timed_leg("giant2"):
-            try:
-                g_vps, g_i8, g_i8s, g_i8t = _bench_giant2(depth, hw)
-                if g_vps is not None:
-                    detail["giant2_volumes_per_sec"] = round(g_vps, 3)
-                if g_i8 is not None:
-                    detail["giant2_int8_volumes_per_sec"] = round(g_i8, 3)
-                if g_i8s is not None:
-                    detail["giant2_int8_static_volumes_per_sec"] = round(
-                        g_i8s, 3)
-                if g_i8t is not None:
-                    detail["giant2_int8_train_volumes_per_sec"] = round(
-                        g_i8t, 3)
-            except Exception as e:  # noqa: BLE001 — OOM/compile limits
-                print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
-                      flush=True)
-        detail["env"] = _env_detail()
-        yield result
-
-    # End-to-end HTTP serving (VERDICT r4 #5): concurrent clients ->
-    # dynamic batcher -> fused TPU program -> JSON responses, through
-    # tools/bench_serve_http. On THIS dev host the tunneled host->device
-    # link bounds e2e transfer (~1.7 vol/s, bench_pipeline.py) — the row
-    # carries that caveat; the device-program bound is the sweep above.
-    if on_tpu and _gate("http_serving", 45):
-        with _timed_leg("http_serving"):
-            try:
-                import sys
-
-                sys.path.insert(0, str(Path(__file__).parent / "tools"))
-                import bench_serve_http
-
-                detail["http_serving"] = bench_serve_http.main(
-                    clients=4, seconds=8.0, batch=4, quiet=True)
-            except Exception as e:  # noqa: BLE001
-                print(f"# http serving leg skipped: {type(e).__name__}: {e}",
-                      flush=True)
-        detail["env"] = _env_detail()
-        yield result
 
     detail["env"] = _env_detail()
     yield result
@@ -599,6 +473,153 @@ def bench_stream(batch: int = 4, depth: int = 32, hw: int = 224,
 
 
 
+
+    # Leg order is value-per-second: every cheap headline leg (int8,
+    # large-D, saliency, tta, v3_train above) plus the tail-latency and
+    # host-only input-pipeline legs run BEFORE the two expensive groups
+    # (parity ~650 s warm, giant2 ~120 s warm / ~320 s cold), so a tight
+    # budget starves the right things.
+    # True serving tail latency (VERDICT r4 #5): >=100 host-synced calls
+    # at bs1 and the knee batch. e2e percentiles INCLUDE this dev host's
+    # ~25 ms relay RTT (measured and reported separately as rtt_ms_est —
+    # a tiny device no-op round trip); device_ms_per_call is the
+    # pipelined device-program time from the sweep.
+    if on_tpu and _gate("tail_latency", 30):
+        with _timed_leg("tail_latency"):
+            try:
+                tail = {}
+                # RTT estimate: host-synced round trips of a 1-element add
+                tiny = jax.jit(lambda a: a + 1.0)
+                one = jnp.float32(1.0)
+                float(tiny(one))
+                rtts = []
+                for _ in range(30):
+                    t0 = time.perf_counter()
+                    float(tiny(one))
+                    rtts.append(time.perf_counter() - t0)
+                rtts.sort()
+                rtt_ms = rtts[len(rtts) // 2] * 1e3
+                detail["relay_rtt_ms_est"] = round(rtt_ms, 2)
+                for b in {1, min(best_batch, 8)}:
+                    src_b = jax.random.normal(key, (b, 1, depth, hw, hw),
+                                              jnp.float32)
+                    forward(src_b).block_until_ready()
+                    n = 100
+                    lats = []
+                    for _ in range(n):
+                        t0 = time.perf_counter()
+                        float(jnp.sum(forward(src_b)).astype(jnp.float32))
+                        lats.append(time.perf_counter() - t0)
+                    lats.sort()
+                    tail[str(b)] = {
+                        "n": n,
+                        "e2e_p50_ms": round(lats[n // 2] * 1e3, 2),
+                        "e2e_p90_ms": round(lats[int(n * 0.9)] * 1e3, 2),
+                        "e2e_p99_ms": round(lats[int(n * 0.99)] * 1e3, 2),
+                        "device_ms_per_call": sweep.get(str(b), {}).get(
+                            "ms_per_batch"),
+                    }
+                detail["tail_latency"] = tail
+                detail["tail_latency_includes_relay_rtt"] = True
+                bs1 = tail.get("1", {})
+                detail["e2e_p50_ms"] = bs1.get("e2e_p50_ms")
+
+            except Exception as e:  # noqa: BLE001 — one relay
+                # hiccup must not cost the whole record
+                print(f"# tail latency leg skipped: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # Input pipeline: host loader (native NIfTI decode pool + collate) fed
+    # from ON-DISK artifacts at realistic LIDC size — proves the host side
+    # can sustain the device rates above (VERDICT r3 #8), plus the decode
+    # thread-scaling curve (VERDICT r4 #7). Host-side only; the cost scales
+    # with this host's (1) core.
+    if _gate("input_pipeline", 90):
+        with _timed_leg("input_pipeline"):
+            try:
+                cold, warm, curve = _bench_input_pipeline(depth=depth)
+                detail["input_pipeline_volumes_per_sec"] = round(cold, 1)
+                detail["input_pipeline_cached_volumes_per_sec"] = round(
+                    warm, 1)
+                # cold decode vol/s at an explicit pool size of 1/2/4
+                # threads ON THIS HOST (oversubscription curve on 1 core;
+                # the per-core scaling claim rides tools/bench_pipeline.py)
+                detail["input_pipeline_thread_curve"] = curve
+            except Exception as e:  # noqa: BLE001
+                print(f"# input pipeline bench skipped: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # On-device kernel parity (Mosaic-compiled, not interpret mode)
+    # embedded in the bench artifact so BENCH_r{N}.json itself proves the
+    # kernels (VERDICT r3 #5). Runs every leg of tools/tpu_parity_check.py.
+    if on_tpu and _gate("parity", 650):
+        with _timed_leg("parity"):
+            try:
+                import sys
+
+                sys.path.insert(0, str(Path(__file__).parent / "tools"))
+                from tpu_parity_check import run_checks
+
+                legs = run_checks()
+                detail["parity"] = {
+                    "legs": len(legs),
+                    "ok": sum(1 for _, ok in legs if ok),
+                    "failed": [n for n, ok in legs if not ok]}
+            except Exception as e:  # noqa: BLE001
+                print(f"# parity legs skipped: {type(e).__name__}: {e}",
+                      flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # ViT-giant2 (1536-e, 40-block, SwiGLU) single-chip inference — the
+    # biggest encoder the reference supports (`dino.py` model_size 'g') —
+    # plus int8 serving and the frozen-encoder int8 TRAIN step. The most
+    # compile-expensive group (1.1B-param programs): runs late, behind the
+    # largest budget gate.
+    if on_tpu and _gate("giant2", 120):
+        with _timed_leg("giant2"):
+            try:
+                g_vps, g_i8, g_i8s, g_i8t = _bench_giant2(depth, hw)
+                if g_vps is not None:
+                    detail["giant2_volumes_per_sec"] = round(g_vps, 3)
+                if g_i8 is not None:
+                    detail["giant2_int8_volumes_per_sec"] = round(g_i8, 3)
+                if g_i8s is not None:
+                    detail["giant2_int8_static_volumes_per_sec"] = round(
+                        g_i8s, 3)
+                if g_i8t is not None:
+                    detail["giant2_int8_train_volumes_per_sec"] = round(
+                        g_i8t, 3)
+            except Exception as e:  # noqa: BLE001 — OOM/compile limits
+                print(f"# giant2 bench skipped: {type(e).__name__}: {e}",
+                      flush=True)
+        detail["env"] = _env_detail()
+        yield result
+
+    # End-to-end HTTP serving (VERDICT r4 #5): concurrent clients ->
+    # dynamic batcher -> fused TPU program -> JSON responses, through
+    # tools/bench_serve_http. On THIS dev host the tunneled host->device
+    # link bounds e2e transfer (~1.7 vol/s, bench_pipeline.py) — the row
+    # carries that caveat; the device-program bound is the sweep above.
+    if on_tpu and _gate("http_serving", 45):
+        with _timed_leg("http_serving"):
+            try:
+                import sys
+
+                sys.path.insert(0, str(Path(__file__).parent / "tools"))
+                import bench_serve_http
+
+                detail["http_serving"] = bench_serve_http.main(
+                    clients=4, seconds=8.0, batch=4, quiet=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"# http serving leg skipped: {type(e).__name__}: {e}",
+                      flush=True)
+        detail["env"] = _env_detail()
+        yield result
 
     detail["env"] = _env_detail()
     yield result

@@ -22,6 +22,7 @@ Usage: python tools/bench_patchify.py [--n 256] [--iters 30]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from functools import partial
@@ -92,8 +93,7 @@ def patch_conv(x, w):
 
 
 def _time(fn, *args, iters=30):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else None
-    r = fn(*args)
+    r = fn(*args)  # warm-up: first call pays the compile
     jax.block_until_ready(r)
     # force a value read: block_until_ready returns early through the relay
     float(np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0])
@@ -110,7 +110,10 @@ def main():
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
-    enable_compilation_cache()
+    enable_compilation_cache(
+        os.environ.get("MST_COMPILATION_CACHE",
+                       str(Path(__file__).resolve().parent.parent
+                           / ".xla_cache")))
 
     key = jax.random.PRNGKey(0)
     x = jax.device_put(jax.random.normal(key, (args.n, H, W, C), jnp.float32))
